@@ -1,0 +1,226 @@
+"""Structured sparse operators: static column structure, traced values.
+
+`RowOp` is the framework's universal observation/evaluation operator format:
+each row has a fixed (static, NumPy) set of at most K column indices and a
+traced JAX value vector. This covers everything the reference builds with
+sparse matrices on the observation side:
+
+* `evaluation_matrix(disc, points)` — basis evaluation at arbitrary points
+  (SURVEY.md §2.3; `/root/reference/scripts/darcy/solve_darcy_gmrf-fem.jl:83`)
+* `derivative_matrices` / `second_derivative_matrices` — collocation
+  operators (`scripts/darcy/solve_darcy_gmrf-collocation.jl:107`)
+* FEM system rows (Darcy G, Burgers Jacobians) via `CellOp.to_rowop()`
+* `spatial_to_spatiotemporal` — block-column placement into the space-time
+  dof vector (`scripts/burgers/solve_burgers_gmrf-fem.jl:115`)
+
+Because structure is static, A^T A lands in the precision's block-tridiagonal
+storage through one precomputed scatter (`BTDPattern`), and per-instance /
+per-Newton-step value updates jit-compile with zero host work.
+
+Padding convention: unused slots carry column 0 and value 0 (they contribute
+nothing to matvec/scatter).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffeqgmrfs_tpu.ops.btd import BTD, BTDPattern, make_btd_pattern
+from diffeqgmrfs_tpu.fem.reference_elements import shape_at
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class RowOp:
+    """Row-sparse operator: A[r, cols[r, k]] = vals[r, k]."""
+
+    cols: np.ndarray  # [n_rows, K] int32, static
+    vals: jnp.ndarray  # [n_rows, K], traced
+    n_cols: int
+
+    def tree_flatten(self):
+        return (self.vals,), (self.cols, self.n_cols)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], children[0], aux[1])
+
+    @property
+    def n_rows(self):
+        return self.cols.shape[0]
+
+    @property
+    def K(self):
+        return self.cols.shape[1]
+
+    def astype(self, dtype):
+        return RowOp(self.cols, self.vals.astype(dtype), self.n_cols)
+
+    # -- algebra -------------------------------------------------------------
+
+    def matvec(self, x):
+        """A @ x, x [..., n_cols] -> [..., n_rows]."""
+        x = jnp.asarray(x)
+        return jnp.einsum("rk,...rk->...r", self.vals, x[..., self.cols])
+
+    def rmatvec(self, y):
+        """A^T @ y, y [n_rows] -> [n_cols]."""
+        out = jnp.zeros(self.n_cols, dtype=self.vals.dtype)
+        contrib = self.vals * jnp.asarray(y)[:, None]
+        return out.at[self.cols.reshape(-1)].add(contrib.reshape(-1))
+
+    def scale_rows(self, s):
+        return RowOp(self.cols, self.vals * jnp.asarray(s)[:, None], self.n_cols)
+
+    def scale(self, s):
+        return RowOp(self.cols, self.vals * s, self.n_cols)
+
+    def __add__(self, other: "RowOp") -> "RowOp":
+        """Row-wise sum (operators must have equal row counts)."""
+        assert self.n_rows == other.n_rows and self.n_cols == other.n_cols
+        return RowOp(
+            np.concatenate([self.cols, other.cols], axis=1),
+            jnp.concatenate([self.vals, other.vals], axis=1),
+            self.n_cols,
+        )
+
+    def __sub__(self, other: "RowOp") -> "RowOp":
+        return self + other.scale(-1.0)
+
+    def zero_rows(self, rows: np.ndarray) -> "RowOp":
+        """Zero out the given rows (reference zeroes prescribed test rows,
+        `src/problems/burgers.jl:54-57`)."""
+        mask = np.ones(self.n_rows)
+        mask[np.asarray(rows)] = 0.0
+        return self.scale_rows(jnp.asarray(mask))
+
+    def ata_structure(self):
+        """Static COO structure of A^T A: (rows, cols) of size n_rows*K*K."""
+        r = np.repeat(self.cols[:, :, None], self.K, axis=2)
+        c = np.repeat(self.cols[:, None, :], self.K, axis=1)
+        return r.reshape(-1), c.reshape(-1)
+
+    def ata_values(self):
+        """Traced COO values matching `ata_structure` (optionally weighted)."""
+        v = self.vals[:, :, None] * self.vals[:, None, :]
+        return v.reshape(-1)
+
+    def ata_pattern(self, bs: int | None = None) -> BTDPattern:
+        r, c = self.ata_structure()
+        return make_btd_pattern(r, c, self.n_cols, bs=bs)
+
+    def to_dense(self):
+        A = jnp.zeros((self.n_rows, self.n_cols), dtype=self.vals.dtype)
+        rows = np.repeat(np.arange(self.n_rows), self.K)
+        return A.at[rows, self.cols.reshape(-1)].add(self.vals.reshape(-1))
+
+    # -- constraints ---------------------------------------------------------
+
+    def condense(self, ch):
+        """A -> A S (restrict columns to free dofs through the affine
+        embedding x_full = S x_free + g). The matching target shift is
+        `y - self.matvec(ch.g)` — the reference's `constrainify_linear_system`
+        (`scripts/solve_burger.jl:120-123`)."""
+        new_cols, fac = ch.condense_rows_structure(self.cols)
+        return RowOp(new_cols, self.vals * jnp.asarray(fac), ch.n_free)
+
+
+def vstack_rowops(ops: list[RowOp]) -> RowOp:
+    """Stack operators vertically (reference `vcat` of observation blocks)."""
+    n_cols = ops[0].n_cols
+    K = max(op.K for op in ops)
+    cols, vals = [], []
+    for op in ops:
+        assert op.n_cols == n_cols
+        pad = K - op.K
+        c = np.pad(op.cols, ((0, 0), (0, pad)))
+        v = jnp.pad(op.vals, ((0, 0), (0, pad)))
+        cols.append(c)
+        vals.append(v)
+    return RowOp(np.concatenate(cols, axis=0), jnp.concatenate(vals, axis=0), n_cols)
+
+
+def spatial_to_spatiotemporal(A: RowOp, t_idx: int, N_t: int) -> RowOp:
+    """Embed a spatial operator at time slot t_idx (0-based) of the
+    space-time dof vector (dof layout: time-major, x[t*N_s + s]).
+
+    Analog of the reference's `spatial_to_spatiotemporal(A, t, N_t)` (1-based
+    there; `scripts/burgers/solve_burgers_gmrf-fem.jl:115`).
+    """
+    N_s = A.n_cols
+    return RowOp(A.cols + t_idx * N_s, A.vals, N_s * N_t)
+
+
+def replicate_over_time(A: RowOp, t_indices, N_t: int) -> RowOp:
+    """vcat of `spatial_to_spatiotemporal(A, t)` for t in t_indices — shares
+    one value buffer broadcast over time (the common reference idiom
+    `vcat([spatial_to_spatiotemporal(E, t, N_t) for t in ...])`)."""
+    t_indices = np.asarray(list(t_indices), dtype=np.int64)
+    N_s = A.n_cols
+    cols = (A.cols[None, :, :] + (t_indices * N_s)[:, None, None]).reshape(
+        -1, A.K
+    )
+    vals = jnp.broadcast_to(A.vals, (len(t_indices), *A.vals.shape)).reshape(-1, A.K)
+    return RowOp(cols.astype(np.int64), vals, N_s * N_t)
+
+
+# ---------------------------------------------------------------------------
+# Evaluation / derivative operators (point observation builders)
+# ---------------------------------------------------------------------------
+
+
+def _locate_shape(disc, points):
+    mesh = disc.mesh
+    cell, ref = mesh.locate(np.asarray(points, dtype=np.float64))
+    phi, dphi, d2phi = shape_at(mesh.dim, disc.element_order, ref)
+    # per-point shape data must be evaluated at each point's own ref coords
+    # shape_at tabulates at all given points at once: phi [m, nd]
+    return cell, phi, dphi, d2phi
+
+
+def evaluation_matrix(disc, points, field: str = "u") -> RowOp:
+    """Phi: dof values -> field values at arbitrary physical points.
+
+    Analog of `evaluation_matrix(disc, pred_coords)`
+    (`/root/reference/scripts/darcy/solve_darcy_gmrf-fem.jl:83`).
+    """
+    cell, phi, _, _ = _locate_shape(disc, points)
+    cols = disc.dof_handler.cell_dofs_field(field)[cell]
+    return RowOp(cols, jnp.asarray(phi), disc.ndofs)
+
+
+def derivative_matrices(disc, points, derivative_idcs=(0,), field: str = "u"):
+    """First-derivative point operators d/dx_i
+    (`scripts/solve_burger.jl:111`)."""
+    mesh = disc.mesh
+    cell, _, dphi, _ = _locate_shape(disc, points)
+    invJ = disc.geometry.invJ[cell]  # [m, dim, dim]
+    grad = np.einsum("mnd,mde->mne", dphi, invJ)  # physical gradients
+    cols = disc.dof_handler.cell_dofs_field(field)[cell]
+    return [RowOp(cols, jnp.asarray(grad[:, :, i]), disc.ndofs) for i in derivative_idcs]
+
+
+def second_derivative_matrices(disc, points, derivative_idcs=((0, 0),), field: str = "u"):
+    """Second-derivative point operators d2/dx_i dx_j
+    (`scripts/darcy/solve_darcy_gmrf-collocation.jl:107`)."""
+    cell, _, _, d2phi = _locate_shape(disc, points)
+    invJ = disc.geometry.invJ[cell]  # [m, dim, dim]
+    # d2 phys[c,d] = sum_ab invJ[a,c] d2ref[a,b] invJ[b,d]
+    d2 = np.einsum("mac,mnab,mbd->mncd", invJ, d2phi, invJ)
+    cols = disc.dof_handler.cell_dofs_field(field)[cell]
+    return [
+        RowOp(cols, jnp.asarray(d2[:, :, i, j]), disc.ndofs)
+        for (i, j) in derivative_idcs
+    ]
+
+
+def node_selection_matrix(disc, node_idcs, field: str = "u") -> RowOp:
+    """Select dof values at mesh nodes (`scripts/solve_burger.jl:91`)."""
+    dofs = disc.dof_handler.node_dofs(field, np.asarray(node_idcs))
+    cols = dofs[:, None].astype(np.int64)
+    vals = jnp.ones((len(dofs), 1))
+    return RowOp(cols, vals, disc.ndofs)

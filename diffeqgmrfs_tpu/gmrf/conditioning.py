@@ -1,0 +1,89 @@
+"""Information-form conditioning: the core posterior update.
+
+`condition_on_observations(x, A, precision, y)` implements the Gaussian
+information-form update the whole reference pipeline rests on
+(SURVEY.md §2.3; `/root/reference/scripts/darcy/solve_darcy_gmrf-fem.jl:167`):
+
+    Q+  = Q + tau * A^T A
+    mu+ = Q+^{-1} (Q mu + tau * A^T y)
+
+A is a `RowOp` (static column structure), so tau A^T A lands in the BTD
+precision through one precomputed scatter pattern; the pattern is cached per
+(A structure, block partition) — the TPU analog of the reference's reuse of
+the CHOLMOD symbolic factorization / permutation across instances
+(`solve_darcy_gmrf-fem.jl:169,174`).
+
+Conditioning a `ConstrainedGMRF` condenses the observation operator onto the
+free dofs first (A -> A S, y -> y - A g), which is the reference's
+`constrainify_linear_system` (`scripts/solve_burger.jl:120-123`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import jax.numpy as jnp
+
+from diffeqgmrfs_tpu.ops.btd import BTD, BTDPattern, make_btd_pattern
+from diffeqgmrfs_tpu.fem.operators import RowOp
+from diffeqgmrfs_tpu.gmrf.gmrf import GMRF, ConstrainedGMRF
+from diffeqgmrfs_tpu.solvers.blueprints import DEFAULT_BLUEPRINT
+
+_ATA_PATTERN_CACHE: dict[tuple, BTDPattern] = {}
+
+
+def ata_pattern_cached(A: RowOp, n: int, bs: int) -> BTDPattern:
+    """Cache the A^T A -> BTD scatter pattern per (structure, partition)."""
+    key = (
+        hashlib.sha1(np.ascontiguousarray(A.cols)).hexdigest(),
+        A.cols.shape,
+        n,
+        bs,
+    )
+    pat = _ATA_PATTERN_CACHE.get(key)
+    if pat is None:
+        r, c = A.ata_structure()
+        pat = make_btd_pattern(r, c, n, bs=bs)
+        _ATA_PATTERN_CACHE[key] = pat
+    return pat
+
+
+def add_ata(Q: BTD, A: RowOp, tau) -> BTD:
+    """Q + tau * A^T A in BTD form."""
+    pat = ata_pattern_cached(A, Q.n, Q.bs)
+    if pat.N != Q.N:
+        raise ValueError("partition mismatch between Q and A^T A pattern")
+    ata = pat.scatter(A.ata_values() * tau)
+    return Q + ata
+
+
+def condition_on_observations(
+    x,
+    A: RowOp,
+    precision: float,
+    y,
+    solver_blueprint=None,
+):
+    """Posterior of x given y ~ N(A x, (precision)^{-1} I)."""
+    bp = solver_blueprint or DEFAULT_BLUEPRINT
+    if isinstance(x, ConstrainedGMRF):
+        A_free = x.affine.condense_rowop(A)
+        y_free = jnp.asarray(y) - x.affine.offset_shift(A)
+        inner = condition_on_observations(
+            x.inner_gmrf, A_free, precision, y_free, solver_blueprint=bp
+        )
+        return ConstrainedGMRF(inner, x.affine)
+
+    Q = x.precision
+    tau = jnp.asarray(precision, dtype=Q.dtype)
+    Q_new = add_ata(Q, A, tau)
+    rhs = Q.matvec(x.mu) + tau * A.rmatvec(jnp.asarray(y))
+    post = type(x).tree_unflatten(
+        x.tree_flatten()[1], (x.mu, Q_new, None)
+    )
+    post.blueprint = bp
+    post = post.factorize()
+    mu_new = post.factor.solve(rhs)
+    post.mu = mu_new
+    return post

@@ -1,0 +1,298 @@
+"""GMRF distribution types.
+
+TPU-native analogs of the reference engine's Gaussian types (SURVEY.md §2.3):
+
+* `GMRF(mean, precision)` — Gaussian with block-tridiagonal sparse precision
+* `ConcreteConstantMeshSTGMRF` / `ImplicitEulerConstantMeshSTGMRF` —
+  spatiotemporal GMRFs on a fixed spatial mesh x time grid, where the BTD
+  block size *is* the spatial dof count
+* `ConstrainedGMRF` — free-dof Gaussian with affine reconstruction of
+  prescribed dofs (periodic / Dirichlet BCs)
+
+All types are pytrees: they can be constructed, conditioned, and queried
+inside jit/vmap, which is how dataset sweeps batch over instances.
+
+Naming note: the reference exposes Julia functions `mean(x)`, `std(x)`,
+`rand(rng, x)`, `sqmahal(x, v)`; here they are methods plus module-level
+aliases of the same names (mean_/std_ variants avoid shadowing).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffeqgmrfs_tpu.ops.btd import BTD
+from diffeqgmrfs_tpu.ops.cholesky import BTDCholesky, btd_cholesky
+from diffeqgmrfs_tpu.ops.takahashi import takahashi_diag
+from diffeqgmrfs_tpu.gmrf.affine import AffineMap
+from diffeqgmrfs_tpu.solvers.blueprints import (
+    CholeskySolverBlueprint,
+    CGSolverBlueprint,
+    RBMCStrategy,
+    TakahashiStrategy,
+    DEFAULT_BLUEPRINT,
+)
+
+
+def _rbmc_variance(Q: BTD, F: BTDCholesky, n_samples: int, key):
+    """Rao-Blackwellized MC marginal variance estimate.
+
+    With x_k ~ N(0, Q^{-1}):  Var_i = 1/Q_ii + E[ h_i^2 ],
+    h_i = (1/Q_ii) * sum_{j != i} Q_ij x_j = ((Q x)_i - Q_ii x_i) / Q_ii.
+    Analog of the reference's `RBMCStrategy(n)` (SURVEY.md §2.3).
+    """
+    z = F.sample_zero_mean(key, n_samples)  # [k, n]
+    d = Q.diagonal()
+    r = Q.matvec(z)  # [k, n]
+    h = (r - d[None, :] * z) / d[None, :]
+    return 1.0 / d + jnp.mean(h * h, axis=0)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class GMRF:
+    """Gaussian with mean `mu` and BTD precision Q."""
+
+    mu: jnp.ndarray
+    precision: BTD
+    factor: BTDCholesky | None = None
+    blueprint: CholeskySolverBlueprint = DEFAULT_BLUEPRINT
+
+    def tree_flatten(self):
+        return (self.mu, self.precision, self.factor), (self.blueprint,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], children[2], aux[0])
+
+    def __len__(self):
+        return self.precision.n
+
+    @property
+    def n(self):
+        return self.precision.n
+
+    # -- factorization -------------------------------------------------------
+
+    def factorize(self) -> "GMRF":
+        if self.factor is not None:
+            return self
+        return replace(self, factor=btd_cholesky(self.precision))
+
+    @property
+    def precision_chol(self) -> BTDCholesky:
+        if self.factor is None:
+            object.__setattr__(self, "factor", btd_cholesky(self.precision))
+        return self.factor
+
+    # -- reference API surface ----------------------------------------------
+
+    def mean(self):
+        return self.mu
+
+    def precision_map(self) -> BTD:
+        return self.precision
+
+    def solve(self, b):
+        return self.precision_chol.solve(b)
+
+    def variance(self, var_strategy=None):
+        vs = var_strategy or self.blueprint.var_strategy
+        if isinstance(vs, RBMCStrategy):
+            key = jax.random.PRNGKey(vs.seed)
+            return _rbmc_variance(
+                self.precision, self.precision_chol, vs.n_samples, key
+            )
+        return takahashi_diag(self.precision_chol)
+
+    def std(self, var_strategy=None):
+        return jnp.sqrt(self.variance(var_strategy))
+
+    def sample(self, key, n_samples: int = 1):
+        """Joint samples [n_samples, n] (reference `rand(rng, x)`)."""
+        return self.mu[None, :] + self.precision_chol.sample_zero_mean(key, n_samples)
+
+    def sqmahal(self, v):
+        """(v - mu)^T Q (v - mu) (reference `sqmahal`)."""
+        d = jnp.asarray(v) - self.mu
+        return jnp.dot(d, self.precision.matvec(d))
+
+    def logpdf(self, v):
+        """Gaussian log-density (gives NLL = -logpdf; cf.
+        `scripts/burgers/solve_burgers_gmrf-collocation.jl:213-215`)."""
+        n = self.n
+        return 0.5 * (
+            self.precision_chol.log_det()
+            - n * jnp.log(2 * jnp.pi)
+            - self.sqmahal(v)
+        )
+
+    def log_det_precision(self):
+        return self.precision_chol.log_det()
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ConcreteConstantMeshSTGMRF(GMRF):
+    """Spatiotemporal GMRF on a fixed spatial mesh x time grid.
+
+    The BTD time-block structure is the `tridiagonal_cholesky` structure of
+    the reference (`src/tridiagonal_cholesky.jl`); `N_t` x `N_s` dofs in
+    time-major layout. Analog of `ConcreteConstantMeshSTGMRF`
+    (`scripts/burgers/solve_burgers_gmrf-collocation.jl:251-256`).
+    """
+
+    disc: object = None  # FEMDiscretization (static)
+    N_t: int = 1
+
+    def tree_flatten(self):
+        return (self.mu, self.precision, self.factor), (
+            self.blueprint,
+            self.disc,
+            self.N_t,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], children[2], aux[0], aux[1], aux[2])
+
+    @property
+    def N_s(self):
+        return self.n // self.N_t
+
+    def time_slices(self, v=None):
+        """[N_t, N_s] view of a space-time vector (default: the mean)."""
+        v = self.mu if v is None else jnp.asarray(v)
+        return v.reshape(self.N_t, self.N_s)
+
+    def time_means(self):
+        """Per-timestep means (reference `time_means`)."""
+        return self.time_slices()
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ImplicitEulerConstantMeshSTGMRF(ConcreteConstantMeshSTGMRF):
+    """ST-GMRF that remembers its implicit-Euler SSM origin (analog of
+    `ImplicitEulerConstantMeshSTGMRF`,
+    `scripts/burgers/solve_burgers_gmrf-fem.jl:187-193`)."""
+
+    ssm: object = None  # ImplicitEulerSSM (static metadata)
+
+    def tree_flatten(self):
+        return (self.mu, self.precision, self.factor), (
+            self.blueprint,
+            self.disc,
+            self.N_t,
+            self.ssm,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(
+            children[0], children[1], children[2], aux[0], aux[1], aux[2], aux[3]
+        )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ConstrainedGMRF:
+    """GMRF on free dofs with affine reconstruction of prescribed dofs.
+
+    Analog of `ConstrainedGMRF(inner, prescribed_dofs, free_dofs,
+    free_to_prescribed_map, free_to_prescribed_offset)`
+    (`scripts/solve_burger.jl:268-274`). All public queries speak the FULL
+    dof space; `inner_gmrf` lives on free dofs.
+    """
+
+    inner_gmrf: GMRF
+    affine: AffineMap
+
+    def tree_flatten(self):
+        return (self.inner_gmrf,), (self.affine,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0])
+
+    def __len__(self):
+        return self.affine.n_full
+
+    @property
+    def n(self):
+        return self.affine.n_full
+
+    @property
+    def prescribed_dofs(self):
+        return self.affine.prescribed_dofs
+
+    @property
+    def free_dofs(self):
+        return self.affine.free_dofs
+
+    @property
+    def precision_chol(self):
+        return self.inner_gmrf.precision_chol
+
+    def mean(self):
+        return self.affine.free_to_full(self.inner_gmrf.mean())
+
+    def precision_map(self):
+        return self.inner_gmrf.precision_map()
+
+    def variance(self, var_strategy=None):
+        vf = self.inner_gmrf.variance(var_strategy)
+        # prescribed dof i = coef * free[master] + const -> var coef^2 * var
+        return jnp.asarray(self.affine.s_coef) ** 2 * vf[..., self.affine.s_col]
+
+    def std(self, var_strategy=None):
+        return jnp.sqrt(self.variance(var_strategy))
+
+    def sample(self, key, n_samples: int = 1):
+        s = self.inner_gmrf.sample(key, n_samples)
+        return self.affine.free_to_full(s)
+
+    def sqmahal(self, v):
+        return self.inner_gmrf.sqmahal(self.affine.restrict(v))
+
+    def log_det_precision(self):
+        return self.inner_gmrf.log_det_precision()
+
+    def factorize(self):
+        return ConstrainedGMRF(self.inner_gmrf.factorize(), self.affine)
+
+
+# -- module-level reference-style functions ---------------------------------
+
+
+def mean(x):
+    return x.mean()
+
+
+def std(x, var_strategy=None):
+    return x.std(var_strategy)
+
+
+def sample(key, x, n_samples: int = 1):
+    return x.sample(key, n_samples)
+
+
+def sqmahal(x, v):
+    return x.sqmahal(v)
+
+
+def precision_map(x):
+    return x.precision_map()
+
+
+def to_matrix(Q: BTD):
+    return Q.to_dense()
+
+
+def time_means(x):
+    return x.time_means()

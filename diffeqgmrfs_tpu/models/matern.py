@@ -1,0 +1,180 @@
+"""Whittle-Matérn SPDE priors discretized by FEM (Lindgren-Rue).
+
+Analog of the reference engine's `MaternSPDE{D}(range=, smoothness=, σ²=)` /
+`(κ=, ν=)` and its `discretize(spde, disc)` (SURVEY.md §2.3; call sites
+`/root/reference/scripts/darcy/solve_darcy_gmrf-fem.jl:93-94`,
+`_research/elliptic_chen24.jl:125-127`). The construction follows the
+pattern visible in the in-repo clone `src/spdes/shallow_water.jl:170-196`:
+
+    M~      = lumped mass,   G = stiffness
+    K       = kappa^2 M~ + G
+    Q_1     = K
+    Q_2     = K^T M~^{-1} K
+    Q_a     = K^T M~^{-1} Q_{a-2} M~^{-1} K          (alpha = nu + d/2)
+    Q       = (sigma2_natural / sigma2_goal) * Q_alpha
+    sigma2_natural = Gamma(nu) / (Gamma(nu + d/2) (4 pi)^{d/2} kappa^{2 nu})
+
+Smoothness convention (inferred from call sites): in 2D `smoothness` = nu
+(`MaternSPDE{2}(smoothness=2)` -> alpha=3); in 1D nu = smoothness + 1/2
+(`MaternSPDE{1}(smoothness=0)` -> nu=1/2, alpha=1 — the temporal OU prior of
+`product_matern`, `scripts/plots/burger_priors.jl:91`). Both yield integer
+alpha. kappa = sqrt(8 nu) / range (`scripts/burgers/solve_burgers_gmrf-fem.jl:91`).
+
+Matérn parameters are static floats in every reference workload, so the
+precision is built host-side with scipy.sparse (exact, fast, no MXU needed)
+and scattered once into BTD block storage; dense spatial exports feed the
+space-time priors (models/advection_diffusion.py) where blocks are dense
+anyway. Constraints are hard-condensed to free dofs (S^T Q S) rather than
+soft-pinned with tiny noise as the reference does
+(`shallow_water.jl:172-175`) — see ConstrainedGMRF.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from fractions import Fraction
+from math import gamma, pi, sqrt
+
+import numpy as np
+import scipy.sparse as sp
+import jax.numpy as jnp
+
+from diffeqgmrfs_tpu.fem.assembly import assemble_mass, assemble_stiffness
+from diffeqgmrfs_tpu.fem.discretization import FEMDiscretization
+from diffeqgmrfs_tpu.ops.btd import BTD, make_btd_pattern, choose_block_size
+from diffeqgmrfs_tpu.gmrf.gmrf import GMRF, ConstrainedGMRF
+from diffeqgmrfs_tpu.gmrf.affine import AffineMap
+from diffeqgmrfs_tpu.solvers.blueprints import DEFAULT_BLUEPRINT
+
+
+@dataclass(frozen=True)
+class MaternSPDE:
+    """(kappa^2 - Delta)^{alpha/2} u = W on R^d, alpha = nu + d/2."""
+
+    d: int
+    range: float | None = None
+    smoothness: float | None = None
+    sigma_sq: float = 1.0
+    kappa: float | None = None
+    nu: float | Fraction | None = None
+
+    def resolved(self):
+        """-> (kappa, nu, alpha:int, sigma_sq)."""
+        if self.nu is not None:
+            nu = float(self.nu)
+        elif self.smoothness is not None:
+            nu = float(self.smoothness) + (2 - self.d) / 2.0
+        else:
+            raise ValueError("need smoothness or nu")
+        if self.kappa is not None:
+            kappa = float(self.kappa)
+        elif self.range is not None:
+            kappa = sqrt(8.0 * nu) / float(self.range)
+        else:
+            raise ValueError("need range or kappa")
+        alpha = nu + self.d / 2.0
+        alpha_i = int(round(alpha))
+        if abs(alpha - alpha_i) > 1e-9 or alpha_i < 1:
+            raise ValueError(f"alpha = nu + d/2 = {alpha} must be a positive integer")
+        return kappa, nu, alpha_i, self.sigma_sq
+
+    def natural_variance(self) -> float:
+        kappa, nu, _, _ = self.resolved()
+        return gamma(nu) / (gamma(nu + self.d / 2) * (4 * pi) ** (self.d / 2) * kappa ** (2 * nu))
+
+
+# ---------------------------------------------------------------------------
+# Host-side assembly (static parameters)
+# ---------------------------------------------------------------------------
+
+
+def host_mass_stiffness(disc: FEMDiscretization):
+    """Assembled (lumped mass diag, stiffness csr) on FULL dofs, NumPy."""
+    g = disc.geometry
+    Me = np.einsum("cq,qi,qj->cij", g.w_detJ, g.phi, g.phi)
+    Ge = np.einsum("cq,cqid,cqjd->cij", g.w_detJ, g.grad, g.grad)
+    cd = disc.dof_handler.cell_dofs_field(disc.dof_handler.field_names[0])
+    n = disc.ndofs
+    nd = cd.shape[1]
+    r = np.repeat(cd[:, :, None], nd, axis=2).reshape(-1)
+    c = np.repeat(cd[:, None, :], nd, axis=1).reshape(-1)
+    G = sp.coo_matrix((Ge.reshape(-1), (r, c)), shape=(n, n)).tocsr()
+    m_lumped = np.zeros(n)
+    np.add.at(m_lumped, cd.reshape(-1), Me.sum(axis=2).reshape(-1))
+    return m_lumped, G
+
+
+def condense_matrix(A: sp.spmatrix, am: AffineMap) -> sp.csr_matrix:
+    """S^T A S with the affine embedding S (host-side)."""
+    n_full = am.n_full
+    S = sp.coo_matrix(
+        (am.s_coef, (np.arange(n_full), am.s_col)), shape=(n_full, am.n_free)
+    ).tocsr()
+    return (S.T @ A @ S).tocsr()
+
+
+def condense_diag(d: np.ndarray, am: AffineMap) -> np.ndarray:
+    """Free-dof lumped mass: S^T diag(d) S is diagonal when coefs are 0/1
+    one-hot per free dof (true for Dirichlet + periodic)."""
+    out = np.zeros(am.n_free)
+    np.add.at(out, am.s_col, am.s_coef**2 * d)
+    return out
+
+
+def matern_precision_host(spde: MaternSPDE, disc: FEMDiscretization, affine: AffineMap | None = None):
+    """Free-dof Matérn precision as scipy CSR (float64)."""
+    kappa, nu, alpha, sigma_sq = spde.resolved()
+    m, G = host_mass_stiffness(disc)
+    if affine is not None and len(affine.prescribed_dofs):
+        G = condense_matrix(G, affine)
+        m = condense_diag(m, affine)
+    K = (kappa**2) * sp.diags(m) + G
+    Minv = sp.diags(1.0 / m)
+    if alpha % 2 == 1:
+        Q = K  # Q_1
+        n_lift = (alpha - 1) // 2
+    else:
+        Q = (K.T @ Minv @ K).tocsr()  # Q_2
+        n_lift = (alpha - 2) // 2
+    for _ in range(n_lift):
+        Q = (K.T @ Minv @ Q @ Minv @ K).tocsr()
+    ratio = spde.natural_variance() / sigma_sq
+    return (ratio * Q).tocsr()
+
+
+def csr_to_btd(Q: sp.csr_matrix, bs: int | None = None, dtype=jnp.float64) -> BTD:
+    Qc = Q.tocoo()
+    pat = make_btd_pattern(Qc.row, Qc.col, Q.shape[0], bs=bs)
+    A = pat.scatter(jnp.asarray(Qc.data, dtype=dtype))
+    return A.add_identity_padding()
+
+
+def discretize_matern(
+    spde: MaternSPDE,
+    disc: FEMDiscretization,
+    solver_blueprint=None,
+    bs: int | None = None,
+):
+    """FEM-discretize a Matérn SPDE into a GMRF prior.
+
+    Analog of `GaussianMarkovRandomFields.discretize(spde, disc)`
+    (`/root/reference/scripts/darcy/solve_darcy_gmrf-fem.jl:94`). Returns a
+    `ConstrainedGMRF` when the discretization carries constraints.
+    """
+    bp = solver_blueprint or DEFAULT_BLUEPRINT
+    affine = AffineMap.from_constraint_handler(disc.constraint_handler)
+    has_constraints = len(affine.prescribed_dofs) > 0
+    Q = matern_precision_host(spde, disc, affine if has_constraints else None)
+    Qb = csr_to_btd(Q, bs=bs)
+    mu = jnp.zeros(Q.shape[0], dtype=Qb.dtype)
+    inner = GMRF(mu, Qb, None, bp)
+    if has_constraints:
+        return ConstrainedGMRF(inner, affine)
+    return inner
+
+
+def matern_spatial_dense(spde: MaternSPDE, disc: FEMDiscretization, affine: AffineMap | None = None):
+    """Dense free-dof Matérn precision [n_free, n_free] (for ST priors whose
+    spatial blocks are dense anyway)."""
+    Q = matern_precision_host(spde, disc, affine)
+    return jnp.asarray(Q.toarray())

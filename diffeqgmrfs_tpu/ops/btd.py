@@ -1,0 +1,210 @@
+"""Block-tridiagonal (BTD) symmetric matrices — the universal precision format.
+
+The design stance (SURVEY.md §7): replace the reference's unstructured sparse
+CHOLMOD/Pardiso algebra with *structured* algebra the TPU MXU loves.
+
+* Spatiotemporal GMRF precisions are natively block-tridiagonal in time
+  (`joint_ssm` of `ImplicitEulerSSM`, cf. `/root/reference/src/spdes/
+  shallow_water.jl:219-230`, exploited by `src/tridiagonal_cholesky.jl`).
+* Purely spatial precisions on lexicographically ordered structured meshes
+  are *banded*; a banded matrix with half-bandwidth <= bs is block-tridiagonal
+  with block size bs. So one dense-blocked kernel family covers everything.
+
+Storage: `diag [N, bs, bs]` (full symmetric diagonal blocks, A[i,i]) and
+`lower [N-1, bs, bs]` (subdiagonal blocks, A[i+1,i]); the true dimension n may
+be < N*bs — padded tail rows carry an identity diagonal so factorizations
+stay well-posed and contribute log(1)=0 to log-determinants.
+
+Structure (block placement of COO entries) is computed host-side in NumPy
+once per sparsity pattern; values are scattered in jit via a single
+flat `.at[].add` (`BTDPattern`), so per-instance re-assembly (Darcy
+coefficients, Gauss-Newton Jacobians) is one fused XLA op.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def choose_block_size(bandwidth: int, n: int, multiple: int = 128) -> int:
+    """Pick a BTD block size >= bandwidth, rounded up to an MXU-friendly
+    multiple, and not larger than needed for the matrix."""
+    bs = max(int(bandwidth), 1)
+    bs = ((bs + multiple - 1) // multiple) * multiple
+    return min(bs, ((n + multiple - 1) // multiple) * multiple)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BTD:
+    """Symmetric block-tridiagonal matrix."""
+
+    diag: jnp.ndarray  # [N, bs, bs]
+    lower: jnp.ndarray  # [N-1, bs, bs] (block (i+1, i)); [0, bs, bs] if N == 1
+    n: int  # true dimension
+
+    def tree_flatten(self):
+        return (self.diag, self.lower), (self.n,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0])
+
+    @property
+    def N(self) -> int:
+        return self.diag.shape[0]
+
+    @property
+    def bs(self) -> int:
+        return self.diag.shape[1]
+
+    @property
+    def dtype(self):
+        return self.diag.dtype
+
+    # -- vector block helpers ----------------------------------------------
+
+    def pad_vec(self, x):
+        """[..., n] -> [..., N, bs] zero-padded blocks."""
+        x = jnp.asarray(x)
+        pad = self.N * self.bs - self.n
+        if pad:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        return x.reshape(*x.shape[:-1], self.N, self.bs)
+
+    def unpad_vec(self, xb):
+        """[..., N, bs] -> [..., n]."""
+        return xb.reshape(*xb.shape[:-2], self.N * self.bs)[..., : self.n]
+
+    # -- linear algebra ------------------------------------------------------
+
+    def matvec(self, x):
+        """A @ x for x [..., n] (batched over leading dims)."""
+        xb = self.pad_vec(x)  # [..., N, bs]
+        y = jnp.einsum("nij,...nj->...ni", self.diag, xb)
+        if self.N > 1:
+            lo = jnp.einsum("nij,...nj->...ni", self.lower, xb[..., :-1, :])
+            up = jnp.einsum("nji,...nj->...ni", self.lower, xb[..., 1:, :])
+            y = y.at[..., 1:, :].add(lo).at[..., :-1, :].add(up)
+        return self.unpad_vec(y)
+
+    def diagonal(self):
+        """Main diagonal of the matrix, [n]."""
+        d = jnp.diagonal(self.diag, axis1=-2, axis2=-1)  # [N, bs]
+        return d.reshape(-1)[: self.n]
+
+    def __add__(self, other: "BTD") -> "BTD":
+        assert self.n == other.n and self.bs == other.bs
+        return BTD(self.diag + other.diag, self.lower + other.lower, self.n)
+
+    def scale(self, s) -> "BTD":
+        return BTD(self.diag * s, self.lower * s, self.n)
+
+    def add_identity_padding(self) -> "BTD":
+        """Set unit diagonal on padded tail rows (call once after assembly)."""
+        total = self.N * self.bs
+        if total == self.n:
+            return self
+        idx = np.arange(self.n, total)
+        bi, r = idx // self.bs, idx % self.bs
+        diag = self.diag.at[bi, r, r].set(1.0)
+        return BTD(diag, self.lower, self.n)
+
+    def add_diagonal(self, v) -> "BTD":
+        """A + diagm(v) for v [n]."""
+        vb = self.pad_vec(v)
+        r = jnp.arange(self.bs)
+        diag = self.diag.at[:, r, r].add(vb)
+        return BTD(diag, self.lower, self.n)
+
+    def to_dense(self):
+        """Materialize (tests / tiny problems only)."""
+        N, bs = self.N, self.bs
+        A = jnp.zeros((N * bs, N * bs), dtype=self.dtype)
+        for i in range(N):
+            A = A.at[i * bs : (i + 1) * bs, i * bs : (i + 1) * bs].set(self.diag[i])
+            if i + 1 < N:
+                blk = self.lower[i]
+                A = A.at[(i + 1) * bs : (i + 2) * bs, i * bs : (i + 1) * bs].set(blk)
+                A = A.at[i * bs : (i + 1) * bs, (i + 1) * bs : (i + 2) * bs].set(blk.T)
+        return A[: self.n, : self.n]
+
+    def nnz(self) -> int:
+        """Dense-blocked storage nonzeros (cost proxy, cf. reference mat_nnz)."""
+        return int(self.diag.size + self.lower.size)
+
+
+# ---------------------------------------------------------------------------
+# COO -> BTD scatter patterns (static structure, jit-able values)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class BTDPattern:
+    """Precomputed scatter of a fixed COO sparsity into BTD storage.
+
+    `flat_idx[k]` addresses entry k of the COO values into a flat buffer
+    [N*bs*bs + (N-1)*bs*bs]; entries in strictly-upper block positions are
+    dropped (their mirrored lower entry carries the value), so the COO must
+    describe the FULL symmetric matrix. Out-of-band entries raise at
+    pattern-build time — structure violations never fail silently.
+    """
+
+    n: int
+    N: int
+    bs: int
+    flat_idx: np.ndarray  # int32 [nnz], == size -> dropped
+
+    @property
+    def diag_size(self) -> int:
+        return self.N * self.bs * self.bs
+
+    @property
+    def total_size(self) -> int:
+        return self.diag_size + max(self.N - 1, 0) * self.bs * self.bs
+
+    def scatter(self, values) -> BTD:
+        """Scatter COO values (jit-traceable) into a fresh BTD."""
+        buf = jnp.zeros(self.total_size, dtype=values.dtype)
+        buf = buf.at[self.flat_idx].add(values.reshape(-1), mode="drop")
+        diag = buf[: self.diag_size].reshape(self.N, self.bs, self.bs)
+        lower = buf[self.diag_size :].reshape(max(self.N - 1, 0), self.bs, self.bs)
+        return BTD(diag, lower, self.n)
+
+
+def make_btd_pattern(
+    rows: np.ndarray, cols: np.ndarray, n: int, bs: int | None = None
+) -> BTDPattern:
+    """Build the scatter pattern for COO structure (rows, cols) of an n x n
+    symmetric matrix. If bs is None it is chosen from the bandwidth."""
+    rows = np.asarray(rows, dtype=np.int64).reshape(-1)
+    cols = np.asarray(cols, dtype=np.int64).reshape(-1)
+    if bs is None:
+        bw = int(np.max(np.abs(rows - cols))) + 1 if rows.size else 1
+        bs = choose_block_size(bw, n)
+    N = max((n + bs - 1) // bs, 1)
+    bi, bj = rows // bs, cols // bs
+    ri, cj = rows % bs, cols % bs
+    dist = bi - bj
+    if np.any(np.abs(dist) > 1):
+        bad = np.argmax(np.abs(dist) > 1)
+        raise ValueError(
+            f"entry ({rows[bad]},{cols[bad]}) outside block-tridiagonal band "
+            f"(bs={bs}); increase block size"
+        )
+    diag_size = N * bs * bs
+    flat = np.where(
+        dist == 0,
+        bi * bs * bs + ri * bs + cj,
+        np.where(
+            dist == 1,
+            diag_size + bj * bs * bs + ri * bs + cj,
+            diag_size + max(N - 1, 0) * bs * bs,  # dropped (upper mirror)
+        ),
+    )
+    return BTDPattern(n=n, N=N, bs=bs, flat_idx=flat.astype(np.int64))

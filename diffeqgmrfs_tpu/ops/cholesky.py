@@ -1,0 +1,175 @@
+"""Block-tridiagonal Cholesky: the MXU north-star kernel.
+
+TPU-native re-design of the reference's `tridiagonal_cholesky`
+(`/root/reference/src/tridiagonal_cholesky.jl:65-82`) and of the CHOLMOD
+factorizations it replaces: a sequential sweep over time/band blocks where
+each step is dense POTRF + TRSM + SYRK on [bs, bs] blocks —
+
+    L_1 = chol(D_1)
+    C_i = B_i L_{i-1}^{-T}          (TRSM)           [tridiagonal_cholesky.jl:74]
+    L_i = chol(D_i - C_i C_i^T)     (SYRK + POTRF)   [tridiagonal_cholesky.jl:77]
+
+expressed as a `lax.scan` whose body is jnp.linalg.cholesky /
+triangular_solve / matmul, which XLA maps onto the MXU. Forward/backward
+block solves (`forward_solve`/`backward_solve`,
+`tridiagonal_cholesky.jl:24-52`) are scans with a [bs, k] GEMM per step and
+batch over right-hand sides — posterior mean solves, joint samples, and RBMC
+variance probes all ride the same kernels.
+
+The factor L is block lower-bidiagonal: A = L L^T with L[i,i] = L_i (dense
+lower-triangular) and L[i+1,i] = C_i.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from diffeqgmrfs_tpu.ops.btd import BTD
+
+
+def _tsolve(L, b, *, trans=False):
+    """Solve L x = b (or L^T x = b) with L dense lower-triangular."""
+    return lax.linalg.triangular_solve(
+        L, b, left_side=True, lower=True, transpose_a=trans
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BTDCholesky:
+    """Cholesky factor of a symmetric positive-definite BTD matrix."""
+
+    Ls: jnp.ndarray  # [N, bs, bs] lower-triangular diagonal blocks
+    Cs: jnp.ndarray  # [N-1, bs, bs] subdiagonal blocks of L
+    n: int
+
+    def tree_flatten(self):
+        return (self.Ls, self.Cs), (self.n,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0])
+
+    @property
+    def N(self):
+        return self.Ls.shape[0]
+
+    @property
+    def bs(self):
+        return self.Ls.shape[1]
+
+    @property
+    def dtype(self):
+        return self.Ls.dtype
+
+    # -- block vector plumbing ----------------------------------------------
+
+    def _to_blocks(self, b):
+        """[..., n] -> [N, bs, k] with batch dims flattened into k."""
+        b = jnp.asarray(b)
+        batch_shape = b.shape[:-1]
+        k = 1
+        for s in batch_shape:
+            k *= s
+        bb = b.reshape(k, b.shape[-1]).T  # [n, k]
+        pad = self.N * self.bs - b.shape[-1]
+        if pad:
+            bb = jnp.pad(bb, ((0, pad), (0, 0)))
+        return bb.reshape(self.N, self.bs, k), batch_shape
+
+    def _from_blocks(self, xb, batch_shape):
+        x = xb.reshape(self.N * self.bs, -1)[: self.n]  # [n, k]
+        return x.T.reshape(*batch_shape, self.n)
+
+    # -- solves --------------------------------------------------------------
+
+    def forward_solve(self, b):
+        """Solve L y = b. (reference forward_solve :43-52)"""
+        bb, batch_shape = self._to_blocks(b)
+        x0 = _tsolve(self.Ls[0], bb[0])
+
+        def step(x_prev, inp):
+            L_i, C_im1, b_i = inp
+            x_i = _tsolve(L_i, b_i - C_im1 @ x_prev)
+            return x_i, x_i
+
+        if self.N > 1:
+            _, xs = lax.scan(step, x0, (self.Ls[1:], self.Cs, bb[1:]))
+            xb = jnp.concatenate([x0[None], xs], axis=0)
+        else:
+            xb = x0[None]
+        return self._from_blocks(xb, batch_shape)
+
+    def backward_solve(self, b):
+        """Solve L^T x = b. (reference backward_solve :24-33)"""
+        bb, batch_shape = self._to_blocks(b)
+        xN = _tsolve(self.Ls[-1], bb[-1], trans=True)
+
+        def step(x_next, inp):
+            L_i, C_i, b_i = inp
+            x_i = _tsolve(L_i, b_i - C_i.T @ x_next, trans=True)
+            return x_i, x_i
+
+        if self.N > 1:
+            _, xs = lax.scan(
+                step, xN, (self.Ls[:-1], self.Cs, bb[:-1]), reverse=True
+            )
+            xb = jnp.concatenate([xs, xN[None]], axis=0)
+        else:
+            xb = xN[None]
+        return self._from_blocks(xb, batch_shape)
+
+    def solve(self, b):
+        """Solve A x = b (forward then backward; reference ldiv :54-63)."""
+        return self.backward_solve(self.forward_solve(b))
+
+    # -- derived quantities --------------------------------------------------
+
+    def log_det(self):
+        """log det A = 2 sum log diag(L). Padding contributes log(1)=0.
+
+        Used for NLL (`scripts/burgers/solve_burgers_gmrf-collocation.jl:209`).
+        """
+        d = jnp.diagonal(self.Ls, axis1=-2, axis2=-1)
+        return 2.0 * jnp.sum(jnp.log(d))
+
+    def sample_zero_mean(self, key, n_samples: int = 1):
+        """Samples from N(0, A^{-1}) via x = L^{-T} z, z ~ N(0, I).
+
+        The factor-backsolve-on-white-noise sampler the reference uses
+        (`rand(rng, x_cond)`, SURVEY.md §3.1).
+        """
+        z = jax.random.normal(key, (n_samples, self.n), dtype=self.dtype)
+        return self.backward_solve(z)
+
+    def nnz(self) -> int:
+        return int(self.Ls.size + self.Cs.size)
+
+
+def btd_cholesky(A: BTD) -> BTDCholesky:
+    """Factor a symmetric positive-definite BTD matrix.
+
+    Direct TPU analog of `/root/reference/src/tridiagonal_cholesky.jl:65-82`.
+    """
+    if A.N == 1:
+        L0 = jnp.linalg.cholesky(A.diag[0])
+        return BTDCholesky(L0[None], A.lower, A.n)
+
+    L0 = jnp.linalg.cholesky(A.diag[0])
+
+    def step(L_prev, inp):
+        D_i, B_i = inp
+        # C_i = B_i L_{i-1}^{-T}:  solve C L_prev^T = B_i
+        C = lax.linalg.triangular_solve(
+            L_prev, B_i, left_side=False, lower=True, transpose_a=True
+        )
+        S = D_i - C @ C.T
+        L_i = jnp.linalg.cholesky(S)
+        return L_i, (L_i, C)
+
+    _, (Ls, Cs) = lax.scan(step, L0, (A.diag[1:], A.lower))
+    return BTDCholesky(jnp.concatenate([L0[None], Ls], axis=0), Cs, A.n)

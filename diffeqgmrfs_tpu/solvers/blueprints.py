@@ -1,0 +1,87 @@
+"""Solver blueprints: configuration objects mirroring the reference's.
+
+The reference dispatches linear algebra through blueprint objects
+(`CholeskySolverBlueprint`, `GNCholeskySolverBlueprint`, `CGSolverBlueprint`,
+`PardisoGMRFSolverBlueprint` — SURVEY.md §2.3). Here the direct solver is
+always the block-tridiagonal Cholesky (ops/cholesky.py); there is no
+fill-reducing permutation to manage because structure is fixed by
+construction, so the reference's `perm=` argument is accepted for API parity
+and ignored (with the permutation-reuse *benefit* — one symbolic setup reused
+across instances — obtained automatically from static BTD patterns).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+
+
+@dataclass(frozen=True)
+class VarianceStrategy:
+    pass
+
+
+@dataclass(frozen=True)
+class TakahashiStrategy(VarianceStrategy):
+    """Exact marginal variances by selected inversion (ops/takahashi.py).
+
+    Default here — strictly better than sampling on BTD factors."""
+
+
+@dataclass(frozen=True)
+class RBMCStrategy(VarianceStrategy):
+    """Rao-Blackwellized Monte Carlo variance estimator with n samples.
+
+    API-parity analog of the reference's `RBMCStrategy(n; rng=)`
+    (`/root/reference/scripts/darcy/solve_darcy_gmrf-fem.jl:100`).
+    """
+
+    n_samples: int = 50
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class CholeskySolverBlueprint:
+    """Direct solver config (`CholeskySolverBlueprint(var_strategy=, perm=)`)."""
+
+    var_strategy: VarianceStrategy = field(default_factory=TakahashiStrategy)
+    perm: object = None  # accepted for parity; orderings are structural here
+    compute_variance: bool = True
+
+
+@dataclass(frozen=True)
+class GNCholeskySolverBlueprint(CholeskySolverBlueprint):
+    """Cholesky blueprint for Gauss-Newton inner solves
+    (`GNCholeskySolverBlueprint(p)`): no variance machinery needed."""
+
+    compute_variance: bool = False
+
+    def __init__(self, perm=None, **kw):
+        object.__setattr__(self, "perm", perm)
+        object.__setattr__(
+            self, "var_strategy", kw.get("var_strategy", TakahashiStrategy())
+        )
+        object.__setattr__(self, "compute_variance", False)
+
+
+@dataclass(frozen=True)
+class CGSolverBlueprint:
+    """Conjugate-gradient solver option (`CGSolverBlueprint()`,
+    `/root/reference/src/spdes/shallow_water.jl:130`), block-Jacobi
+    preconditioned on the BTD diagonal blocks."""
+
+    maxiter: int = 1000
+    tol: float = 1e-10
+    var_strategy: VarianceStrategy = field(default_factory=RBMCStrategy)
+
+
+@dataclass(frozen=True)
+class PardisoGMRFSolverBlueprint(CholeskySolverBlueprint):
+    """Parity alias (`/root/reference/scripts/plots/burger_priors.jl:123`).
+
+    Pardiso is an Intel-CPU direct solver; on TPU the equivalent direct
+    method is the same BTD Cholesky, so this is an alias."""
+
+
+DEFAULT_BLUEPRINT = CholeskySolverBlueprint()
