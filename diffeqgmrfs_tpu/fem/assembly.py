@@ -94,12 +94,20 @@ class CellOp:
         )
 
     def lump(self) -> "CellOp":
-        """Row-sum mass lumping (reference `lump_matrix`,
-        `src/problems/burgers.jl:94`)."""
-        rowsum = jnp.sum(self.Ke, axis=-1)
-        Ke = jnp.zeros_like(self.Ke)
+        """Mass lumping (reference `lump_matrix`, `src/problems/burgers.jl:94`).
+
+        HRZ (diagonal scaling) lumping: per cell, keep the diagonal and scale
+        it to preserve the total cell mass. For linear elements this equals
+        row-sum lumping; for quadratic elements row-sum lumping is singular
+        (vertex shape functions integrate to ~0 on triangles), so HRZ is the
+        numerically sound choice.
+        """
         idx = jnp.arange(self.nd)
-        Ke = Ke.at[:, idx, idx].set(rowsum)
+        diag = self.Ke[:, idx, idx]
+        cell_mass = jnp.sum(self.Ke, axis=(-2, -1))
+        scale = cell_mass / jnp.sum(diag, axis=-1)
+        Ke = jnp.zeros_like(self.Ke)
+        Ke = Ke.at[:, idx, idx].set(diag * scale[:, None])
         return CellOp(self.cell_dofs, Ke, self.ndofs, self.fe)
 
     def btd_pattern(self, bs: int | None = None) -> BTDPattern:
@@ -152,7 +160,12 @@ def _rowop_structure(cell_dofs_bytes, shape, ndofs):
     K = int(counts.max())
     cols = np.zeros((ndofs, K), dtype=np.int64)
     for i in range(ndofs):
-        cols[i, : counts[i]] = M.indices[M.indptr[i] : M.indptr[i + 1]]
+        ci = M.indices[M.indptr[i] : M.indptr[i + 1]]
+        cols[i, : counts[i]] = ci
+        # pad unused slots with the row's own first column so that padded
+        # (zero-valued) A^T A pairs stay inside the band
+        if counts[i] < K:
+            cols[i, counts[i] :] = ci[0] if counts[i] else i
     # slot of each COO entry within its row's sorted column list
     slot = np.empty(len(r), dtype=np.int64)
     # indices are sorted within each row -> searchsorted per entry

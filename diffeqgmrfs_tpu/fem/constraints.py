@@ -102,7 +102,14 @@ class ConstraintHandler:
         if np.any(prescribed & (master >= 0) & (s_col < 0)):
             raise ValueError("chained affine constraints are not supported")
         s_coef = np.where(s_col < 0, 0.0, s_coef)
-        self.s_col = np.where(s_col < 0, 0, s_col).astype(np.int32)  # safe index
+        # dofs with no free image (pure Dirichlet) get a zero-valued pointer
+        # to the NEAREST free dof, so condensed operators keep entries close
+        # to the diagonal (bandwidth preservation for BTD scatter)
+        if self.n_free == 0:
+            raise ValueError("all dofs prescribed")
+        nearest = np.searchsorted(self.free_dofs, np.arange(n))
+        nearest = np.clip(nearest, 0, self.n_free - 1)
+        self.s_col = np.where(s_col < 0, nearest, s_col).astype(np.int64)
         self.s_coef = s_coef
         self.g = np.where(prescribed, offset, 0.0)
         self.has_inhomogeneity = bool(np.any(self.g != 0.0))

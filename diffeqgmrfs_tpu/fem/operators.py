@@ -137,7 +137,11 @@ def vstack_rowops(ops: list[RowOp]) -> RowOp:
     for op in ops:
         assert op.n_cols == n_cols
         pad = K - op.K
-        c = np.pad(op.cols, ((0, 0), (0, pad)))
+        # pad with each row's first column (zero-valued) so padded A^T A
+        # pairs stay inside the band
+        c = np.concatenate(
+            [op.cols, np.repeat(op.cols[:, :1], pad, axis=1)], axis=1
+        )
         v = jnp.pad(op.vals, ((0, 0), (0, pad)))
         cols.append(c)
         vals.append(v)

@@ -1,0 +1,15 @@
+from diffeqgmrfs_tpu.gmrf.affine import AffineMap
+from diffeqgmrfs_tpu.gmrf.gmrf import (
+    GMRF,
+    ConcreteConstantMeshSTGMRF,
+    ImplicitEulerConstantMeshSTGMRF,
+    ConstrainedGMRF,
+    mean,
+    std,
+    sample,
+    sqmahal,
+    precision_map,
+    to_matrix,
+    time_means,
+)
+from diffeqgmrfs_tpu.gmrf.conditioning import condition_on_observations, add_ata

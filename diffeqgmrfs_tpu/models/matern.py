@@ -89,7 +89,11 @@ class MaternSPDE:
 
 
 def host_mass_stiffness(disc: FEMDiscretization):
-    """Assembled (lumped mass diag, stiffness csr) on FULL dofs, NumPy."""
+    """Assembled (lumped mass diag, stiffness csr) on FULL dofs, NumPy.
+
+    Mass lumping is HRZ (diagonal scaling): row-sum lumping is singular for
+    quadratic elements (vertex shape functions integrate to ~0 on triangles).
+    """
     g = disc.geometry
     Me = np.einsum("cq,qi,qj->cij", g.w_detJ, g.phi, g.phi)
     Ge = np.einsum("cq,cqid,cqjd->cij", g.w_detJ, g.grad, g.grad)
@@ -99,8 +103,11 @@ def host_mass_stiffness(disc: FEMDiscretization):
     r = np.repeat(cd[:, :, None], nd, axis=2).reshape(-1)
     c = np.repeat(cd[:, None, :], nd, axis=1).reshape(-1)
     G = sp.coo_matrix((Ge.reshape(-1), (r, c)), shape=(n, n)).tocsr()
+    diag = np.einsum("cii->ci", Me)
+    cell_mass = Me.sum(axis=(1, 2))
+    diag = diag * (cell_mass / diag.sum(axis=1))[:, None]
     m_lumped = np.zeros(n)
-    np.add.at(m_lumped, cd.reshape(-1), Me.sum(axis=2).reshape(-1))
+    np.add.at(m_lumped, cd.reshape(-1), diag.reshape(-1))
     return m_lumped, G
 
 

@@ -1,0 +1,16 @@
+from diffeqgmrfs_tpu.solvers.blueprints import (
+    CholeskySolverBlueprint,
+    GNCholeskySolverBlueprint,
+    CGSolverBlueprint,
+    PardisoGMRFSolverBlueprint,
+    RBMCStrategy,
+    TakahashiStrategy,
+)
+from diffeqgmrfs_tpu.solvers.gauss_newton import (
+    GaussNewtonOptimizer,
+    GaussNewtonResult,
+    gauss_newton_solve,
+    NewtonDecrementCriterion,
+    StepNumberCriterion,
+    OrCriterion,
+)

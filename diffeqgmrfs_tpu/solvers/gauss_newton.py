@@ -1,0 +1,269 @@
+"""Gauss-Newton MAP optimization for nonlinear PDE residuals.
+
+Analog of the reference engine's `GaussNewtonOptimizer(μ_prior, Q_prior,
+f_and_J, noise, y, x0; solver_bp=, stopping_criterion=)` + `optimize`
+(SURVEY.md §2.3; call sites `/root/reference/scripts/burgers/
+solve_burgers_gmrf-fem.jl:172-183`, `_research/elliptic_chen24.jl:148-161`,
+hand-rolled equivalent `scripts/solve_burger.jl:143-180`). The iteration
+maximizes the Gaussian posterior with linearized residual f(x) ~ y:
+
+    H_k     = Q + tau * J_k^T J_k
+    x_{k+1} = H_k^{-1} ( Q mu_prior + tau * J_k^T (J_k x_k - (f(x_k) - y)) )
+
+TPU-first: the loop is a `lax.while_loop` whose body re-assembles the
+Jacobian values into a *fixed* BTD sparsity (the reference re-factorizes with
+a fixed CHOLMOD permutation per step, `GNCholeskySolverBlueprint(p)`;
+here the fixed structure is the static scatter pattern) and runs one blocked
+Cholesky sweep — so an entire Gauss-Newton solve jit-compiles into a single
+XLA program and vmaps over dataset instances.
+
+Stopping criteria compose like the reference's
+(`OrCriterion([NewtonDecrementCriterion(1e-5), StepNumberCriterion(10)])`,
+`_research/elliptic_chen24.jl:156-159`). The Newton decrement is
+sqrt(dx^T H dx).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from diffeqgmrfs_tpu.ops.btd import BTD
+from diffeqgmrfs_tpu.ops.cholesky import btd_cholesky
+from diffeqgmrfs_tpu.fem.operators import RowOp
+from diffeqgmrfs_tpu.solvers.blueprints import GNCholeskySolverBlueprint
+
+
+# -- stopping criteria -------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class NewtonDecrementCriterion:
+    tol: float = 1e-6
+
+    def should_stop(self, state) -> jnp.ndarray:
+        return state["newton_decrement"] < self.tol
+
+
+@dataclass(frozen=True)
+class StepNumberCriterion:
+    max_steps: int = 10
+
+    def should_stop(self, state) -> jnp.ndarray:
+        return state["step"] >= self.max_steps
+
+    @property
+    def bound(self):
+        return self.max_steps
+
+
+@dataclass(frozen=True)
+class OrCriterion:
+    criteria: tuple
+
+    def __init__(self, criteria):
+        object.__setattr__(self, "criteria", tuple(criteria))
+
+    def should_stop(self, state):
+        stop = jnp.asarray(False)
+        for c in self.criteria:
+            stop = jnp.logical_or(stop, c.should_stop(state))
+        return stop
+
+    @property
+    def bound(self):
+        bounds = [c.bound for c in self.criteria if hasattr(c, "bound")]
+        return min(bounds) if bounds else None
+
+
+DEFAULT_CRITERION = OrCriterion(
+    [NewtonDecrementCriterion(1e-6), StepNumberCriterion(20)]
+)
+
+
+def _criterion_bound(criterion, hard_cap: int = 100) -> int:
+    b = getattr(criterion, "bound", None)
+    return int(b) if b is not None else hard_cap
+
+
+# -- optimizer ---------------------------------------------------------------
+
+
+@dataclass
+class GaussNewtonResult:
+    """Final optimizer state (reference exposes `.xₖ`, `.Jₖ`, `.Q_mat`,
+    `.r_obs_norm_history`)."""
+
+    x_k: jnp.ndarray  # MAP iterate (free dofs if prior constrained)
+    J_k: RowOp  # final Jacobian (free-dof columns)
+    Q_mat: BTD  # prior precision
+    H: BTD  # final Q + tau J^T J
+    r_obs_norm_history: jnp.ndarray  # [max_steps + 1], NaN-padded
+    n_steps: jnp.ndarray  # number of Newton steps taken
+    noise: float
+
+    def posterior(self, blueprint=None, affine=None):
+        """GMRF with mean x_k and precision Q + tau J^T J — what the
+        reference scripts rebuild by hand
+        (`solve_burgers_gmrf-fem.jl:186-193`)."""
+        from diffeqgmrfs_tpu.gmrf.gmrf import GMRF, ConstrainedGMRF
+
+        g = GMRF(self.x_k, self.H, None, blueprint or GNCholeskySolverBlueprint())
+        if affine is not None:
+            return ConstrainedGMRF(g, affine)
+        return g
+
+
+class GaussNewtonOptimizer:
+    """See module docstring. `f_and_J(w_full) -> (f, J: RowOp)` must return a
+    Jacobian with static column structure; w_full is in the FULL dof space
+    (the optimizer maps through the prior's affine constraints)."""
+
+    def __init__(
+        self,
+        mu_prior,
+        Q_prior,
+        f_and_J,
+        noise,
+        y,
+        x0,
+        solver_bp=None,
+        stopping_criterion=None,
+        affine=None,
+    ):
+        # Accept a GMRF/ConstrainedGMRF in place of (mu, Q) pieces
+        self.affine = affine
+        if isinstance(Q_prior, BTD):
+            self.Q = Q_prior
+        else:
+            raise TypeError("Q_prior must be a BTD precision")
+        self.mu_prior = jnp.asarray(mu_prior)
+        self.f_and_J = f_and_J
+        self.noise = noise
+        self.y = jnp.asarray(y)
+        self.x0 = jnp.asarray(x0)
+        self.solver_bp = solver_bp or GNCholeskySolverBlueprint()
+        self.criterion = stopping_criterion or DEFAULT_CRITERION
+        self.result: GaussNewtonResult | None = None
+
+    # reference-style accessors
+    @property
+    def x_k(self):
+        return self.result.x_k
+
+    @property
+    def J_k(self):
+        return self.result.J_k
+
+    @property
+    def Q_mat(self):
+        return self.result.Q_mat
+
+    @property
+    def r_obs_norm_history(self):
+        h = self.result.r_obs_norm_history
+        return h[~jnp.isnan(h)]
+
+    def _full(self, x_free):
+        if self.affine is None:
+            return x_free
+        return self.affine.free_to_full(x_free)
+
+    def _condense_J(self, J: RowOp) -> RowOp:
+        if self.affine is None:
+            return J
+        return self.affine.condense_rowop(J)
+
+    def optimize(self) -> GaussNewtonResult:
+        self.result = gauss_newton_solve(
+            self.mu_prior,
+            self.Q,
+            self.f_and_J,
+            self.noise,
+            self.y,
+            self.x0,
+            criterion=self.criterion,
+            affine=self.affine,
+        )
+        return self.result
+
+
+def gauss_newton_solve(
+    mu_prior,
+    Q: BTD,
+    f_and_J,
+    noise,
+    y,
+    x0,
+    criterion=None,
+    affine=None,
+) -> GaussNewtonResult:
+    """Functional Gauss-Newton loop (jit/vmap-friendly)."""
+    from diffeqgmrfs_tpu.gmrf.conditioning import ata_pattern_cached
+
+    criterion = criterion or DEFAULT_CRITERION
+    max_steps = _criterion_bound(criterion)
+    mu_prior = jnp.asarray(mu_prior)
+    y = jnp.asarray(y)
+    tau = jnp.asarray(noise, dtype=Q.dtype)
+
+    def full(x):
+        return x if affine is None else affine.free_to_full(x)
+
+    def condense(J):
+        return J if affine is None else affine.condense_rowop(J)
+
+    # Trace one evaluation to fix the Jacobian structure.
+    _, J0 = f_and_J(full(jnp.asarray(x0)))
+    Jc0 = condense(J0)
+    pat = ata_pattern_cached(Jc0, Q.n, Q.bs)
+
+    Qmu = Q.matvec(mu_prior)
+
+    def body(carry):
+        x, _, step, hist, _ = carry
+        f, J = f_and_J(full(x))
+        Jc = condense(J)
+        r_norm = jnp.linalg.norm(f - y)
+        hist = hist.at[step].set(r_norm)
+        H = Q + pat.scatter(Jc.ata_values() * tau)
+        F = btd_cholesky(H)
+        rhs = Qmu + tau * Jc.rmatvec(Jc.matvec(x) - (f - y))
+        x_new = F.solve(rhs)
+        dx = x_new - x
+        decrement = jnp.sqrt(jnp.abs(jnp.dot(dx, H.matvec(dx))))
+        return (x_new, decrement, step + 1, hist, r_norm)
+
+    def cond(carry):
+        x, decrement, step, hist, r_norm = carry
+        state = {"newton_decrement": decrement, "step": step, "r_norm": r_norm}
+        return jnp.logical_not(criterion.should_stop(state))
+
+    hist0 = jnp.full((max_steps + 1,), jnp.nan, dtype=Q.dtype)
+    init = (
+        jnp.asarray(x0),
+        jnp.asarray(jnp.inf, dtype=Q.dtype),
+        jnp.asarray(0),
+        hist0,
+        jnp.asarray(jnp.inf, dtype=Q.dtype),
+    )
+    x_fin, decrement, n_steps, hist, _ = lax.while_loop(cond, body, init)
+
+    # Final residual/Jacobian at the solution (for posterior precision)
+    f_fin, J_fin = f_and_J(full(x_fin))
+    Jc_fin = condense(J_fin)
+    hist = hist.at[n_steps].set(jnp.linalg.norm(f_fin - y))
+    H_fin = Q + pat.scatter(Jc_fin.ata_values() * tau)
+    return GaussNewtonResult(
+        x_k=x_fin,
+        J_k=Jc_fin,
+        Q_mat=Q,
+        H=H_fin,
+        r_obs_norm_history=hist,
+        n_steps=n_steps,
+        noise=noise,
+    )

@@ -8,7 +8,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +17,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin force-registers itself even when JAX_PLATFORMS=cpu;
+# updating the config after import reliably pins the local CPU backend
+# (otherwise every op dispatches over the TPU tunnel at ~6 ms latency).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,217 @@
+"""GMRF layer tests: conditioning vs dense Gaussian identities, variance
+strategies, constrained GMRFs, priors."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffeqgmrfs_tpu.ops import BTD, btd_cholesky
+from diffeqgmrfs_tpu.gmrf import (
+    GMRF,
+    ConstrainedGMRF,
+    condition_on_observations,
+)
+from diffeqgmrfs_tpu.fem import (
+    RowOp,
+    interval_discretization,
+    periodic_unit_interval_discretization,
+    unit_square_discretization,
+    evaluation_matrix,
+)
+from diffeqgmrfs_tpu.gmrf.affine import AffineMap
+from diffeqgmrfs_tpu.models import (
+    MaternSPDE,
+    discretize_matern,
+    AdvectionDiffusionSPDE,
+    discretize_advection_diffusion,
+    product_matern,
+)
+from diffeqgmrfs_tpu.solvers import RBMCStrategy
+
+
+def small_gmrf(key, N=3, bs=4):
+    n = N * bs
+    diag = jax.random.normal(key, (N, bs, bs), dtype=jnp.float64) * 0.1
+    diag = 0.5 * (diag + diag.transpose(0, 2, 1)) + 3 * jnp.eye(bs)
+    lower = (
+        jax.random.normal(jax.random.PRNGKey(9), (N - 1, bs, bs), dtype=jnp.float64)
+        * 0.1
+    )
+    mu = jnp.asarray(np.random.default_rng(0).normal(size=n))
+    return GMRF(mu, BTD(diag, lower, n))
+
+
+def test_condition_on_observations_vs_dense():
+    x = small_gmrf(jax.random.PRNGKey(0))
+    n = x.n
+    rng = np.random.default_rng(1)
+    # 5 observation rows, each touching 3 dofs
+    cols = np.stack([rng.choice(n, size=3, replace=False) for _ in range(5)])
+    cols.sort(axis=1)
+    # keep within block-tridiag reach: use contiguous dofs
+    cols = np.stack([np.arange(i, i + 3) for i in [0, 2, 5, 7, 9]])
+    vals = jnp.asarray(rng.normal(size=(5, 3)))
+    A = RowOp(cols, vals, n)
+    y = jnp.asarray(rng.normal(size=5))
+    tau = 50.0
+    post = condition_on_observations(x, A, tau, y)
+
+    Ad = np.asarray(A.to_dense())
+    Qd = np.asarray(x.precision.to_dense())
+    Q_post = Qd + tau * Ad.T @ Ad
+    mu_post = np.linalg.solve(
+        Q_post, Qd @ np.asarray(x.mu) + tau * Ad.T @ np.asarray(y)
+    )
+    np.testing.assert_allclose(np.asarray(post.mean()), mu_post, rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(post.precision.to_dense()), Q_post, atol=1e-10
+    )
+    # variance via Takahashi matches dense inverse
+    np.testing.assert_allclose(
+        np.asarray(post.variance()), np.diag(np.linalg.inv(Q_post)), rtol=1e-9
+    )
+    # sqmahal
+    v = rng.normal(size=n)
+    d = v - mu_post
+    np.testing.assert_allclose(
+        float(post.sqmahal(jnp.asarray(v))), d @ Q_post @ d, rtol=1e-9
+    )
+
+
+def test_rbmc_variance_approximates_truth():
+    x = small_gmrf(jax.random.PRNGKey(2))
+    truth = np.diag(np.linalg.inv(np.asarray(x.precision.to_dense())))
+    est = np.asarray(x.variance(RBMCStrategy(n_samples=4000, seed=1)))
+    np.testing.assert_allclose(est, truth, rtol=0.15)
+
+
+def test_conditioning_constrained_gmrf():
+    # periodic 1D: observation on full dofs condensed onto free dofs
+    disc = periodic_unit_interval_discretization(8, element_order=2)
+    spde = MaternSPDE(d=1, range=0.3, smoothness=1)
+    x = discretize_matern(spde, disc)
+    assert isinstance(x, ConstrainedGMRF)
+    pts = np.linspace(0.0, 1.0, 9)
+    E = evaluation_matrix(disc, pts)
+    y = jnp.asarray(np.sin(2 * np.pi * pts))
+    post = condition_on_observations(x, E, 1e6, y)
+    pred = np.asarray(E.matvec(post.mean()))
+    np.testing.assert_allclose(pred, np.asarray(y), atol=1e-3)
+    # periodicity: endpoint values equal
+    m = np.asarray(post.mean())
+    assert abs(m[0] - m[-1]) < 1e-12
+    # std is finite and periodic-consistent
+    s = np.asarray(post.std())
+    assert np.all(np.isfinite(s))
+    assert abs(s[0] - s[-1]) < 1e-12
+
+
+def test_matern_prior_marginal_variance():
+    # Unit-variance Matérn prior: interior marginal variances ~ sigma^2
+    disc = unit_square_discretization(16, element_order=1)
+    spde = MaternSPDE(d=2, range=0.2, smoothness=1, sigma_sq=1.0)
+    x = discretize_matern(spde, disc)
+    var = np.asarray(x.variance())
+    coords = np.asarray(disc.mesh.coords)
+    interior = (
+        (coords[:, 0] > 0.3)
+        & (coords[:, 0] < 0.7)
+        & (coords[:, 1] > 0.3)
+        & (coords[:, 1] < 0.7)
+    )
+    v_int = var[interior]
+    # FEM + boundary effects allow a loose band around 1
+    assert 0.5 < float(np.median(v_int)) < 2.0
+
+
+def test_matern_1d_variance_calibration():
+    # 1D, alpha=2 (nu=3/2): natural variance formula should calibrate to ~1
+    disc = interval_discretization(0.0, 10.0, 200, element_order=1)
+    spde = MaternSPDE(d=1, range=1.0, smoothness=1, sigma_sq=1.0)
+    x = discretize_matern(spde, disc)
+    var = np.asarray(x.variance())
+    mid = var[80:120]
+    np.testing.assert_allclose(np.median(mid), 1.0, rtol=0.15)
+
+
+def test_advection_diffusion_prior_structure():
+    disc = periodic_unit_interval_discretization(6, element_order=2)
+    nu_b = 0.05
+    ic = jnp.asarray(np.sin(2 * np.pi * np.linspace(0, 1, 13)))
+    bulk = float(jnp.mean(ic))
+    c = 1.0 / nu_b
+    spde = AdvectionDiffusionSPDE(
+        d=1,
+        kappa=0.0,
+        alpha=1,
+        H=np.ones((1, 1)),
+        gamma=jnp.asarray([-c * bulk]),
+        c=c,
+        tau=0.1 * np.sqrt(c),
+        spatial_spde=MaternSPDE(d=1, kappa=np.sqrt(8 * 1.5) / 0.4, nu=1.5),
+        initial_spde=MaternSPDE(d=1, kappa=np.sqrt(8 * 1.5) / 0.4, nu=1.5),
+    )
+    ts = np.linspace(0, 1, 5)
+    x = discretize_advection_diffusion(spde, disc, ts, mean_offset=bulk)
+    assert isinstance(x, ConstrainedGMRF)
+    inner = x.inner_gmrf
+    assert inner.N_t == 5
+    n_free = disc.n_free
+    assert inner.precision.bs == n_free
+    # precision is SPD: factorization succeeds with finite logdet
+    F = btd_cholesky(inner.precision)
+    assert np.isfinite(float(F.log_det()))
+    # mean is the bulk speed everywhere
+    np.testing.assert_allclose(np.asarray(x.mean()), bulk, atol=1e-12)
+
+
+def test_joint_ssm_matches_brute_force():
+    """Joint precision == assembled from the chain density directly."""
+    from diffeqgmrfs_tpu.models.advection_diffusion import ImplicitEulerSSM, joint_ssm
+
+    rng = np.random.default_rng(7)
+    n, N_t = 4, 4
+    T = np.eye(n) + 0.1 * rng.normal(size=(n, n))
+    M = np.diag(rng.uniform(1, 2, n))
+    P = np.eye(n) * 2.0
+    Q0 = np.eye(n) * 3.0
+
+    x0 = GMRF(
+        jnp.zeros(n), BTD(jnp.asarray(Q0)[None], jnp.zeros((0, n, n)), n)
+    )
+    ssm = ImplicitEulerSSM(
+        x0,
+        lambda dt: jnp.asarray(T),
+        lambda dt: jnp.asarray(np.diag(M)),
+        lambda dt: jnp.asarray(1 / np.diag(M)),
+        None,
+        lambda dt: jnp.asarray(P),
+        np.linspace(0, 1, N_t),
+    )
+    Q = np.asarray(joint_ssm(ssm).to_dense())
+
+    # brute force: -2 log density = x0' Q0 x0 + sum |P^(1/2)(T x_{t+1} - M x_t)|^2
+    Qb = np.zeros((n * N_t, n * N_t))
+    Qb[:n, :n] += Q0
+    for t in range(N_t - 1):
+        a, b = t * n, (t + 1) * n
+        Qb[b : b + n, b : b + n] += T.T @ P @ T
+        Qb[a : a + n, a : a + n] += M.T @ P @ M
+        Qb[b : b + n, a : a + n] += -T.T @ P @ M
+        Qb[a : a + n, b : b + n] += -(T.T @ P @ M).T
+    np.testing.assert_allclose(Q, Qb, atol=1e-12)
+
+
+def test_product_matern_kron():
+    disc = interval_discretization(0.0, 1.0, 6, element_order=2)
+    t_spde = MaternSPDE(d=1, range=3.0, smoothness=0, sigma_sq=0.1)
+    s_spde = MaternSPDE(d=1, range=0.2, smoothness=1, sigma_sq=0.1)
+    N_t = 5
+    x = product_matern(t_spde, N_t, s_spde, disc)
+    Q = np.asarray(x.precision.to_dense())
+    from diffeqgmrfs_tpu.models.product_matern import temporal_matern_precision
+    from diffeqgmrfs_tpu.models.matern import matern_precision_host
+
+    Qt = temporal_matern_precision(t_spde, N_t).toarray()
+    Qs = matern_precision_host(s_spde, disc, None).toarray()
+    np.testing.assert_allclose(Q, np.kron(Qt, Qs), atol=1e-10)
