@@ -1,0 +1,100 @@
+"""Benchmark: block-tridiagonal Cholesky posterior kernel on TPU.
+
+Headline metric (cf. BASELINE.md): f32 block-tridiagonal Cholesky
+throughput (TFLOP/s) on the MXU at spatiotemporal-GMRF production shapes —
+the kernel that replaces the reference's CHOLMOD factorizations
+(`/root/reference/src/tridiagonal_cholesky.jl`). `vs_baseline` is the
+speedup over the same factorization on the host CPU via LAPACK
+(scipy.linalg.cholesky_banded-equivalent blocked sweep), i.e. the
+reference's L1 kernel class, flop-matched.
+
+Prints exactly one JSON line on stdout.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def btd_flops(N, bs):
+    # per block: POTRF ~ bs^3/3, TRSM ~ bs^3, SYRK ~ bs^3
+    return N * (bs**3 / 3 + 2 * bs**3)
+
+
+def bench_tpu(N=64, bs=2048, n_it=5):
+    import jax
+    import jax.numpy as jnp
+    sys.path.insert(0, ".")
+    import diffeqgmrfs_tpu  # noqa: F401
+    from diffeqgmrfs_tpu.ops import BTD, btd_cholesky
+
+    key = jax.random.PRNGKey(0)
+    diag = jax.random.normal(key, (N, bs, bs), dtype=jnp.float32) * 0.01
+    diag = 0.5 * (diag + diag.transpose(0, 2, 1)) + jnp.eye(bs, dtype=jnp.float32) * bs
+    lower = jax.random.normal(key, (N - 1, bs, bs), dtype=jnp.float32) * 0.01
+
+    # scalar output forces completion through the async dispatch path
+    f = jax.jit(
+        lambda d, l: jnp.sum(
+            jnp.log(jnp.diagonal(btd_cholesky(BTD(d, l, N * bs)).Ls, axis1=-2, axis2=-1))
+        )
+    )
+    t0 = time.perf_counter()
+    float(f(diag, lower))
+    log(f"tpu compile+first run: {time.perf_counter() - t0:.1f}s")
+    ts = []
+    for i in range(n_it):
+        d2 = diag + np.float32((i + 1) * 1e-6)
+        float(jnp.sum(d2))
+        t0 = time.perf_counter()
+        float(f(d2, lower))
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts)
+    log(f"tpu f32 N={N} bs={bs}: {dt * 1e3:.1f} ms")
+    return btd_flops(N, bs) / dt
+
+
+def bench_cpu(N=8, bs=1024):
+    """Same blocked sweep via LAPACK (scipy) on the host — the reference's
+    kernel class (dense-blocked POTRF/TRSM/SYRK, `tridiagonal_cholesky.jl`)."""
+    import scipy.linalg as sla
+
+    rng = np.random.default_rng(0)
+    D = rng.normal(size=(N, bs, bs)) * 0.01
+    D = 0.5 * (D + D.transpose(0, 2, 1)) + np.eye(bs) * bs
+    B = rng.normal(size=(N - 1, bs, bs)) * 0.01
+    t0 = time.perf_counter()
+    L_prev = sla.cholesky(D[0], lower=True)
+    for i in range(1, N):
+        C = sla.solve_triangular(L_prev, B[i - 1].T, lower=True).T
+        L_prev = sla.cholesky(D[i] - C @ C.T, lower=True)
+    dt = time.perf_counter() - t0
+    log(f"cpu lapack N={N} bs={bs}: {dt * 1e3:.1f} ms")
+    return btd_flops(N, bs) / dt
+
+
+def main():
+    tpu_flops = bench_tpu()
+    cpu_flops = bench_cpu()
+    value = tpu_flops / 1e12
+    vs = tpu_flops / cpu_flops
+    print(
+        json.dumps(
+            {
+                "metric": "btd_cholesky_f32_throughput",
+                "value": round(value, 3),
+                "unit": "TFLOP/s",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

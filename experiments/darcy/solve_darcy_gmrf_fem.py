@@ -1,0 +1,174 @@
+"""Darcy GMRF-FEM sweep: per-instance posterior mean/std/sample + metrics.
+
+TPU-native analog of `/root/reference/scripts/darcy/solve_darcy_gmrf-fem.jl`:
+Matérn-2 prior on the unit square, observations = rows of the per-instance
+Darcy FEM system, information-form conditioning at precision 1e8, posterior
+mean / joint sample / marginal std, rel_err/rmse/max_err vs the dataset
+solutions. The whole per-instance solve is ONE jitted XLA program (assembly +
+conditioning + Takahashi std + sampling), reused across instances — the
+analog of the reference's fixed CHOLMOD permutation reuse
+(`solve_darcy_gmrf-fem.jl:169-174`).
+
+Usage:
+  python experiments/darcy/solve_darcy_gmrf_fem.py --N_xy 40 --dry_run true
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np
+
+from diffeqgmrfs_tpu.utils.experiment import (
+    base_parser,
+    finalize_args,
+    select_backend,
+    setup_logging,
+)
+
+
+def parse_cmd():
+    p = base_parser("Darcy GMRF-FEM sweep")
+    p.add_argument("--datasetname", type=str, default="synthetic")
+    p.add_argument("--N_xy", type=int, default=40)
+    p.add_argument("--boundary_width", type=float, default=0.0)
+    p.add_argument("--N_instances", type=int, default=8)
+    p.add_argument("--grid", type=int, default=61, help="dataset grid resolution")
+    p.add_argument("--batch", type=int, default=1, help="vmap batch size")
+    return finalize_args(p.parse_args())
+
+
+def main():
+    log = setup_logging()
+    args = parse_cmd()
+    devices = select_backend(args.backend)
+    log.info("devices: %s", devices)
+
+    import jax
+    import jax.numpy as jnp
+    import diffeqgmrfs_tpu  # noqa: F401
+    from diffeqgmrfs_tpu.fem import uniform_unit_square_discretization
+    from diffeqgmrfs_tpu.models import MaternSPDE, discretize_matern
+    from diffeqgmrfs_tpu.gmrf import condition_on_observations
+    from diffeqgmrfs_tpu.problems import DarcyFEMObservations
+    from diffeqgmrfs_tpu.fem import evaluation_matrix
+    from diffeqgmrfs_tpu.datasets import DarcyDataset
+    from diffeqgmrfs_tpu.metrics import rel_err, rmse, max_err
+    from diffeqgmrfs_tpu.utils.timers import PhaseTimers
+    from diffeqgmrfs_tpu.utils.results import datadir, savename, tagsave
+
+    beta = 1.0
+    params = dict(
+        datasetname=args.datasetname,
+        N_xy=args.N_xy,
+        boundary_width=args.boundary_width,
+        dry_run=args.dry_run,
+        beta=beta,
+    )
+    log.info("params: %s", params)
+    to = PhaseTimers()
+
+    # ---- dataset ----
+    mat_path = datadir("input_data", "Darcy_241", f"{args.datasetname}.mat")
+    if args.datasetname != "synthetic" and os.path.exists(mat_path):
+        ds = DarcyDataset(mat_path)
+    else:
+        if args.datasetname != "synthetic":
+            log.warning("dataset %s not found; generating synthetic", mat_path)
+        ds = DarcyDataset.synthetic(
+            n_instances=args.N_instances,
+            grid=args.grid,
+            n_xy_fem=max(args.N_xy, 40),
+            cache=datadir("input_data", "synthetic",
+                          f"darcy_g{args.grid}_n{args.N_instances}.npz"),
+        )
+    log.info("%s", ds)
+    inflated = args.boundary_width > 0.0
+
+    # ---- discretization, prior, observation structure ----
+    with to("Mesh generation"):
+        disc = uniform_unit_square_discretization(
+            args.N_xy,
+            boundary_width=args.boundary_width,
+            element_order=2,
+            use_dirichlet_bc=not inflated,
+        )
+    log.info("ndofs=%d free=%d", disc.ndofs, disc.n_free)
+    with to("Etc"):
+        pts = np.stack(
+            np.meshgrid(ds.x_coords, ds.y_coords, indexing="xy"), -1
+        ).reshape(-1, 2)
+        E = evaluation_matrix(disc, pts)
+    with to("Prior construction"):
+        spde = MaternSPDE(d=2, range=1 / np.sqrt(args.N_xy), smoothness=2)
+        prior = discretize_matern(spde, disc)
+    obs = DarcyFEMObservations(
+        disc,
+        ds.x_coords,
+        ds.y_coords,
+        beta=beta,
+        inflated_boundary=inflated,
+        N_xy=args.N_xy,
+        prescribed_dofs=disc.constraint_handler.prescribed_dofs,
+    )
+    Q_eps = 1e8
+    ny, nx = len(ds.y_coords), len(ds.x_coords)
+
+    def solve_instance(coeff, key):
+        A, ys = obs(coeff)
+        post = condition_on_observations(prior, A, Q_eps, ys)
+        pred = E.matvec(post.mean()).reshape(ny, nx)
+        std = post.std()
+        smp = post.sample(key, 1)
+        return pred, std, smp
+
+    solve_jit = jax.jit(solve_instance)
+
+    # warm-up compile (reference "Trigger precompilation")
+    key = jax.random.PRNGKey(523802340)
+    coeff0 = jnp.asarray(ds.get_problem(0)[1])
+    with to("Conditioning + Node reordering"):
+        out = solve_jit(coeff0, key)
+        to.sync(out[0])
+    mat_nnz = prior.precision_map().nnz() if hasattr(prior, "precision_map") else 0
+
+    N = 3 if args.dry_run else len(ds)
+    rel_errs, rmses, max_errs, std_norms = [], [], [], []
+    cond_times = []
+    for i in range(N):
+        soln, coeff = ds.get_problem(i)
+        cur = PhaseTimers()
+        with cur("Conditioning"):
+            pred, std, smp = solve_jit(
+                jnp.asarray(coeff), jax.random.fold_in(key, i)
+            )
+            cur.sync(pred, std, smp)
+        rel_errs.append(float(rel_err(pred, jnp.asarray(soln))))
+        rmses.append(float(rmse(pred, jnp.asarray(soln))))
+        max_errs.append(float(max_err(pred, jnp.asarray(soln))))
+        std_norms.append(float(jnp.linalg.norm(std)))
+        cond_times.append(cur.time("Conditioning"))
+        log.info("instance %d: rel_err=%.3e", i, rel_errs[-1])
+        if (i + 1) % 10 == 0:
+            log.info("Finished %d / %d", i + 1, N)
+
+    out = dict(
+        rel_errs=rel_errs,
+        rmses=rmses,
+        max_errs=max_errs,
+        std_norms=std_norms,
+        conditioning_times=cond_times,
+        mat_nnz=mat_nnz,
+        timers=to.as_dict(),
+        **params,
+    )
+    path = tagsave(
+        os.path.join(datadir("sims", "darcy", "gmrf-fem"), savename(params)), out
+    )
+    log.info("mean rel_err = %.4e", float(np.mean(rel_errs)))
+    log.info("saved %s", path)
+
+
+if __name__ == "__main__":
+    main()
