@@ -83,6 +83,15 @@ def condition_on_observations(
         x.tree_flatten()[1], (x.mu, Q_new, None)
     )
     post.blueprint = bp
+    from diffeqgmrfs_tpu.solvers.blueprints import CGSolverBlueprint
+
+    if isinstance(bp, CGSolverBlueprint):
+        # iterative path (`CGSolverBlueprint`, shallow_water.jl:130); the
+        # factor is still built lazily if std/sampling is requested later
+        from diffeqgmrfs_tpu.ops.cg import cg_solve
+
+        post.mu = cg_solve(Q_new, rhs, tol=bp.tol, maxiter=bp.maxiter)
+        return post
     post = post.factorize()
     mu_new = post.factor.solve(rhs)
     post.mu = mu_new

@@ -1,0 +1,182 @@
+"""Burgers GMRF-FEM sweep: spatiotemporal posterior per dataset instance.
+
+TPU-native analog of
+`/root/reference/scripts/burgers/solve_burgers_gmrf-fem.jl`: per instance —
+advection-diffusion ST prior (bulk speed from the IC), IC conditioning at
+precision 1e8, Gauss-Newton on the implicit-Euler FEM residual at precision
+1e12, posterior mean/sample/std + rel_err/rmse/max_err (and IC-only
+variants) vs the dataset trajectories. The ENTIRE per-instance pipeline
+(prior assembly included, since the advection speed is traced) is one jitted
+XLA program.
+
+Usage:
+  python experiments/burgers/solve_burgers_gmrf_fem.py --N_x 64 --dry_run true
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np
+
+from diffeqgmrfs_tpu.utils.experiment import (
+    base_parser,
+    finalize_args,
+    select_backend,
+    setup_logging,
+)
+
+
+def parse_cmd():
+    p = base_parser("Burgers GMRF-FEM sweep")
+    p.add_argument("--datasetname", type=str, default="synthetic")
+    p.add_argument("--N_x", type=int, default=64)
+    p.add_argument("--N_instances", type=int, default=8)
+    p.add_argument("--nu", type=float, default=0.01, help="synthetic viscosity")
+    p.add_argument("--n_t_data", type=int, default=26, help="synthetic timesteps")
+    p.add_argument("--n_x_data", type=int, default=129, help="synthetic x points")
+    return finalize_args(p.parse_args())
+
+
+def main():
+    log = setup_logging()
+    args = parse_cmd()
+    log.info("devices: %s", select_backend(args.backend))
+
+    import jax
+    import jax.numpy as jnp
+    import diffeqgmrfs_tpu  # noqa: F401
+    from diffeqgmrfs_tpu.fem import (
+        periodic_unit_interval_discretization,
+        evaluation_matrix,
+        spatial_to_spatiotemporal,
+        replicate_over_time,
+    )
+    from diffeqgmrfs_tpu.models import (
+        MaternSPDE,
+        AdvectionDiffusionSPDE,
+        discretize_advection_diffusion,
+    )
+    from diffeqgmrfs_tpu.gmrf import condition_on_observations
+    from diffeqgmrfs_tpu.problems import BurgersFEMResidual
+    from diffeqgmrfs_tpu.solvers import (
+        gauss_newton_solve,
+        NewtonDecrementCriterion,
+        StepNumberCriterion,
+        OrCriterion,
+    )
+    from diffeqgmrfs_tpu.datasets import BurgersDataset
+    from diffeqgmrfs_tpu.metrics import rel_err, rmse, max_err
+    from diffeqgmrfs_tpu.utils.timers import PhaseTimers
+    from diffeqgmrfs_tpu.utils.results import datadir, savename, tagsave
+
+    params = dict(datasetname=args.datasetname, N_x=args.N_x, dry_run=args.dry_run)
+    log.info("params: %s", params)
+    to = PhaseTimers()
+
+    mat_path = datadir("input_data", "Burgers", f"{args.datasetname}.mat")
+    if args.datasetname != "synthetic" and os.path.exists(mat_path):
+        ds = BurgersDataset(mat_path)
+    else:
+        if args.datasetname != "synthetic":
+            log.warning("dataset %s not found; generating synthetic", mat_path)
+        ds = BurgersDataset.synthetic(
+            n_instances=args.N_instances,
+            n_x=args.n_x_data,
+            n_t=args.n_t_data,
+            visc=args.nu,
+            cache=datadir(
+                "input_data", "synthetic",
+                f"burgers_v{args.nu:g}_t{args.n_t_data}_x{args.n_x_data}_n{args.N_instances}.npz",
+            ),
+        )
+    log.info("%s", ds)
+    x_coords, ts = ds.x_coords, ds.ts
+    N_t = len(ts)
+
+    with to("Mesh generation"):
+        disc = periodic_unit_interval_discretization(args.N_x, element_order=2)
+    with to("Etc"):
+        E = evaluation_matrix(disc, x_coords)
+        E_st = replicate_over_time(E, range(N_t), N_t)
+        A_ic = spatial_to_spatiotemporal(E, 0, N_t)
+    res = BurgersFEMResidual(disc, ts, ds.nu, scheme="implicit_euler")
+
+    nu_matern = 1.5
+    kappa = float(np.sqrt(8 * nu_matern) / np.sqrt(1 / args.N_x))
+    c = 1.0 / ds.nu
+    noise_ic, noise_fem = 1e8, 1e12
+    criterion = OrCriterion([NewtonDecrementCriterion(1e-6), StepNumberCriterion(15)])
+
+    def solve_instance(ic, key):
+        bulk = jnp.mean(ic)
+        spde = AdvectionDiffusionSPDE(
+            d=1, kappa=0.0, alpha=1,
+            gamma=jnp.asarray([-c * bulk]),
+            c=c, tau=0.1 * np.sqrt(c),
+            spatial_spde=MaternSPDE(d=1, kappa=kappa, nu=nu_matern),
+            initial_spde=MaternSPDE(d=1, kappa=kappa, nu=nu_matern),
+        )
+        x = discretize_advection_diffusion(spde, disc, ts, mean_offset=bulk)
+        x_ic = condition_on_observations(x, A_ic, noise_ic, ic)
+        ic_pred = E_st.matvec(x_ic.mean()).reshape(N_t, len(x_coords))
+        result = gauss_newton_solve(
+            x_ic.inner_gmrf.mean(),
+            x_ic.inner_gmrf.precision,
+            res.f_and_J,
+            noise_fem,
+            jnp.zeros(res.n_rows),
+            x_ic.inner_gmrf.mean(),
+            criterion=criterion,
+            affine=x_ic.affine,
+        )
+        post = result.posterior(affine=x_ic.affine)
+        pred = E_st.matvec(post.mean()).reshape(N_t, len(x_coords))
+        std = post.std()
+        smp = post.sample(key, 1)
+        return pred, ic_pred, std, smp, result.n_steps
+
+    solve_jit = jax.jit(solve_instance)
+    key = jax.random.PRNGKey(345903459)
+    with to("Prior construction + first solve (compile)"):
+        out = solve_jit(jnp.asarray(ds.get_initial_condition(0)), key)
+        to.sync(out[0])
+
+    N = 3 if args.dry_run else len(ds)
+    cols = {k: [] for k in (
+        "rel_errs", "rmses", "max_errs", "ic_rel_errs", "ic_rmses",
+        "ic_max_errs", "std_norms", "N_newton_steps", "optimization_times")}
+    for i in range(N):
+        ic = jnp.asarray(ds.get_initial_condition(i))
+        soln = jnp.asarray(ds.get_solution(i))[1:]
+        cur = PhaseTimers()
+        with cur("Optimization"):
+            pred, ic_pred, std, smp, n_steps = solve_jit(
+                ic, jax.random.fold_in(key, i)
+            )
+            cur.sync(pred)
+        cols["rel_errs"].append(float(rel_err(pred[1:], soln)))
+        cols["rmses"].append(float(rmse(pred[1:], soln)))
+        cols["max_errs"].append(float(max_err(pred[1:], soln)))
+        cols["ic_rel_errs"].append(float(rel_err(ic_pred[1:], soln)))
+        cols["ic_rmses"].append(float(rmse(ic_pred[1:], soln)))
+        cols["ic_max_errs"].append(float(max_err(ic_pred[1:], soln)))
+        cols["std_norms"].append(float(jnp.linalg.norm(std)))
+        cols["N_newton_steps"].append(int(n_steps))
+        cols["optimization_times"].append(cur.time("Optimization"))
+        log.info(
+            "instance %d: rel_err=%.3e (ic-only %.3e), %d Newton steps",
+            i, cols["rel_errs"][-1], cols["ic_rel_errs"][-1], int(n_steps),
+        )
+
+    out = dict(**cols, timers=to.as_dict(), **params)
+    path = tagsave(
+        os.path.join(datadir("sims", "burgers", "gmrf-fem"), savename(params)), out
+    )
+    log.info("mean rel_err = %.4e", float(np.mean(cols["rel_errs"])))
+    log.info("saved %s", path)
+
+
+if __name__ == "__main__":
+    main()

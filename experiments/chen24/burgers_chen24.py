@@ -1,0 +1,168 @@
+"""Chen24 Burgers benchmark: 1D Burgers vs Cole-Hopf analytic solution.
+
+TPU-native analog of `/root/reference/_research/burgers_chen24.jl`:
+u_t + u u_x = nu u_xx on (-1,1), u(x,0) = -sin(pi x), u(+-1,t)=0, nu=0.001,
+T=1, dt=0.02 (51 steps). Crank-Nicolson FEM residual, advection-diffusion ST
+prior, IC precision 1e12, FEM precision 1e18, Newton cap 30; errors at the
+final time slice vs the Gauss-Hermite Cole-Hopf quadrature solution.
+
+Usage:
+  python experiments/chen24/burgers_chen24.py --N_x 200 --el_order 2
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np
+
+from diffeqgmrfs_tpu.utils.experiment import (
+    base_parser,
+    finalize_args,
+    select_backend,
+    setup_logging,
+)
+
+NU = 0.001
+T_END = 1.0
+
+
+def cole_hopf_solution(x, t, nu, n_quad=100):
+    """Cole-Hopf solution via Gauss-Hermite quadrature
+    (`burgers_chen24.jl:68-74`), vectorized over x."""
+    gh_x, gh_w = np.polynomial.hermite.hermgauss(n_quad)
+    x = np.asarray(x, dtype=np.float64)[:, None]
+    temp = x - np.sqrt(4 * nu * t) * gh_x[None, :]
+    arg = -np.cos(np.pi * temp) / (2 * np.pi * nu)
+    arg = arg - arg.max(axis=1, keepdims=True)  # stabilized exp
+    e = gh_w[None, :] * np.exp(arg)
+    val1 = np.sum(e * np.sin(np.pi * temp), axis=1)
+    val2 = np.sum(e, axis=1)
+    return -val1 / val2
+
+
+def parse_cmd():
+    p = base_parser("Chen24 Burgers benchmark")
+    p.add_argument("--N_x", type=int, default=200)
+    p.add_argument("--el_order", type=int, default=2)
+    p.add_argument("--noise_ic", type=float, default=1e12)
+    p.add_argument("--noise_fem", type=float, default=1e18)
+    p.add_argument("--dt", type=float, default=0.02)
+    return finalize_args(p.parse_args())
+
+
+def main():
+    log = setup_logging()
+    args = parse_cmd()
+    log.info("devices: %s", select_backend(args.backend))
+
+    import jax
+    import jax.numpy as jnp
+    import diffeqgmrfs_tpu  # noqa: F401
+    from diffeqgmrfs_tpu.fem import (
+        interval_discretization,
+        evaluation_matrix,
+        spatial_to_spatiotemporal,
+    )
+    from diffeqgmrfs_tpu.models import (
+        MaternSPDE,
+        AdvectionDiffusionSPDE,
+        discretize_advection_diffusion,
+    )
+    from diffeqgmrfs_tpu.gmrf import condition_on_observations
+    from diffeqgmrfs_tpu.problems import BurgersFEMResidual
+    from diffeqgmrfs_tpu.solvers import (
+        gauss_newton_solve,
+        NewtonDecrementCriterion,
+        StepNumberCriterion,
+        OrCriterion,
+    )
+    from diffeqgmrfs_tpu.utils.timers import PhaseTimers
+    from diffeqgmrfs_tpu.utils.results import datadir, savename, tagsave
+
+    params = dict(N_x=args.N_x, el_order=args.el_order)
+    log.info("params: %s", params)
+    to = PhaseTimers()
+
+    h = 0.001  # evaluation grid (`burgers_chen24.jl:56,61-66`)
+    X_domain = np.arange(-1 + h, 1 - h / 2, h)
+    ts = np.arange(0.0, T_END + args.dt / 2, args.dt)
+    N_t = len(ts)
+
+    def build():
+        disc = interval_discretization(
+            -1.0, 1.0, args.N_x, element_order=args.el_order, dirichlet=True
+        )
+        ic = -np.sin(np.pi * X_domain)
+        bulk = float(np.mean(ic))
+        desired_range = np.sqrt(1 / args.N_x)
+        c = 1.0 / NU
+        spde = AdvectionDiffusionSPDE(
+            d=1, kappa=0.0, alpha=1,
+            gamma=jnp.asarray([-c * bulk]),
+            c=c, tau=0.1 * np.sqrt(c),
+            initial_spde=MaternSPDE(d=1, range=desired_range, smoothness=2),
+            spatial_spde=MaternSPDE(d=1, range=desired_range, smoothness=1),
+        )
+        u_prior = discretize_advection_diffusion(spde, disc, ts, mean_offset=bulk)
+        A_ic = spatial_to_spatiotemporal(
+            evaluation_matrix(disc, X_domain), 0, N_t
+        )
+        u_ic = condition_on_observations(
+            u_prior, A_ic, args.noise_ic, jnp.asarray(ic)
+        )
+        res = BurgersFEMResidual(disc, ts, NU, scheme="crank_nicolson")
+        A_eval = spatial_to_spatiotemporal(
+            evaluation_matrix(disc, X_domain), N_t - 1, N_t
+        )
+
+        def solve():
+            result = gauss_newton_solve(
+                u_ic.inner_gmrf.mean(),
+                u_ic.inner_gmrf.precision,
+                res.f_and_J,
+                args.noise_fem,
+                jnp.zeros(res.n_rows),
+                u_ic.inner_gmrf.mean(),
+                criterion=OrCriterion(
+                    [NewtonDecrementCriterion(1e-5), StepNumberCriterion(30)]
+                ),
+                affine=u_ic.affine,
+            )
+            post = result.posterior(affine=u_ic.affine)
+            return A_eval.matvec(post.mean()), result.n_steps
+
+        return jax.jit(solve)
+
+    solve_jit = build()
+    log.info("First solve (compile)...")
+    solve_jit()[0].block_until_ready()
+    log.info("Actual solve...")
+    with to("Solve time"):
+        sol, n_steps = solve_jit()
+        to.sync(sol)
+    sol = np.asarray(sol)
+    truth = cole_hopf_solution(X_domain, T_END, NU)
+
+    err = sol - truth
+    out = dict(
+        err_L2=float(np.sqrt(np.sum(err**2) / len(truth))),
+        err_MAE=float(np.max(np.abs(err))),
+        err_rel=float(np.linalg.norm(err) / np.linalg.norm(sol)),
+        n_newton_steps=int(n_steps),
+        solve_time_ns=to.time("Solve time"),
+        timers=to.as_dict(),
+        **params,
+    )
+    log.info("err_L2=%.4e err_MAE=%.4e err_rel=%.4e, %d Newton steps (%.2f s)",
+             out["err_L2"], out["err_MAE"], out["err_rel"],
+             int(n_steps), out["solve_time_ns"] / 1e9)
+    path = tagsave(
+        os.path.join(datadir("sims", "burgers-chen"), savename(params)), out
+    )
+    log.info("saved %s", path)
+
+
+if __name__ == "__main__":
+    main()
