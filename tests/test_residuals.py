@@ -1,0 +1,69 @@
+"""Residual builders: Jacobian-vs-finite-difference consistency and
+cross-form agreement (FEM vs collocation)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from diffeqgmrfs_tpu.fem import (
+    periodic_unit_interval_discretization,
+    interval_discretization,
+)
+from diffeqgmrfs_tpu.problems import (
+    BurgersFEMResidual,
+    BurgersCollocationResidual,
+)
+
+
+def fd_jacobian(f_and_J, w, eps=1e-6):
+    f0, _ = f_and_J(w)
+    n = w.shape[0]
+    cols = []
+    for k in range(n):
+        dw = np.zeros(n)
+        dw[k] = eps
+        f1, _ = f_and_J(w + jnp.asarray(dw))
+        cols.append((np.asarray(f1) - np.asarray(f0)) / eps)
+    return np.stack(cols, axis=1)
+
+
+@pytest.mark.parametrize("scheme", ["implicit_euler", "crank_nicolson"])
+def test_burgers_fem_jacobian(scheme):
+    disc = periodic_unit_interval_discretization(6, element_order=2)
+    ts = np.linspace(0, 0.3, 4)
+    res = BurgersFEMResidual(disc, ts, 0.05, scheme=scheme)
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=4 * disc.ndofs))
+    _, J = res.f_and_J(w)
+    Jd = np.asarray(J.to_dense())
+    Jfd = fd_jacobian(res.f_and_J, w)
+    np.testing.assert_allclose(Jd, Jfd, atol=5e-7)
+
+
+def test_burgers_collocation_jacobian():
+    disc = interval_discretization(0.0, 1.0, 8, element_order=2, dirichlet=True)
+    ts = np.linspace(0, 0.2, 4)
+    coll = np.linspace(0.05, 0.95, 12)
+    res = BurgersCollocationResidual(disc, ts, 0.05, coll)
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.normal(size=4 * disc.ndofs))
+    _, J = res.f_and_J(w)
+    Jd = np.asarray(J.to_dense())
+    Jfd = fd_jacobian(res.f_and_J, w)
+    np.testing.assert_allclose(Jd, Jfd, atol=5e-6)
+
+
+def test_residuals_vanish_on_constant_field():
+    """A space-time constant field is a steady Burgers solution for the
+    periodic problem: u_t = 0, u u_x = 0, u_xx = 0 — both residual forms
+    must vanish identically."""
+    nu = 0.1
+    disc = periodic_unit_interval_discretization(16, element_order=2)
+    ts = np.linspace(0, 0.2, 5)
+    w = jnp.full((5 * disc.ndofs,), 0.7)
+    fem = BurgersFEMResidual(disc, ts, nu)
+    coll = BurgersCollocationResidual(disc, ts, nu, np.linspace(0.02, 0.98, 20))
+    f_fem, _ = fem.f_and_J(w)
+    f_coll, _ = coll.f_and_J(w)
+    assert float(jnp.max(jnp.abs(f_fem))) < 1e-12
+    assert float(jnp.max(jnp.abs(f_coll))) < 1e-10
