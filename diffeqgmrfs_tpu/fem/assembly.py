@@ -149,9 +149,18 @@ class CellOp:
 
 @lru_cache(maxsize=64)
 def _rowop_structure(cell_dofs_bytes, shape, ndofs):
-    """Host-side sparsity union per row; cached per (mesh, dof layout)."""
+    """Host-side sparsity union per row; cached per (mesh, dof layout).
+
+    Uses the native structure engine (native/structure.cpp) when available,
+    falling back to scipy."""
     cell_dofs = np.frombuffer(cell_dofs_bytes, dtype=np.int32).reshape(shape)
     nd = shape[1]
+    from diffeqgmrfs_tpu.utils.native import row_structure as _native_rows
+
+    native = _native_rows(cell_dofs, ndofs)
+    if native is not None:
+        cols, slot, K = native
+        return cols, slot, K
     r = np.repeat(cell_dofs[:, :, None], nd, axis=2).reshape(-1)
     c = np.repeat(cell_dofs[:, None, :], nd, axis=1).reshape(-1)
     M = sp.coo_matrix((np.ones(len(r)), (r, c)), shape=(ndofs, ndofs)).tocsr()

@@ -181,30 +181,26 @@ def make_btd_pattern(
     rows: np.ndarray, cols: np.ndarray, n: int, bs: int | None = None
 ) -> BTDPattern:
     """Build the scatter pattern for COO structure (rows, cols) of an n x n
-    symmetric matrix. If bs is None it is chosen from the bandwidth."""
+    symmetric matrix. If bs is None it is chosen from the bandwidth.
+
+    Index arithmetic runs through the native structure engine
+    (native/structure.cpp) when built — production A^T A patterns have ~1e8
+    entries — with a NumPy fallback inside `btd_flat_index`.
+    """
+    from diffeqgmrfs_tpu.utils.native import btd_flat_index, coo_bandwidth
+
     rows = np.asarray(rows, dtype=np.int64).reshape(-1)
     cols = np.asarray(cols, dtype=np.int64).reshape(-1)
     if bs is None:
-        bw = int(np.max(np.abs(rows - cols))) + 1 if rows.size else 1
+        bw = coo_bandwidth(rows, cols) + 1
         bs = choose_block_size(bw, n)
     N = max((n + bs - 1) // bs, 1)
-    bi, bj = rows // bs, cols // bs
-    ri, cj = rows % bs, cols % bs
-    dist = bi - bj
-    if np.any(np.abs(dist) > 1):
-        bad = np.argmax(np.abs(dist) > 1)
+    flat, n_bad = btd_flat_index(rows, cols, n, bs, N)
+    if n_bad:
+        d = np.abs(rows // bs - cols // bs)
+        bad = np.argmax(d > 1)
         raise ValueError(
             f"entry ({rows[bad]},{cols[bad]}) outside block-tridiagonal band "
             f"(bs={bs}); increase block size"
         )
-    diag_size = N * bs * bs
-    flat = np.where(
-        dist == 0,
-        bi * bs * bs + ri * bs + cj,
-        np.where(
-            dist == 1,
-            diag_size + bj * bs * bs + ri * bs + cj,
-            diag_size + max(N - 1, 0) * bs * bs,  # dropped (upper mirror)
-        ),
-    )
-    return BTDPattern(n=n, N=N, bs=bs, flat_idx=flat.astype(np.int64))
+    return BTDPattern(n=n, N=N, bs=bs, flat_idx=flat)

@@ -1,0 +1,70 @@
+"""Mixed-precision solves: f32 MXU factorization + f64 iterative refinement.
+
+TPU v5e has no f64 MXU; emulated f64 matmuls are ~50x slower than f32 (see
+bench notes). The reference's accuracy regime (observation precisions
+1e8..1e18 on unit-scale priors, `_research/burgers_chen24.jl:101`) demands
+f64 *results*, so the production path is:
+
+  1. symmetric diagonal equilibration  H~ = D^{-1/2} H D^{-1/2}
+     (removes the scale spread the huge noise terms introduce),
+  2. block-tridiagonal Cholesky of H~ in float32 on the MXU,
+  3. iterative refinement in float64: r = b - H x (BTD matvec, cheap in f64),
+     dx = f32-solve(r), until the residual stagnates or tol is met.
+
+Refinement converges when cond(H~) << 1/eps_f32 ~ 1e7; the `info` output
+reports the final relative residual so callers can fall back to the f64
+factorization when equilibration is not enough.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from diffeqgmrfs_tpu.ops.btd import BTD
+from diffeqgmrfs_tpu.ops.cholesky import btd_cholesky, BTDCholesky
+
+
+def equilibrate(H: BTD):
+    """-> (H_scaled, d) with H_s = D^{-1/2} H D^{-1/2}, d = diag(H)^{1/2}."""
+    d = jnp.sqrt(H.diagonal())
+    dinv = 1.0 / d
+    db = H.pad_vec(dinv)  # [N, bs]
+    diag = H.diag * db[:, :, None] * db[:, None, :]
+    lower = H.lower * db[1:, :, None] * db[:-1, None, :] if H.N > 1 else H.lower
+    return BTD(diag, lower, H.n), d
+
+
+class RefinedFactor:
+    """f32 factor of the equilibrated matrix + f64 refinement solve."""
+
+    def __init__(self, H: BTD, refine_iters: int = 3):
+        self.H = H
+        Hs, self.d = equilibrate(H)
+        Hs32 = BTD(
+            Hs.diag.astype(jnp.float32), Hs.lower.astype(jnp.float32), Hs.n
+        )
+        self.F32 = btd_cholesky(Hs32)
+        self.refine_iters = refine_iters
+
+    def _solve_scaled(self, b):
+        """Solve H~ y = b via the f32 factor (computed in f32, cast back)."""
+        y = self.F32.solve(b.astype(jnp.float32))
+        return y.astype(b.dtype)
+
+    def solve(self, b):
+        """Solve H x = b with f64 refinement. Returns (x, rel_residual)."""
+        b = jnp.asarray(b)
+        bs = b * (1.0 / self.d)  # scaled rhs: H~ y = D^{-1/2} b, x = D^{-1/2} y
+        Hs, _ = equilibrate(self.H)  # f64 scaled operator for residuals
+        y = self._solve_scaled(bs)
+        for _ in range(self.refine_iters):
+            r = bs - Hs.matvec(y)
+            y = y + self._solve_scaled(r)
+        rel = jnp.linalg.norm(bs - Hs.matvec(y)) / (jnp.linalg.norm(bs) + 1e-300)
+        return y * (1.0 / self.d), rel
+
+
+def solve_mixed_precision(H: BTD, b, refine_iters: int = 3):
+    """One-shot mixed-precision solve (see RefinedFactor)."""
+    return RefinedFactor(H, refine_iters).solve(b)
