@@ -13,3 +13,8 @@ from diffeqgmrfs_tpu.gmrf.gmrf import (
     time_means,
 )
 from diffeqgmrfs_tpu.gmrf.conditioning import condition_on_observations, add_ata
+from diffeqgmrfs_tpu.gmrf.compat import (
+    constrainify_linear_system,
+    transform_free_to_full,
+    LinearMapWithSqrt,
+)

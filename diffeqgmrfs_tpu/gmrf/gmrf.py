@@ -79,15 +79,22 @@ class GMRF:
 
     # -- factorization -------------------------------------------------------
 
+    def _make_factor(self):
+        if getattr(self.blueprint, "mixed_precision", False):
+            from diffeqgmrfs_tpu.ops.refine import MixedPrecisionFactor
+
+            return MixedPrecisionFactor(self.precision)
+        return btd_cholesky(self.precision)
+
     def factorize(self) -> "GMRF":
         if self.factor is not None:
             return self
-        return replace(self, factor=btd_cholesky(self.precision))
+        return replace(self, factor=self._make_factor())
 
     @property
     def precision_chol(self) -> BTDCholesky:
         if self.factor is None:
-            object.__setattr__(self, "factor", btd_cholesky(self.precision))
+            object.__setattr__(self, "factor", self._make_factor())
         return self.factor
 
     # -- reference API surface ----------------------------------------------
@@ -108,7 +115,10 @@ class GMRF:
             return _rbmc_variance(
                 self.precision, self.precision_chol, vs.n_samples, key
             )
-        return takahashi_diag(self.precision_chol)
+        F = self.precision_chol
+        if hasattr(F, "variance_diag"):  # MixedPrecisionFactor
+            return F.variance_diag()
+        return takahashi_diag(F)
 
     def std(self, var_strategy=None):
         return jnp.sqrt(self.variance(var_strategy))

@@ -89,39 +89,41 @@ class BTDCholesky:
 
     def forward_solve(self, b):
         """Solve L y = b. (reference forward_solve :43-52)"""
-        bb, batch_shape = self._to_blocks(b)
-        x0 = _tsolve(self.Ls[0], bb[0])
+        with jax.default_matmul_precision("float32"):
+            bb, batch_shape = self._to_blocks(b)
+            x0 = _tsolve(self.Ls[0], bb[0])
 
-        def step(x_prev, inp):
-            L_i, C_im1, b_i = inp
-            x_i = _tsolve(L_i, b_i - C_im1 @ x_prev)
-            return x_i, x_i
+            def step(x_prev, inp):
+                L_i, C_im1, b_i = inp
+                x_i = _tsolve(L_i, b_i - C_im1 @ x_prev)
+                return x_i, x_i
 
-        if self.N > 1:
-            _, xs = lax.scan(step, x0, (self.Ls[1:], self.Cs, bb[1:]))
-            xb = jnp.concatenate([x0[None], xs], axis=0)
-        else:
-            xb = x0[None]
-        return self._from_blocks(xb, batch_shape)
+            if self.N > 1:
+                _, xs = lax.scan(step, x0, (self.Ls[1:], self.Cs, bb[1:]))
+                xb = jnp.concatenate([x0[None], xs], axis=0)
+            else:
+                xb = x0[None]
+            return self._from_blocks(xb, batch_shape)
 
     def backward_solve(self, b):
         """Solve L^T x = b. (reference backward_solve :24-33)"""
-        bb, batch_shape = self._to_blocks(b)
-        xN = _tsolve(self.Ls[-1], bb[-1], trans=True)
+        with jax.default_matmul_precision("float32"):
+            bb, batch_shape = self._to_blocks(b)
+            xN = _tsolve(self.Ls[-1], bb[-1], trans=True)
 
-        def step(x_next, inp):
-            L_i, C_i, b_i = inp
-            x_i = _tsolve(L_i, b_i - C_i.T @ x_next, trans=True)
-            return x_i, x_i
+            def step(x_next, inp):
+                L_i, C_i, b_i = inp
+                x_i = _tsolve(L_i, b_i - C_i.T @ x_next, trans=True)
+                return x_i, x_i
 
-        if self.N > 1:
-            _, xs = lax.scan(
-                step, xN, (self.Ls[:-1], self.Cs, bb[:-1]), reverse=True
-            )
-            xb = jnp.concatenate([xs, xN[None]], axis=0)
-        else:
-            xb = xN[None]
-        return self._from_blocks(xb, batch_shape)
+            if self.N > 1:
+                _, xs = lax.scan(
+                    step, xN, (self.Ls[:-1], self.Cs, bb[:-1]), reverse=True
+                )
+                xb = jnp.concatenate([xs, xN[None]], axis=0)
+            else:
+                xb = xN[None]
+            return self._from_blocks(xb, batch_shape)
 
     def solve(self, b):
         """Solve A x = b (forward then backward; reference ldiv :54-63)."""
@@ -154,22 +156,26 @@ def btd_cholesky(A: BTD) -> BTDCholesky:
     """Factor a symmetric positive-definite BTD matrix.
 
     Direct TPU analog of `/root/reference/src/tridiagonal_cholesky.jl:65-82`.
+    Matmuls are pinned to true-f32 precision: TPU "default" matmul precision
+    is bf16 passes, which would silently degrade the factor (and stall the
+    mixed-precision refinement loop).
     """
-    if A.N == 1:
+    with jax.default_matmul_precision("float32"):
+        if A.N == 1:
+            L0 = jnp.linalg.cholesky(A.diag[0])
+            return BTDCholesky(L0[None], A.lower, A.n)
+
         L0 = jnp.linalg.cholesky(A.diag[0])
-        return BTDCholesky(L0[None], A.lower, A.n)
 
-    L0 = jnp.linalg.cholesky(A.diag[0])
+        def step(L_prev, inp):
+            D_i, B_i = inp
+            # C_i = B_i L_{i-1}^{-T}:  solve C L_prev^T = B_i
+            C = lax.linalg.triangular_solve(
+                L_prev, B_i, left_side=False, lower=True, transpose_a=True
+            )
+            S = D_i - C @ C.T
+            L_i = jnp.linalg.cholesky(S)
+            return L_i, (L_i, C)
 
-    def step(L_prev, inp):
-        D_i, B_i = inp
-        # C_i = B_i L_{i-1}^{-T}:  solve C L_prev^T = B_i
-        C = lax.linalg.triangular_solve(
-            L_prev, B_i, left_side=False, lower=True, transpose_a=True
-        )
-        S = D_i - C @ C.T
-        L_i = jnp.linalg.cholesky(S)
-        return L_i, (L_i, C)
-
-    _, (Ls, Cs) = lax.scan(step, L0, (A.diag[1:], A.lower))
-    return BTDCholesky(jnp.concatenate([L0[None], Ls], axis=0), Cs, A.n)
+        _, (Ls, Cs) = lax.scan(step, L0, (A.diag[1:], A.lower))
+        return BTDCholesky(jnp.concatenate([L0[None], Ls], axis=0), Cs, A.n)

@@ -35,14 +35,27 @@ def equilibrate(H: BTD):
     return BTD(diag, lower, H.n), d
 
 
+@jax.tree_util.register_pytree_node_class
 class RefinedFactor:
     """f32 factor of the equilibrated matrix + f64 refinement solve."""
 
+    def tree_flatten(self):
+        return (self.H, self.Hs, self.d, self.F32), (self.refine_iters,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.H, obj.Hs, obj.d, obj.F32 = children
+        obj.refine_iters = aux[0]
+        return obj
+
     def __init__(self, H: BTD, refine_iters: int = 3):
         self.H = H
-        Hs, self.d = equilibrate(H)
+        self.Hs, self.d = equilibrate(H)  # f64 scaled operator for residuals
         Hs32 = BTD(
-            Hs.diag.astype(jnp.float32), Hs.lower.astype(jnp.float32), Hs.n
+            self.Hs.diag.astype(jnp.float32),
+            self.Hs.lower.astype(jnp.float32),
+            self.Hs.n,
         )
         self.F32 = btd_cholesky(Hs32)
         self.refine_iters = refine_iters
@@ -56,15 +69,73 @@ class RefinedFactor:
         """Solve H x = b with f64 refinement. Returns (x, rel_residual)."""
         b = jnp.asarray(b)
         bs = b * (1.0 / self.d)  # scaled rhs: H~ y = D^{-1/2} b, x = D^{-1/2} y
-        Hs, _ = equilibrate(self.H)  # f64 scaled operator for residuals
         y = self._solve_scaled(bs)
         for _ in range(self.refine_iters):
-            r = bs - Hs.matvec(y)
+            r = bs - self.Hs.matvec(y)
             y = y + self._solve_scaled(r)
-        rel = jnp.linalg.norm(bs - Hs.matvec(y)) / (jnp.linalg.norm(bs) + 1e-300)
+        rel = jnp.linalg.norm(bs - self.Hs.matvec(y)) / (jnp.linalg.norm(bs) + 1e-300)
         return y * (1.0 / self.d), rel
 
 
 def solve_mixed_precision(H: BTD, b, refine_iters: int = 3):
     """One-shot mixed-precision solve (see RefinedFactor)."""
     return RefinedFactor(H, refine_iters).solve(b)
+
+
+@jax.tree_util.register_pytree_node_class
+class MixedPrecisionFactor:
+    """Drop-in factor with the BTDCholesky surface, backed by the f32 factor
+    of the equilibrated matrix.
+
+    * `solve` refines to ~f64 accuracy (mean solves),
+    * `sample_zero_mean` / `variance_diag` / `log_det` run on the f32 factor
+      directly (statistical quantities; f32 is ample) with the diagonal
+      scaling undone: H = D^{1/2} H~ D^{1/2} implies
+      H^{-1} = D^{-1/2} H~^{-1} D^{-1/2} and
+      log det H = log det H~ + sum log d^2.
+    """
+
+    def tree_flatten(self):
+        return (self._rf,), (self.n,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj._rf = children[0]
+        obj.n = aux[0]
+        return obj
+
+    def __init__(self, H: BTD, refine_iters: int = 3):
+        self._rf = RefinedFactor(H, refine_iters)
+        self.n = H.n
+
+    @property
+    def dtype(self):
+        return self._rf.H.dtype
+
+    def solve(self, b):
+        x, _ = self._rf.solve(b)
+        return x
+
+    def backward_solve(self, b):
+        """L~^{-T} on the scaled system, mapped back: used for sampling."""
+        y = self._rf.F32.backward_solve(jnp.asarray(b).astype(jnp.float32))
+        return y.astype(self.dtype) * (1.0 / self._rf.d)
+
+    def sample_zero_mean(self, key, n_samples: int = 1):
+        y = self._rf.F32.sample_zero_mean(key, n_samples).astype(self.dtype)
+        return y * (1.0 / self._rf.d)[None, :]
+
+    def variance_diag(self):
+        from diffeqgmrfs_tpu.ops.takahashi import takahashi_diag
+
+        v = takahashi_diag(self._rf.F32).astype(self.dtype)
+        return v / (self._rf.d**2)
+
+    def log_det(self):
+        return self._rf.F32.log_det().astype(self.dtype) + 2.0 * jnp.sum(
+            jnp.log(self._rf.d)
+        )
+
+    def nnz(self) -> int:
+        return self._rf.F32.nnz()

@@ -18,6 +18,7 @@ MXU-dense cost class as the factorization itself.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -26,6 +27,11 @@ from diffeqgmrfs_tpu.ops.cholesky import BTDCholesky
 
 def takahashi_diag(F: BTDCholesky):
     """Diagonal of A^{-1} (marginal variances), [n]."""
+    with jax.default_matmul_precision("float32"):
+        return _takahashi_diag(F)
+
+
+def _takahashi_diag(F: BTDCholesky):
     bs = F.bs
     eye = jnp.eye(bs, dtype=F.dtype)
 

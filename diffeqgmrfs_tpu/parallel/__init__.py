@@ -3,3 +3,4 @@ from diffeqgmrfs_tpu.parallel.multichip import (
     shard_btd,
     batch_sharding,
 )
+from diffeqgmrfs_tpu.parallel.batched import batched_solver, run_in_batches

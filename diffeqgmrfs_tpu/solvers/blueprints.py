@@ -43,11 +43,16 @@ class RBMCStrategy(VarianceStrategy):
 
 @dataclass(frozen=True)
 class CholeskySolverBlueprint:
-    """Direct solver config (`CholeskySolverBlueprint(var_strategy=, perm=)`)."""
+    """Direct solver config (`CholeskySolverBlueprint(var_strategy=, perm=)`).
+
+    mixed_precision=True factors in f32 on the MXU with f64 iterative
+    refinement for mean solves (ops/refine.py) — the TPU production path.
+    """
 
     var_strategy: VarianceStrategy = field(default_factory=TakahashiStrategy)
     perm: object = None  # accepted for parity; orderings are structural here
     compute_variance: bool = True
+    mixed_precision: bool = False
 
 
 @dataclass(frozen=True)

@@ -201,9 +201,16 @@ def gauss_newton_solve(
     x0,
     criterion=None,
     affine=None,
+    mixed_precision: bool = False,
 ) -> GaussNewtonResult:
-    """Functional Gauss-Newton loop (jit/vmap-friendly)."""
+    """Functional Gauss-Newton loop (jit/vmap-friendly).
+
+    mixed_precision=True factorizes each Newton system in f32 on the MXU with
+    f64 iterative refinement (ops/refine.py) — the TPU production path; the
+    default keeps the native-dtype (f64) factorization.
+    """
     from diffeqgmrfs_tpu.gmrf.conditioning import ata_pattern_cached
+    from diffeqgmrfs_tpu.ops.refine import RefinedFactor
 
     criterion = criterion or DEFAULT_CRITERION
     max_steps = _criterion_bound(criterion)
@@ -231,9 +238,11 @@ def gauss_newton_solve(
         r_norm = jnp.linalg.norm(f - y)
         hist = hist.at[step].set(r_norm)
         H = Q + pat.scatter(Jc.ata_values() * tau)
-        F = btd_cholesky(H)
         rhs = Qmu + tau * Jc.rmatvec(Jc.matvec(x) - (f - y))
-        x_new = F.solve(rhs)
+        if mixed_precision:
+            x_new, _ = RefinedFactor(H, refine_iters=3).solve(rhs)
+        else:
+            x_new = btd_cholesky(H).solve(rhs)
         dx = x_new - x
         decrement = jnp.sqrt(jnp.abs(jnp.dot(dx, H.matvec(dx))))
         return (x_new, decrement, step + 1, hist, r_norm)

@@ -14,10 +14,23 @@ import time
 from contextlib import contextmanager
 
 import jax
+import numpy as np
 
 
 def _block(x):
-    return jax.block_until_ready(x)
+    """Force completion of a computation.
+
+    `block_until_ready` is not reliable through remote-dispatch backends
+    (observed with the axon TPU relay: it returns before execution
+    completes), so we additionally read one scalar element back to the host,
+    which cannot complete before the producing computation has.
+    """
+    x = jax.block_until_ready(x)
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "ravel"):
+            np.asarray(leaf.ravel()[0:1])
+            break
+    return x
 
 
 class Timer:

@@ -46,6 +46,8 @@ def parse_cmd():
     p = base_parser("Chen24 Burgers benchmark")
     p.add_argument("--N_x", type=int, default=200)
     p.add_argument("--el_order", type=int, default=2)
+    p.add_argument("--mixed_precision", action="store_true",
+                   help="f32 MXU factorization + f64 refinement (TPU path)")
     p.add_argument("--noise_ic", type=float, default=1e12)
     p.add_argument("--noise_fem", type=float, default=1e18)
     p.add_argument("--dt", type=float, default=0.02)
@@ -129,6 +131,7 @@ def main():
                     [NewtonDecrementCriterion(1e-5), StepNumberCriterion(30)]
                 ),
                 affine=u_ic.affine,
+                mixed_precision=args.mixed_precision,
             )
             post = result.posterior(affine=u_ic.affine)
             return A_eval.matvec(post.mean()), result.n_steps

@@ -56,6 +56,8 @@ def parse_cmd():
     p = base_parser("Chen24 elliptic benchmark")
     p.add_argument("--N_el_xy", type=int, default=40)
     p.add_argument("--el_order", type=int, default=2)
+    p.add_argument("--mixed_precision", action="store_true",
+                   help="f32 MXU factorization + f64 refinement (TPU path)")
     p.add_argument("--matern_range", type=float, default=0.1)
     p.add_argument("--matern_smoothness", type=int, default=1)
     p.add_argument("--h_bd", type=float, default=0.001)
@@ -131,6 +133,7 @@ def main():
                 criterion=OrCriterion(
                     [NewtonDecrementCriterion(1e-5), StepNumberCriterion(10)]
                 ),
+                mixed_precision=args.mixed_precision,
             )
             post = result.posterior()
             return A_eval.matvec(post.mean()), result.n_steps
