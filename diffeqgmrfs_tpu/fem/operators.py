@@ -36,18 +36,33 @@ from diffeqgmrfs_tpu.fem.reference_elements import shape_at
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class RowOp:
-    """Row-sparse operator: A[r, cols[r, k]] = vals[r, k]."""
+    """Row-sparse operator: A[r, cols[r, k]] = vals[r, k].
 
-    cols: np.ndarray  # [n_rows, K] int32, static
+    `cols` is host NumPy (int32) while the operator is being *built* —
+    structure manipulations (stacking, space-time placement, A^T A patterns,
+    constraint condensation) happen host-side. It is a pytree LEAF, so a
+    RowOp passed through a jit signature carries its columns as a proper
+    argument (production operators have 1e6-1e8 column indices; inlining
+    them as closure constants bloats the HLO past remote-compile limits).
+    Traced methods (matvec/rmatvec/scaling/ata_values) work either way.
+    """
+
+    cols: np.ndarray  # [n_rows, K] int32 (host) or traced array
     vals: jnp.ndarray  # [n_rows, K], traced
     n_cols: int
 
+    def __post_init__(self):
+        if isinstance(self.cols, np.ndarray) and self.cols.dtype != np.int32:
+            self.cols = self.cols.astype(np.int32)
+
     def tree_flatten(self):
-        return (self.vals,), (self.cols, self.n_cols)
+        return (self.cols, self.vals), (self.n_cols,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(aux[0], children[0], aux[1])
+        obj = cls.__new__(cls)
+        obj.cols, obj.vals, obj.n_cols = children[0], children[1], aux[0]
+        return obj
 
     @property
     def n_rows(self):

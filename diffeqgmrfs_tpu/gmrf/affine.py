@@ -69,12 +69,19 @@ class AffineMap:
         return AffineMap(s_col, s_coef, g, free.astype(np.int64), pres.astype(np.int64))
 
     def condense_rowop(self, A):
-        """A -> A S (column remap into free space)."""
+        """A -> A S (column remap into free space).
+
+        Works both host-side (NumPy cols, keeps structure static) and under
+        trace (cols passed through a jit signature)."""
         from diffeqgmrfs_tpu.fem.operators import RowOp
 
-        new_cols = self.s_col[A.cols]
-        fac = self.s_coef[A.cols]
-        return RowOp(new_cols.astype(np.int64), A.vals * jnp.asarray(fac), self.n_free)
+        if isinstance(A.cols, np.ndarray):
+            new_cols = self.s_col[A.cols].astype(np.int32)
+            fac = self.s_coef[A.cols]
+        else:
+            new_cols = jnp.asarray(self.s_col, dtype=jnp.int32)[A.cols]
+            fac = jnp.asarray(self.s_coef)[A.cols]
+        return RowOp(new_cols, A.vals * jnp.asarray(fac), self.n_free)
 
     def offset_shift(self, A):
         """A @ g — the target shift for condensed observations

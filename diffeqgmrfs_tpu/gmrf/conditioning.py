@@ -49,9 +49,14 @@ def ata_pattern_cached(A: RowOp, n: int, bs: int) -> BTDPattern:
     return pat
 
 
-def add_ata(Q: BTD, A: RowOp, tau) -> BTD:
-    """Q + tau * A^T A in BTD form."""
-    pat = ata_pattern_cached(A, Q.n, Q.bs)
+def add_ata(Q: BTD, A: RowOp, tau, pattern: BTDPattern | None = None) -> BTD:
+    """Q + tau * A^T A in BTD form.
+
+    Pass a prebuilt `pattern` (ideally threaded through the jit signature,
+    see BTDPattern docstring) to avoid inlining giant index constants into
+    the HLO; otherwise the pattern is built/cached at trace time.
+    """
+    pat = pattern if pattern is not None else ata_pattern_cached(A, Q.n, Q.bs)
     if pat.N != Q.N:
         raise ValueError("partition mismatch between Q and A^T A pattern")
     ata = pat.scatter(A.ata_values() * tau)
@@ -64,20 +69,25 @@ def condition_on_observations(
     precision: float,
     y,
     solver_blueprint=None,
+    pattern: BTDPattern | None = None,
 ):
-    """Posterior of x given y ~ N(A x, (precision)^{-1} I)."""
+    """Posterior of x given y ~ N(A x, (precision)^{-1} I).
+
+    `pattern`: optional prebuilt A^T A -> BTD scatter pattern (for the
+    condensed operator when x is constrained)."""
     bp = solver_blueprint or DEFAULT_BLUEPRINT
     if isinstance(x, ConstrainedGMRF):
         A_free = x.affine.condense_rowop(A)
         y_free = jnp.asarray(y) - x.affine.offset_shift(A)
         inner = condition_on_observations(
-            x.inner_gmrf, A_free, precision, y_free, solver_blueprint=bp
+            x.inner_gmrf, A_free, precision, y_free, solver_blueprint=bp,
+            pattern=pattern,
         )
         return ConstrainedGMRF(inner, x.affine)
 
     Q = x.precision
     tau = jnp.asarray(precision, dtype=Q.dtype)
-    Q_new = add_ata(Q, A, tau)
+    Q_new = add_ata(Q, A, tau, pattern=pattern)
     rhs = Q.matvec(x.mu) + tau * A.rmatvec(jnp.asarray(y))
     post = type(x).tree_unflatten(
         x.tree_flatten()[1], (x.mu, Q_new, None)

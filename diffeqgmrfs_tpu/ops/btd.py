@@ -144,6 +144,7 @@ class BTD:
 # ---------------------------------------------------------------------------
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class BTDPattern:
     """Precomputed scatter of a fixed COO sparsity into BTD storage.
@@ -153,12 +154,32 @@ class BTDPattern:
     dropped (their mirrored lower entry carries the value), so the COO must
     describe the FULL symmetric matrix. Out-of-band entries raise at
     pattern-build time — structure violations never fail silently.
+
+    BTDPattern is a pytree with `flat_idx` as a leaf: production patterns
+    have ~1e8 entries, and passing them as jit ARGUMENTS (rather than
+    closure constants) keeps them out of the serialized HLO — closure
+    constants are inlined as literals, which blows past remote-compile size
+    limits and bloats every executable. Use `to_device()` once and thread
+    the pattern through the jitted function's signature.
     """
 
     n: int
     N: int
     bs: int
-    flat_idx: np.ndarray  # int32 [nnz], == size -> dropped
+    flat_idx: np.ndarray  # int [nnz], == size -> dropped
+
+    def tree_flatten(self):
+        return (self.flat_idx,), (self.n, self.N, self.bs)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(n=aux[0], N=aux[1], bs=aux[2], flat_idx=children[0])
+
+    def to_device(self) -> "BTDPattern":
+        """Move flat_idx to the device once (avoids per-call transfers)."""
+        return BTDPattern(
+            n=self.n, N=self.N, bs=self.bs, flat_idx=jax.device_put(self.flat_idx)
+        )
 
     @property
     def diag_size(self) -> int:
@@ -203,4 +224,6 @@ def make_btd_pattern(
             f"entry ({rows[bad]},{cols[bad]}) outside block-tridiagonal band "
             f"(bs={bs}); increase block size"
         )
+    if flat.max(initial=0) < np.iinfo(np.int32).max:
+        flat = flat.astype(np.int32)
     return BTDPattern(n=n, N=N, bs=bs, flat_idx=flat)

@@ -202,12 +202,17 @@ def gauss_newton_solve(
     criterion=None,
     affine=None,
     mixed_precision: bool = False,
+    ata_pattern=None,
 ) -> GaussNewtonResult:
     """Functional Gauss-Newton loop (jit/vmap-friendly).
 
     mixed_precision=True factorizes each Newton system in f32 on the MXU with
     f64 iterative refinement (ops/refine.py) — the TPU production path; the
     default keeps the native-dtype (f64) factorization.
+
+    ata_pattern: optional prebuilt J^T J -> BTD scatter pattern for the
+    CONDENSED Jacobian (thread it through the jit signature to keep the giant
+    index array out of the HLO; see BTDPattern docstring).
     """
     from diffeqgmrfs_tpu.gmrf.conditioning import ata_pattern_cached
     from diffeqgmrfs_tpu.ops.refine import RefinedFactor
@@ -224,10 +229,13 @@ def gauss_newton_solve(
     def condense(J):
         return J if affine is None else affine.condense_rowop(J)
 
-    # Trace one evaluation to fix the Jacobian structure.
-    _, J0 = f_and_J(full(jnp.asarray(x0)))
-    Jc0 = condense(J0)
-    pat = ata_pattern_cached(Jc0, Q.n, Q.bs)
+    if ata_pattern is not None:
+        pat = ata_pattern
+    else:
+        # Trace one evaluation to fix the Jacobian structure.
+        _, J0 = f_and_J(full(jnp.asarray(x0)))
+        Jc0 = condense(J0)
+        pat = ata_pattern_cached(Jc0, Q.n, Q.bs)
 
     Qmu = Q.matvec(mu_prior)
 

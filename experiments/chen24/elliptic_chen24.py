@@ -122,23 +122,37 @@ def main():
         rhs_q = fun_rhs(disc.geometry.qcoords)
         res = EllipticCubicResidual(disc, rhs_q, prescribed, alpha=ALPHA)
 
-        def solve():
+        # Prebuild the J^T J -> BTD scatter pattern and pass it as a jit
+        # ARGUMENT: inlined it would put ~1e7-1e8 index literals into the
+        # HLO (breaks remote-compile size limits at production sizes).
+        from diffeqgmrfs_tpu.fem.operators import RowOp
+
+        jcols, _, K = res.diff_cell.rowop_structure()
+        j_struct = RowOp(jcols, jnp.zeros((disc.ndofs, K)), disc.ndofs)
+        pat = j_struct.ata_pattern(bs=x_bc.precision.bs).to_device()
+
+        # the conditioned prior (Q is hundreds of MB at production size) and
+        # the scatter pattern enter through the jit SIGNATURE, not closures
+        def solve(x_bc_arg, ata_pattern):
             result = gauss_newton_solve(
-                x_bc.mean(),
-                x_bc.precision,
+                x_bc_arg.mean(),
+                x_bc_arg.precision,
                 res.f_and_J,
                 3e13,
                 jnp.zeros(res.n_rows),
-                x_bc.mean(),
+                x_bc_arg.mean(),
                 criterion=OrCriterion(
                     [NewtonDecrementCriterion(1e-5), StepNumberCriterion(10)]
                 ),
                 mixed_precision=args.mixed_precision,
+                ata_pattern=ata_pattern,
             )
             post = result.posterior()
             return A_eval.matvec(post.mean()), result.n_steps
 
-        return jax.jit(solve)
+        f = jax.jit(solve)
+        x_bc_dev = jax.device_put(x_bc)
+        return lambda: f(x_bc_dev, pat)
 
     solve_jit = gmrf_fem_solve()
     log.info("First solve (compile)...")
