@@ -26,10 +26,16 @@ from diffeqgmrfs_tpu.ops.cholesky import btd_cholesky, BTDCholesky
 
 
 def equilibrate(H: BTD):
-    """-> (H_scaled, d) with H_s = D^{-1/2} H D^{-1/2}, d = diag(H)^{1/2}."""
+    """-> (H_scaled, d) with H_s = D^{-1/2} H D^{-1/2}, d = diag(H)^{1/2}.
+
+    Padding rows (identity diagonal) keep scale 1 — `pad_vec` zero-fills,
+    which would zero the padded diagonal and destroy positive-definiteness
+    of the scaled matrix."""
     d = jnp.sqrt(H.diagonal())
     dinv = 1.0 / d
-    db = H.pad_vec(dinv)  # [N, bs]
+    db = H.pad_vec(dinv)  # [N, bs]; padding slots are 0 here
+    pad_mask = H.pad_vec(jnp.ones_like(dinv))  # 1 on real rows, 0 on padding
+    db = db + (1.0 - pad_mask)  # -> 1 on padding rows
     diag = H.diag * db[:, :, None] * db[:, None, :]
     lower = H.lower * db[1:, :, None] * db[:-1, None, :] if H.N > 1 else H.lower
     return BTD(diag, lower, H.n), d
