@@ -1,0 +1,121 @@
+"""GEMM-only BTD solves via precomputed block inverses.
+
+Profiling on TPU v5e shows triangular solves (TRSM) run ~6x below MXU GEMM
+throughput, and every posterior phase is solve-heavy: the mean solve, joint
+samples, 50-probe RBMC variance estimates, and the refinement loop each run
+forward/backward substitution sweeps whose per-block op is a TRSM.
+
+Precomputing W_i = L_i^{-1} once per factor (N triangular solves against the
+identity, ~bs^3/2 each) turns *every* subsequent substitution step into pure
+GEMMs:
+
+    forward:  x_i = W_i (b_i - C_{i-1} x_{i-1})
+    backward: x_i = W_i^T (b_i - C_i^T x_{i+1})
+
+which the MXU executes at full rate — the same trade CHOLMOD makes when it
+caches the supernodal factor in solve-optimized form.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from diffeqgmrfs_tpu.ops.cholesky import BTDCholesky
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BTDInverseSolver:
+    """Solve-optimized form of a BTDCholesky factor."""
+
+    Ws: jnp.ndarray  # [N, bs, bs] = L_i^{-1} (lower triangular)
+    Cs: jnp.ndarray  # [N-1, bs, bs]
+    n: int
+
+    def tree_flatten(self):
+        return (self.Ws, self.Cs), (self.n,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0])
+
+    @property
+    def N(self):
+        return self.Ws.shape[0]
+
+    @property
+    def bs(self):
+        return self.Ws.shape[1]
+
+    @classmethod
+    def from_factor(cls, F: BTDCholesky) -> "BTDInverseSolver":
+        eye = jnp.eye(F.bs, dtype=F.dtype)
+        Ws = lax.linalg.triangular_solve(
+            F.Ls, jnp.broadcast_to(eye, F.Ls.shape), left_side=True, lower=True
+        )
+        return cls(Ws, F.Cs, F.n)
+
+    def _to_blocks(self, b):
+        b = jnp.asarray(b)
+        batch_shape = b.shape[:-1]
+        k = 1
+        for s in batch_shape:
+            k *= s
+        bb = b.reshape(k, b.shape[-1]).T
+        pad = self.N * self.bs - b.shape[-1]
+        if pad:
+            bb = jnp.pad(bb, ((0, pad), (0, 0)))
+        return bb.reshape(self.N, self.bs, k), batch_shape
+
+    def _from_blocks(self, xb, batch_shape):
+        x = xb.reshape(self.N * self.bs, -1)[: self.n]
+        return x.T.reshape(*batch_shape, self.n)
+
+    def forward_solve(self, b):
+        with jax.default_matmul_precision("float32"):
+            bb, batch_shape = self._to_blocks(b)
+            x0 = self.Ws[0] @ bb[0]
+
+            def step(x_prev, inp):
+                W_i, C_im1, b_i = inp
+                x_i = W_i @ (b_i - C_im1 @ x_prev)
+                return x_i, x_i
+
+            if self.N > 1:
+                _, xs = lax.scan(step, x0, (self.Ws[1:], self.Cs, bb[1:]))
+                xb = jnp.concatenate([x0[None], xs], axis=0)
+            else:
+                xb = x0[None]
+            return self._from_blocks(xb, batch_shape)
+
+    def backward_solve(self, b):
+        with jax.default_matmul_precision("float32"):
+            bb, batch_shape = self._to_blocks(b)
+            xN = self.Ws[-1].T @ bb[-1]
+
+            def step(x_next, inp):
+                W_i, C_i, b_i = inp
+                x_i = W_i.T @ (b_i - C_i.T @ x_next)
+                return x_i, x_i
+
+            if self.N > 1:
+                _, xs = lax.scan(
+                    step, xN, (self.Ws[:-1], self.Cs, bb[:-1]), reverse=True
+                )
+                xb = jnp.concatenate([xs, xN[None]], axis=0)
+            else:
+                xb = xN[None]
+            return self._from_blocks(xb, batch_shape)
+
+    def solve(self, b):
+        return self.backward_solve(self.forward_solve(b))
+
+    def sample_zero_mean(self, key, n_samples: int = 1):
+        z = jax.random.normal(
+            key, (n_samples, self.n), dtype=self.Ws.dtype
+        )
+        return self.backward_solve(z)

@@ -36,6 +36,8 @@ def parse_cmd():
     p.add_argument("--N_instances", type=int, default=8)
     p.add_argument("--grid", type=int, default=61, help="dataset grid resolution")
     p.add_argument("--batch", type=int, default=1, help="vmap batch size")
+    p.add_argument("--mixed_precision", action="store_true",
+                   help="f32 MXU factorization + f64 refinement (TPU path)")
     return finalize_args(p.parse_args())
 
 
@@ -115,15 +117,37 @@ def main():
     Q_eps = 1e8
     ny, nx = len(ds.y_coords), len(ds.x_coords)
 
-    def solve_instance(coeff, key):
+    # Prebuild the A^T A -> BTD pattern for the CONDENSED observation
+    # operator and thread prior + pattern through the jit signature (large
+    # index/precision arrays must be jit arguments, not closure constants).
+    inner_prior = prior.inner_gmrf if hasattr(prior, "inner_gmrf") else prior
+    A0, _ = obs(jnp.asarray(ds.get_problem(0)[1]))
+    A0c = prior.affine.condense_rowop(A0) if hasattr(prior, "affine") else A0
+    from diffeqgmrfs_tpu.gmrf.conditioning import ata_pattern_cached
+
+    pat = ata_pattern_cached(
+        A0c, inner_prior.precision.n, inner_prior.precision.bs
+    ).to_device()
+    prior_dev = jax.device_put(prior)
+
+    from diffeqgmrfs_tpu.solvers import CholeskySolverBlueprint
+
+    bp = CholeskySolverBlueprint(mixed_precision=args.mixed_precision)
+
+    def solve_instance(prior_arg, pattern, coeff, key):
         A, ys = obs(coeff)
-        post = condition_on_observations(prior, A, Q_eps, ys)
+        post = condition_on_observations(
+            prior_arg, A, Q_eps, ys, solver_blueprint=bp, pattern=pattern
+        )
         pred = E.matvec(post.mean()).reshape(ny, nx)
         std = post.std()
         smp = post.sample(key, 1)
         return pred, std, smp
 
-    solve_jit = jax.jit(solve_instance)
+    _solve = jax.jit(solve_instance)
+
+    def solve_jit(coeff, key):
+        return _solve(prior_dev, pat, coeff, key)
 
     # warm-up compile (reference "Trigger precompilation")
     key = jax.random.PRNGKey(523802340)

@@ -151,3 +151,23 @@ def test_add_diagonal_and_identity_padding():
     np.testing.assert_allclose(
         np.asarray(A2.to_dense()), np.asarray(A.to_dense()) + np.diag(v), atol=1e-13
     )
+
+
+def test_inverse_solver_matches_cholesky():
+    from diffeqgmrfs_tpu.ops.inverse_solver import BTDInverseSolver
+    from diffeqgmrfs_tpu.ops import btd_cholesky
+
+    A = random_btd_spd(jax.random.PRNGKey(12), 4, 6, n=22)
+    F = btd_cholesky(A)
+    S = BTDInverseSolver.from_factor(F)
+    b = np.random.default_rng(5).normal(size=(3, 22))
+    np.testing.assert_allclose(
+        np.asarray(S.solve(jnp.asarray(b))),
+        np.asarray(F.solve(jnp.asarray(b))),
+        rtol=1e-10, atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(S.forward_solve(jnp.asarray(b))),
+        np.asarray(F.forward_solve(jnp.asarray(b))),
+        rtol=1e-10, atol=1e-10,
+    )
