@@ -1,0 +1,118 @@
+"""A^T A accumulation via block-window GEMMs (scatter-free fast path).
+
+The generic A^T A -> BTD path scatters n_rows * K^2 values through a flat
+index (ops/btd.py BTDPattern) — ~1e8 scatter-adds for production Darcy
+systems, a TPU anti-pattern (serialized scatter units) with an index array
+as large as the data. This module exploits bandedness instead:
+
+Every row of a bandwidth-limited operator fits inside a 2bs-wide window of
+two adjacent BTD blocks. Grouping rows by window, each window's rows
+materialize as a dense [R, 2bs] panel via a SMALL local scatter (n_rows * K
+indices), and the window's A^T A contribution is one MXU GEMM
+
+    G_b = M_b^T M_b   in [2bs, 2bs]
+
+whose quadrants accumulate into diag[b], diag[b+1], lower[b]. Flops are
+~4 N bs^2 R ~ 4 n bs^2 — the same order as the factorization itself — and
+the scatter shrinks by a factor K.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from diffeqgmrfs_tpu.ops.btd import BTD
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ATAWindowPlan:
+    """Static row->window assignment for a fixed operator structure."""
+
+    rows: np.ndarray  # [Nw, R] int32 row indices (padded with 0)
+    mask: np.ndarray  # [Nw, R] {0,1} row validity
+    local_cols: np.ndarray  # [Nw, R, K] int32 cols - window_start
+    n: int
+    N: int
+    bs: int
+
+    def tree_flatten(self):
+        return (self.rows, self.mask, self.local_cols), (self.n, self.N, self.bs)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], children[2], aux[0], aux[1], aux[2])
+
+    @property
+    def Nw(self):
+        return self.rows.shape[0]
+
+    def to_device(self):
+        return jax.device_put(self)
+
+
+def make_ata_window_plan(cols: np.ndarray, n: int, bs: int) -> ATAWindowPlan:
+    """Build the plan from a RowOp's static column structure [n_rows, K]."""
+    cols = np.asarray(cols)
+    n_rows, K = cols.shape
+    N = max((n + bs - 1) // bs, 1)
+    Nw = max(N - 1, 1)
+    cmin = cols.min(axis=1)
+    cmax = cols.max(axis=1)
+    w = np.minimum(cmin // bs, Nw - 1).astype(np.int64)
+    if np.any(cmax - w * bs >= 2 * bs):
+        bad = np.argmax(cmax - w * bs >= 2 * bs)
+        raise ValueError(
+            f"row {bad} spans more than two blocks (cols {cmin[bad]}..{cmax[bad]}, "
+            f"bs={bs}); increase block size"
+        )
+    order = np.argsort(w, kind="stable")
+    counts = np.bincount(w, minlength=Nw)
+    R = int(counts.max())
+    rows = np.zeros((Nw, R), dtype=np.int32)
+    mask = np.zeros((Nw, R), dtype=np.float32)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for b in range(Nw):
+        sel = order[starts[b] : starts[b + 1]]
+        rows[b, : len(sel)] = sel
+        mask[b, : len(sel)] = 1.0
+    local = cols[rows] - (np.arange(Nw, dtype=np.int64) * bs)[:, None, None]
+    local = np.clip(local, 0, 2 * bs - 1).astype(np.int32)
+    return ATAWindowPlan(rows, mask, local, n, N, bs)
+
+
+def ata_btd_windows(plan: ATAWindowPlan, vals, tau=1.0, dtype=None) -> BTD:
+    """tau * A^T A in BTD form via window GEMMs. `vals`: [n_rows, K]."""
+    vals = jnp.asarray(vals)
+    dtype = dtype or vals.dtype
+    N, bs, Nw = plan.N, plan.bs, plan.Nw
+    R = plan.rows.shape[1]
+    K = plan.local_cols.shape[2]
+    rows = jnp.asarray(plan.rows)
+    mask = jnp.asarray(plan.mask, dtype=dtype)
+    lcols = jnp.asarray(plan.local_cols)
+    r_idx = jnp.arange(R)[:, None]
+
+    def window(b):
+        v = vals[rows[b]] * mask[b][:, None]  # [R, K]
+        M = jnp.zeros((R, 2 * bs), dtype=dtype)
+        M = M.at[r_idx, lcols[b]].add(v)
+        with jax.default_matmul_precision("float32"):
+            return M.T @ M  # [2bs, 2bs]
+
+    G = lax.map(window, jnp.arange(Nw))  # [Nw, 2bs, 2bs]
+    diag = jnp.zeros((N, bs, bs), dtype=dtype)
+    lower = jnp.zeros((max(N - 1, 1), bs, bs), dtype=dtype)
+    diag = diag.at[jnp.arange(Nw)].add(G[:, :bs, :bs])
+    if N > 1:
+        diag = diag.at[jnp.arange(Nw) + 1].add(G[:, bs:, bs:])
+        lower = lower.at[jnp.arange(Nw)].add(G[:, bs:, :bs])
+        lower = lower[: N - 1]
+    else:
+        lower = jnp.zeros((0, bs, bs), dtype=dtype)
+    return BTD(diag * tau, lower * tau, plan.n)

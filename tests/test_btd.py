@@ -171,3 +171,39 @@ def test_inverse_solver_matches_cholesky():
         np.asarray(F.forward_solve(jnp.asarray(b))),
         rtol=1e-10, atol=1e-10,
     )
+
+
+def test_ata_windows_matches_scatter():
+    from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan, ata_btd_windows
+    from diffeqgmrfs_tpu.fem.operators import RowOp
+
+    rng = np.random.default_rng(9)
+    n, bs, K = 40, 8, 4
+    # banded rows: each row's cols within [r-3, r+3]
+    cols = np.stack(
+        [np.clip(np.sort(rng.choice(np.arange(max(0, r - 3), min(n, r + 4)), K, replace=True)), 0, n - 1) for r in range(n)]
+    )
+    vals = jnp.asarray(rng.normal(size=(n, K)))
+    A = RowOp(cols, vals, n)
+    pat = A.ata_pattern(bs=bs)
+    ref = pat.scatter(A.ata_values() * 2.5)
+    plan = make_ata_window_plan(cols, n, bs)
+    out = ata_btd_windows(plan, vals, tau=2.5)
+    np.testing.assert_allclose(
+        np.asarray(out.to_dense()), np.asarray(ref.to_dense()), atol=1e-12
+    )
+
+
+def test_ata_windows_single_block():
+    from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan, ata_btd_windows
+    from diffeqgmrfs_tpu.fem.operators import RowOp
+
+    rng = np.random.default_rng(10)
+    n, K = 6, 3
+    cols = np.stack([np.sort(rng.choice(n, K, replace=True)) for _ in range(10)])
+    vals = jnp.asarray(rng.normal(size=(10, K)))
+    A = RowOp(cols, vals, n)
+    Ad = np.asarray(A.to_dense())
+    plan = make_ata_window_plan(cols, n, bs=8)
+    out = ata_btd_windows(plan, vals)
+    np.testing.assert_allclose(np.asarray(out.to_dense()), Ad.T @ Ad, atol=1e-12)
