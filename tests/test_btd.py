@@ -207,3 +207,31 @@ def test_ata_windows_single_block():
     plan = make_ata_window_plan(cols, n, bs=8)
     out = ata_btd_windows(plan, vals)
     np.testing.assert_allclose(np.asarray(out.to_dense()), Ad.T @ Ad, atol=1e-12)
+
+
+def test_pallas_sweep_interpret():
+    """Pallas fused substitution sweeps vs the factor solves (interpreter)."""
+    from diffeqgmrfs_tpu.ops.inverse_solver import BTDInverseSolver
+    from diffeqgmrfs_tpu.ops.pallas_btd import (
+        pallas_forward_solve,
+        pallas_backward_solve,
+    )
+
+    A = random_btd_spd(jax.random.PRNGKey(14), 4, 8)
+    F = btd_cholesky(A)
+    S = BTDInverseSolver.from_factor(F)
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.normal(size=(4, 8, 3)))
+    bf = jnp.asarray(np.moveaxis(np.asarray(b), 2, 0).reshape(3, 32))
+    out_f = np.asarray(pallas_forward_solve(S.Ws, S.Cs, b, interpret=True))
+    np.testing.assert_allclose(
+        np.moveaxis(out_f, 2, 0).reshape(3, 32),
+        np.asarray(F.forward_solve(bf)),
+        atol=1e-12,
+    )
+    out_b = np.asarray(pallas_backward_solve(S.Ws, S.Cs, b, interpret=True))
+    np.testing.assert_allclose(
+        np.moveaxis(out_b, 2, 0).reshape(3, 32),
+        np.asarray(F.backward_solve(bf)),
+        atol=1e-12,
+    )
