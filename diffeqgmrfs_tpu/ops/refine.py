@@ -46,18 +46,20 @@ class RefinedFactor:
     """f32 factor of the equilibrated matrix + f64 refinement solve."""
 
     def tree_flatten(self):
-        return (self.H, self.Hs, self.d, self.F32), (self.refine_iters,)
+        return (self.Hs, self.d, self.F32), (self.refine_iters,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
-        obj.H, obj.Hs, obj.d, obj.F32 = children
+        obj.Hs, obj.d, obj.F32 = children
         obj.refine_iters = aux[0]
         return obj
 
     def __init__(self, H: BTD, refine_iters: int = 3):
-        self.H = H
-        self.Hs, self.d = equilibrate(H)  # f64 scaled operator for residuals
+        # only the SCALED f64 operator is kept (for refinement residuals);
+        # holding the unscaled H as well doubles resident HBM at production
+        # sizes (~3 GB per copy for Burgers N_x=1000)
+        self.Hs, self.d = equilibrate(H)
         Hs32 = BTD(
             self.Hs.diag.astype(jnp.float32),
             self.Hs.lower.astype(jnp.float32),
@@ -117,7 +119,7 @@ class MixedPrecisionFactor:
 
     @property
     def dtype(self):
-        return self._rf.H.dtype
+        return self._rf.Hs.dtype
 
     def solve(self, b):
         x, _ = self._rf.solve(b)

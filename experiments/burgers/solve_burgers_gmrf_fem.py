@@ -36,6 +36,8 @@ def parse_cmd():
     p.add_argument("--nu", type=float, default=0.01, help="synthetic viscosity")
     p.add_argument("--n_t_data", type=int, default=26, help="synthetic timesteps")
     p.add_argument("--n_x_data", type=int, default=129, help="synthetic x points")
+    p.add_argument("--mixed_precision", action="store_true",
+                   help="f32 MXU factorization + f64 refinement (TPU path)")
     return finalize_args(p.parse_args())
 
 
@@ -109,7 +111,20 @@ def main():
     noise_ic, noise_fem = 1e8, 1e12
     criterion = OrCriterion([NewtonDecrementCriterion(1e-6), StepNumberCriterion(15)])
 
-    def solve_instance(ic, key):
+    # Prebuild the condensed-Jacobian A^T A pattern (jit argument; the
+    # inlined form exceeds remote-compile size limits at production sizes).
+    from diffeqgmrfs_tpu.gmrf.affine import AffineMap
+    from diffeqgmrfs_tpu.gmrf.conditioning import ata_pattern_cached
+    from diffeqgmrfs_tpu.solvers import CholeskySolverBlueprint
+
+    bp = CholeskySolverBlueprint(mixed_precision=args.mixed_precision)
+    affine_st = AffineMap.from_constraint_handler(disc.constraint_handler).replicate(N_t)
+    _, J0 = res.f_and_J(jnp.zeros(N_t * disc.ndofs))
+    Jc0 = affine_st.condense_rowop(J0)
+    n_free_st = affine_st.n_free
+    gn_pat = ata_pattern_cached(Jc0, n_free_st, disc.n_free).to_device()
+
+    def solve_instance(ic, key, ata_pattern):
         bulk = jnp.mean(ic)
         spde = AdvectionDiffusionSPDE(
             d=1, kappa=0.0, alpha=1,
@@ -119,7 +134,7 @@ def main():
             initial_spde=MaternSPDE(d=1, kappa=kappa, nu=nu_matern),
         )
         x = discretize_advection_diffusion(spde, disc, ts, mean_offset=bulk)
-        x_ic = condition_on_observations(x, A_ic, noise_ic, ic)
+        x_ic = condition_on_observations(x, A_ic, noise_ic, ic, solver_blueprint=bp)
         ic_pred = E_st.matvec(x_ic.mean()).reshape(N_t, len(x_coords))
         result = gauss_newton_solve(
             x_ic.inner_gmrf.mean(),
@@ -130,14 +145,20 @@ def main():
             x_ic.inner_gmrf.mean(),
             criterion=criterion,
             affine=x_ic.affine,
+            mixed_precision=args.mixed_precision,
+            ata_pattern=ata_pattern,
         )
-        post = result.posterior(affine=x_ic.affine)
+        post = result.posterior(affine=x_ic.affine, blueprint=bp)
         pred = E_st.matvec(post.mean()).reshape(N_t, len(x_coords))
         std = post.std()
         smp = post.sample(key, 1)
         return pred, ic_pred, std, smp, result.n_steps
 
-    solve_jit = jax.jit(solve_instance)
+    _solve = jax.jit(solve_instance)
+
+    def solve_jit(ic, key):
+        return _solve(ic, key, gn_pat)
+
     key = jax.random.PRNGKey(345903459)
     with to("Prior construction + first solve (compile)"):
         out = solve_jit(jnp.asarray(ds.get_initial_condition(0)), key)
