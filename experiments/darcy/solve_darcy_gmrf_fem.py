@@ -149,6 +149,9 @@ def main():
     def solve_jit(coeff, key):
         return _solve(prior_dev, pat, coeff, key)
 
+    def _solve_batch(vsolve, prior_arg, pattern, coeffs, keys):
+        return vsolve(prior_arg, pattern, coeffs, keys)
+
     # warm-up compile (reference "Trigger precompilation")
     key = jax.random.PRNGKey(523802340)
     coeff0 = jnp.asarray(ds.get_problem(0)[1])
@@ -160,22 +163,49 @@ def main():
     N = 3 if args.dry_run else len(ds)
     rel_errs, rmses, max_errs, std_norms = [], [], [], []
     cond_times = []
-    for i in range(N):
-        soln, coeff = ds.get_problem(i)
-        cur = PhaseTimers()
-        with cur("Conditioning"):
-            pred, std, smp = solve_jit(
-                jnp.asarray(coeff), jax.random.fold_in(key, i)
+    if args.batch > 1:
+        # DP: vmap the whole posterior pipeline over instance batches — the
+        # chip-saturation axis (SURVEY.md §2.4); replaces the serial loop.
+        vsolve = jax.jit(
+            jax.vmap(solve_instance, in_axes=(None, None, 0, 0))
+        )
+        for start in range(0, N, args.batch):
+            idxs = list(range(start, min(start + args.batch, N)))
+            pad = args.batch - len(idxs)
+            coeffs = jnp.asarray(
+                np.stack([ds.get_problem(i)[1] for i in idxs]
+                         + [ds.get_problem(idxs[-1])[1]] * pad)
             )
-            cur.sync(pred, std, smp)
-        rel_errs.append(float(rel_err(pred, jnp.asarray(soln))))
-        rmses.append(float(rmse(pred, jnp.asarray(soln))))
-        max_errs.append(float(max_err(pred, jnp.asarray(soln))))
-        std_norms.append(float(jnp.linalg.norm(std)))
-        cond_times.append(cur.time("Conditioning"))
-        log.info("instance %d: rel_err=%.3e", i, rel_errs[-1])
-        if (i + 1) % 10 == 0:
-            log.info("Finished %d / %d", i + 1, N)
+            keys = jax.random.split(jax.random.fold_in(key, start), args.batch)
+            cur = PhaseTimers()
+            with cur("Conditioning"):
+                pred, std, smp = _solve_batch(vsolve, prior_dev, pat, coeffs, keys)
+                cur.sync(pred)
+            for j, i in enumerate(idxs):
+                soln = jnp.asarray(ds.get_problem(i)[0])
+                rel_errs.append(float(rel_err(pred[j], soln)))
+                rmses.append(float(rmse(pred[j], soln)))
+                max_errs.append(float(max_err(pred[j], soln)))
+                std_norms.append(float(jnp.linalg.norm(std[j])))
+                log.info("instance %d: rel_err=%.3e", i, rel_errs[-1])
+            cond_times.append(cur.time("Conditioning"))
+    else:
+        for i in range(N):
+            soln, coeff = ds.get_problem(i)
+            cur = PhaseTimers()
+            with cur("Conditioning"):
+                pred, std, smp = solve_jit(
+                    jnp.asarray(coeff), jax.random.fold_in(key, i)
+                )
+                cur.sync(pred, std, smp)
+            rel_errs.append(float(rel_err(pred, jnp.asarray(soln))))
+            rmses.append(float(rmse(pred, jnp.asarray(soln))))
+            max_errs.append(float(max_err(pred, jnp.asarray(soln))))
+            std_norms.append(float(jnp.linalg.norm(std)))
+            cond_times.append(cur.time("Conditioning"))
+            log.info("instance %d: rel_err=%.3e", i, rel_errs[-1])
+            if (i + 1) % 10 == 0:
+                log.info("Finished %d / %d", i + 1, N)
 
     out = dict(
         rel_errs=rel_errs,
