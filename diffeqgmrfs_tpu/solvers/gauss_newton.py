@@ -203,6 +203,7 @@ def gauss_newton_solve(
     affine=None,
     mixed_precision: bool = False,
     ata_pattern=None,
+    ata_window_plan=None,
 ) -> GaussNewtonResult:
     """Functional Gauss-Newton loop (jit/vmap-friendly).
 
@@ -213,9 +214,13 @@ def gauss_newton_solve(
     ata_pattern: optional prebuilt J^T J -> BTD scatter pattern for the
     CONDENSED Jacobian (thread it through the jit signature to keep the giant
     index array out of the HLO; see BTDPattern docstring).
+    ata_window_plan: alternative scatter-free J^T J path via block-window
+    GEMMs (ops/ata_windows.py) — preferred on TPU where giant scatter-adds
+    serialize; takes precedence over ata_pattern.
     """
     from diffeqgmrfs_tpu.gmrf.conditioning import ata_pattern_cached
     from diffeqgmrfs_tpu.ops.refine import RefinedFactor
+    from diffeqgmrfs_tpu.ops.ata_windows import ata_btd_windows
 
     criterion = criterion or DEFAULT_CRITERION
     max_steps = _criterion_bound(criterion)
@@ -229,13 +234,20 @@ def gauss_newton_solve(
     def condense(J):
         return J if affine is None else affine.condense_rowop(J)
 
-    if ata_pattern is not None:
-        pat = ata_pattern
+    if ata_window_plan is not None:
+        def jtj(Jc):
+            return ata_btd_windows(ata_window_plan, Jc.vals, tau=tau, dtype=Q.dtype)
     else:
-        # Trace one evaluation to fix the Jacobian structure.
-        _, J0 = f_and_J(full(jnp.asarray(x0)))
-        Jc0 = condense(J0)
-        pat = ata_pattern_cached(Jc0, Q.n, Q.bs)
+        if ata_pattern is not None:
+            pat = ata_pattern
+        else:
+            # Trace one evaluation to fix the Jacobian structure.
+            _, J0 = f_and_J(full(jnp.asarray(x0)))
+            Jc0 = condense(J0)
+            pat = ata_pattern_cached(Jc0, Q.n, Q.bs)
+
+        def jtj(Jc):
+            return pat.scatter(Jc.ata_values() * tau)
 
     Qmu = Q.matvec(mu_prior)
 
@@ -245,7 +257,7 @@ def gauss_newton_solve(
         Jc = condense(J)
         r_norm = jnp.linalg.norm(f - y)
         hist = hist.at[step].set(r_norm)
-        H = Q + pat.scatter(Jc.ata_values() * tau)
+        H = Q + jtj(Jc)
         rhs = Qmu + tau * Jc.rmatvec(Jc.matvec(x) - (f - y))
         if mixed_precision:
             x_new, _ = RefinedFactor(H, refine_iters=3).solve(rhs)
@@ -274,7 +286,7 @@ def gauss_newton_solve(
     f_fin, J_fin = f_and_J(full(x_fin))
     Jc_fin = condense(J_fin)
     hist = hist.at[n_steps].set(jnp.linalg.norm(f_fin - y))
-    H_fin = Q + pat.scatter(Jc_fin.ata_values() * tau)
+    H_fin = Q + jtj(Jc_fin)
     return GaussNewtonResult(
         x_k=x_fin,
         J_k=Jc_fin,

@@ -111,32 +111,48 @@ def main():
         A_ic = spatial_to_spatiotemporal(
             evaluation_matrix(disc, X_domain), 0, N_t
         )
+        from diffeqgmrfs_tpu.solvers import CholeskySolverBlueprint
+        from diffeqgmrfs_tpu.gmrf.conditioning import ata_pattern_cached
+
+        bp = CholeskySolverBlueprint(mixed_precision=args.mixed_precision)
         u_ic = condition_on_observations(
-            u_prior, A_ic, args.noise_ic, jnp.asarray(ic)
+            u_prior, A_ic, args.noise_ic, jnp.asarray(ic), solver_blueprint=bp
         )
         res = BurgersFEMResidual(disc, ts, NU, scheme="crank_nicolson")
         A_eval = spatial_to_spatiotemporal(
             evaluation_matrix(disc, X_domain), N_t - 1, N_t
         )
+        affine = u_ic.affine
+        # IC mean + precision flow through the jit signature (not closure
+        # constants), with the cached factor stripped; the GN scatter
+        # pattern is prebuilt host-side (see BTDPattern docstring)
+        mu_ic = u_ic.inner_gmrf.mean()
+        Q_ic = u_ic.inner_gmrf.precision
+        _, J0 = res.f_and_J(jnp.zeros(N_t * disc.ndofs))
+        Jc0 = affine.condense_rowop(J0)
+        gn_pat = ata_pattern_cached(Jc0, Q_ic.n, Q_ic.bs).to_device()
+        mu_dev, Q_dev = jax.device_put((mu_ic, Q_ic))
 
-        def solve():
+        def solve(mu_arg, Q_arg, ata_pattern):
             result = gauss_newton_solve(
-                u_ic.inner_gmrf.mean(),
-                u_ic.inner_gmrf.precision,
+                mu_arg,
+                Q_arg,
                 res.f_and_J,
                 args.noise_fem,
                 jnp.zeros(res.n_rows),
-                u_ic.inner_gmrf.mean(),
+                mu_arg,
                 criterion=OrCriterion(
                     [NewtonDecrementCriterion(1e-5), StepNumberCriterion(30)]
                 ),
-                affine=u_ic.affine,
+                affine=affine,
                 mixed_precision=args.mixed_precision,
+                ata_pattern=ata_pattern,
             )
-            post = result.posterior(affine=u_ic.affine)
+            post = result.posterior(affine=affine, blueprint=bp)
             return A_eval.matvec(post.mean()), result.n_steps
 
-        return jax.jit(solve)
+        f = jax.jit(solve)
+        return lambda: f(mu_dev, Q_dev, gn_pat)
 
     solve_jit = build()
     log.info("First solve (compile)...")

@@ -67,3 +67,43 @@ def test_residuals_vanish_on_constant_field():
     f_coll, _ = coll.f_and_J(w)
     assert float(jnp.max(jnp.abs(f_fem))) < 1e-12
     assert float(jnp.max(jnp.abs(f_coll))) < 1e-10
+
+
+def test_gauss_newton_window_plan_matches_pattern():
+    """GN with the scatter-free window-GEMM J^T J path matches the default."""
+    import jax
+    from diffeqgmrfs_tpu.fem import unit_square_discretization, evaluation_matrix
+    from diffeqgmrfs_tpu.models import MaternSPDE, discretize_matern
+    from diffeqgmrfs_tpu.gmrf import condition_on_observations
+    from diffeqgmrfs_tpu.problems import EllipticCubicResidual
+    from diffeqgmrfs_tpu.solvers import gauss_newton_solve, StepNumberCriterion
+    from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan
+
+    N = 8
+    disc = unit_square_discretization(N, element_order=2)
+    coords = np.asarray(disc.mesh.coords)
+    u_star = np.sin(np.pi * coords[:, 0]) * np.sin(np.pi * coords[:, 1])
+    qc = disc.geometry.qcoords
+
+    def f_u(p):
+        return np.sin(np.pi * p[..., 0]) * np.sin(np.pi * p[..., 1])
+
+    rhs_q = 2 * np.pi**2 * f_u(qc) + f_u(qc) ** 3
+    x = discretize_matern(MaternSPDE(d=2, range=0.3, smoothness=1), disc)
+    bpts = coords[disc.mesh.node_sets["boundary"]]
+    A_b = evaluation_matrix(disc, bpts)
+    x_bc = condition_on_observations(x, A_b, 1e10, jnp.zeros(A_b.n_rows))
+    pres = disc.dof_handler.node_dofs("u", disc.mesh.node_sets["boundary"])
+    res = EllipticCubicResidual(disc, rhs_q, pres)
+
+    args = (x_bc.mean(), x_bc.precision, res.f_and_J, 1e12,
+            jnp.zeros(res.n_rows), x_bc.mean())
+    r_ref = gauss_newton_solve(*args, criterion=StepNumberCriterion(4))
+    jcols, _, K = res.diff_cell.rowop_structure()
+    plan = make_ata_window_plan(jcols, x_bc.precision.n, x_bc.precision.bs)
+    r_win = gauss_newton_solve(
+        *args, criterion=StepNumberCriterion(4), ata_window_plan=plan
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_win.x_k), np.asarray(r_ref.x_k), rtol=1e-9, atol=1e-10
+    )
