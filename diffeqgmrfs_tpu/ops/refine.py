@@ -90,6 +90,98 @@ def solve_mixed_precision(H: BTD, b, refine_iters: int = 3):
     return RefinedFactor(H, refine_iters).solve(b)
 
 
+class MatFreeRefinedFactor:
+    """Mixed-precision factor of H = Q + tau J^T J that never materializes
+    H in f64.
+
+    Production Newton systems (Burgers N_x=1000: ~3.3 GB per f64 BTD copy)
+    OOM a 16 GB v5e when Q, H, and the scaled H coexist. Here only the f32
+    equilibrated factor is materialized:
+
+      diag(H) = diag(Q) + tau * colsum over merged slots  (f64, vectors only)
+      H~32    = cast_f32( D^-1/2 Q D^-1/2 + scatter64(scaled J products) )
+      residuals for refinement apply H in OPERATOR form:
+          H t = Q t + tau J^T (J t)
+
+    The scaled system is *assembled* in f64 (f32 scatter accumulation loses
+    digits to cancellation and degrades the refinement contraction by ~10x)
+    but only its f32 cast stays resident — the f64 intermediates are
+    transient and freed by XLA after the cast.
+
+    `jtj_scaled(vals64) -> BTD(f64)` abstracts the scatter/window path
+    applied to pre-scaled Jacobian values.
+    """
+
+    def __init__(self, Q: BTD, Jc, tau, jtj_scaled, refine_iters: int = 3):
+        self.Q = Q
+        self.Jc = Jc
+        self.tau = tau
+        self.refine_iters = refine_iters
+        # f64 diagonal of H: diag(J^T J)_j = sum_r (sum_{slots of col j} v)^2.
+        # Rows carry DUPLICATE column slots (stacked operators share columns),
+        # so values must be merged per (row, col) before squaring.
+        import numpy as np_
+
+        cols_np = np_.asarray(Jc.cols)
+        n_rows, K = cols_np.shape
+        keys = (
+            np_.repeat(np_.arange(n_rows, dtype=np_.int64), K) * Q.n
+            + cols_np.reshape(-1).astype(np_.int64)
+        )
+        uniq, inv = np_.unique(keys, return_inverse=True)
+        merged_col = (uniq % Q.n).astype(np_.int32)
+        merged = jnp.zeros(len(uniq), dtype=Q.dtype).at[inv].add(
+            Jc.vals.reshape(-1)
+        )
+        colsq = jnp.zeros(Q.n, dtype=Q.dtype).at[merged_col].add(merged**2)
+        diagH = Q.diagonal() + tau * colsq
+        self.d = jnp.sqrt(diagH)
+        dinv = 1.0 / self.d
+        # scaled system assembled in f64, only the f32 cast kept resident
+        Qs, _ = _scale_btd(Q, dinv)
+        Jv_scaled = Jc.vals * dinv[Jc.cols] * jnp.sqrt(tau)
+        Hs = Qs + jtj_scaled(Jv_scaled)
+        H32 = BTD(
+            Hs.diag.astype(jnp.float32), Hs.lower.astype(jnp.float32), Hs.n
+        )
+        H32 = _unit_pad(H32)
+        self.F32 = btd_cholesky(H32)
+
+    def _apply_H(self, t):
+        """H t = Q t + tau J^T (J t), f64."""
+        return self.Q.matvec(t) + self.tau * self.Jc.rmatvec(self.Jc.matvec(t))
+
+    def _apply_Hs(self, y):
+        return self._apply_H(y / self.d) / self.d
+
+    def _solve32(self, b):
+        return self.F32.solve(b.astype(jnp.float32)).astype(self.Q.dtype)
+
+    def solve(self, b):
+        b = jnp.asarray(b)
+        bs = b / self.d
+        y = self._solve32(bs)
+        for _ in range(self.refine_iters):
+            y = y + self._solve32(bs - self._apply_Hs(y))
+        return y / self.d
+
+    def matvec_H(self, x):
+        return self._apply_H(x)
+
+
+def _scale_btd(H: BTD, dinv):
+    db = H.pad_vec(dinv)
+    pad_mask = H.pad_vec(jnp.ones_like(dinv))
+    db = db + (1.0 - pad_mask)
+    diag = H.diag * db[:, :, None] * db[:, None, :]
+    lower = H.lower * db[1:, :, None] * db[:-1, None, :] if H.N > 1 else H.lower
+    return BTD(diag, lower, H.n), db
+
+
+def _unit_pad(H32: BTD) -> BTD:
+    return H32.add_identity_padding()
+
+
 @jax.tree_util.register_pytree_node_class
 class MixedPrecisionFactor:
     """Drop-in factor with the BTDCholesky surface, backed by the f32 factor

@@ -237,6 +237,9 @@ def gauss_newton_solve(
     if ata_window_plan is not None:
         def jtj(Jc):
             return ata_btd_windows(ata_window_plan, Jc.vals, tau=tau, dtype=Q.dtype)
+
+        def jtj_scaled(vals):
+            return ata_btd_windows(ata_window_plan, vals, tau=1.0, dtype=Q.dtype)
     else:
         if ata_pattern is not None:
             pat = ata_pattern
@@ -249,6 +252,10 @@ def gauss_newton_solve(
         def jtj(Jc):
             return pat.scatter(Jc.ata_values() * tau)
 
+        def jtj_scaled(vals):
+            v = vals[:, :, None] * vals[:, None, :]
+            return pat.scatter(v.reshape(-1))
+
     Qmu = Q.matvec(mu_prior)
 
     def body(carry):
@@ -257,14 +264,22 @@ def gauss_newton_solve(
         Jc = condense(J)
         r_norm = jnp.linalg.norm(f - y)
         hist = hist.at[step].set(r_norm)
-        H = Q + jtj(Jc)
         rhs = Qmu + tau * Jc.rmatvec(Jc.matvec(x) - (f - y))
         if mixed_precision:
-            x_new, _ = RefinedFactor(H, refine_iters=3).solve(rhs)
+            # matrix-free mixed precision: the f64 Newton system is never
+            # materialized (production ST systems are ~GBs per BTD copy)
+            from diffeqgmrfs_tpu.ops.refine import MatFreeRefinedFactor
+
+            F = MatFreeRefinedFactor(Q, Jc, tau, jtj_scaled, refine_iters=4)
+            x_new = F.solve(rhs)
+            dx = x_new - x
+            Hdx = F.matvec_H(dx)
         else:
+            H = Q + jtj(Jc)
             x_new = btd_cholesky(H).solve(rhs)
-        dx = x_new - x
-        decrement = jnp.sqrt(jnp.abs(jnp.dot(dx, H.matvec(dx))))
+            dx = x_new - x
+            Hdx = H.matvec(dx)
+        decrement = jnp.sqrt(jnp.abs(jnp.dot(dx, Hdx)))
         return (x_new, decrement, step + 1, hist, r_norm)
 
     def cond(carry):
