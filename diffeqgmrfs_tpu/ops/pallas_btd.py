@@ -36,14 +36,12 @@ def _fwd_kernel(W_ref, C_ref, b_ref, out_ref, carry):
 
     @pl.when(i == 0)
     def _():
-        carry[...] = jnp.zeros_like(carry)
+        carry[...] = jnp.zeros_like(carry[...])
 
-    t = b_ref[...] - jnp.dot(
-        C_ref[...], carry[...], preferred_element_type=carry.dtype
-    )
-    x = jnp.dot(W_ref[...], t, preferred_element_type=carry.dtype)
+    t = b_ref[0] - jnp.dot(C_ref[0], carry[...], preferred_element_type=carry.dtype)
+    x = jnp.dot(W_ref[0], t, preferred_element_type=carry.dtype)
     carry[...] = x
-    out_ref[...] = x
+    out_ref[0] = x
 
 
 def _bwd_kernel(W_ref, C_ref, b_ref, out_ref, carry):
@@ -51,14 +49,14 @@ def _bwd_kernel(W_ref, C_ref, b_ref, out_ref, carry):
 
     @pl.when(i == 0)
     def _():
-        carry[...] = jnp.zeros_like(carry)
+        carry[...] = jnp.zeros_like(carry[...])
 
-    t = b_ref[...] - jnp.dot(
-        C_ref[...].T, carry[...], preferred_element_type=carry.dtype
+    t = b_ref[0] - jnp.dot(
+        C_ref[0].T, carry[...], preferred_element_type=carry.dtype
     )
-    x = jnp.dot(W_ref[...].T, t, preferred_element_type=carry.dtype)
+    x = jnp.dot(W_ref[0].T, t, preferred_element_type=carry.dtype)
     carry[...] = x
-    out_ref[...] = x
+    out_ref[0] = x
 
 
 def _sweep(kernel, Ws, Cs, b, reverse: bool, interpret: bool):
@@ -77,11 +75,8 @@ def _sweep(kernel, Ws, Cs, b, reverse: bool, interpret: bool):
         c_arr = jnp.concatenate([jnp.zeros((1, bs, bs), dtype=Cs.dtype), Cs], 0)
         idx = lambda i: (i, 0, 0)
 
-    def kern(W_ref, C_ref, b_ref, out_ref, carry):
-        kernel(W_ref.at[0], C_ref.at[0], b_ref.at[0], out_ref.at[0], carry)
-
     return pl.pallas_call(
-        kern,
+        kernel,
         grid=(N,),
         in_specs=[
             pl.BlockSpec((1, bs, bs), idx),

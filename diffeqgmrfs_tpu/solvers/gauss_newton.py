@@ -204,6 +204,7 @@ def gauss_newton_solve(
     mixed_precision: bool = False,
     ata_pattern=None,
     ata_window_plan=None,
+    materialize_H: bool = True,
 ) -> GaussNewtonResult:
     """Functional Gauss-Newton loop (jit/vmap-friendly).
 
@@ -301,7 +302,9 @@ def gauss_newton_solve(
     f_fin, J_fin = f_and_J(full(x_fin))
     Jc_fin = condense(J_fin)
     hist = hist.at[n_steps].set(jnp.linalg.norm(f_fin - y))
-    H_fin = Q + jtj(Jc_fin)
+    # The posterior precision costs an extra f64 BTD (+ assembly transients);
+    # skip it when the caller only needs the MAP mean (materialize_H=False).
+    H_fin = (Q + jtj(Jc_fin)) if materialize_H else None
     return GaussNewtonResult(
         x_k=x_fin,
         J_k=Jc_fin,

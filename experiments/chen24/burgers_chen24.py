@@ -130,10 +130,12 @@ def main():
         Q_ic = u_ic.inner_gmrf.precision
         _, J0 = res.f_and_J(jnp.zeros(N_t * disc.ndofs))
         Jc0 = affine.condense_rowop(J0)
-        gn_pat = ata_pattern_cached(Jc0, Q_ic.n, Q_ic.bs).to_device()
+        from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan
+
+        gn_plan = make_ata_window_plan(Jc0.cols, Q_ic.n, Q_ic.bs).to_device()
         mu_dev, Q_dev = jax.device_put((mu_ic, Q_ic))
 
-        def solve(mu_arg, Q_arg, ata_pattern):
+        def solve(mu_arg, Q_arg, window_plan):
             result = gauss_newton_solve(
                 mu_arg,
                 Q_arg,
@@ -146,13 +148,14 @@ def main():
                 ),
                 affine=affine,
                 mixed_precision=args.mixed_precision,
-                ata_pattern=ata_pattern,
+                ata_window_plan=window_plan,
+                materialize_H=False,  # only the MAP mean is evaluated
             )
-            post = result.posterior(affine=affine, blueprint=bp)
-            return A_eval.matvec(post.mean()), result.n_steps
+            x_full = affine.free_to_full(result.x_k)
+            return A_eval.matvec(x_full), result.n_steps
 
         f = jax.jit(solve)
-        return lambda: f(mu_dev, Q_dev, gn_pat)
+        return lambda: f(mu_dev, Q_dev, gn_plan)
 
     solve_jit = build()
     log.info("First solve (compile)...")
