@@ -128,6 +128,13 @@ def main():
         # pattern is prebuilt host-side (see BTDPattern docstring)
         mu_ic = u_ic.inner_gmrf.mean()
         Q_ic = u_ic.inner_gmrf.precision
+        # release the eager-phase buffers (prior precision, IC factor —
+        # several GB at N_x=1000) before the Gauss-Newton program runs
+        u_ic.inner_gmrf.factor = None
+        del u_prior
+        import gc
+
+        gc.collect()
         _, J0 = res.f_and_J(jnp.zeros(N_t * disc.ndofs))
         Jc0 = affine.condense_rowop(J0)
         from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan

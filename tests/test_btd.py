@@ -235,3 +235,15 @@ def test_pallas_sweep_interpret():
         np.asarray(F.backward_solve(bf)),
         atol=1e-12,
     )
+
+
+def test_cyclic_reduction_solve():
+    from diffeqgmrfs_tpu.ops.cyclic_reduction import cr_solve
+
+    for N, bs, n in [(1, 6, 6), (2, 5, 10), (5, 4, 18), (8, 4, 32), (13, 3, 37)]:
+        A = random_btd_spd(jax.random.PRNGKey(N), N, bs, n=n)
+        F = btd_cholesky(A)
+        b = np.random.default_rng(N).normal(size=(2, n))
+        x_cr = np.asarray(cr_solve(A, jnp.asarray(b)))
+        x_ref = np.asarray(F.solve(jnp.asarray(b)))
+        np.testing.assert_allclose(x_cr, x_ref, rtol=1e-9, atol=1e-10), (N, bs)
