@@ -86,13 +86,19 @@ def make_ata_window_plan(cols: np.ndarray, n: int, bs: int) -> ATAWindowPlan:
     return ATAWindowPlan(rows, mask, local, n, N, bs)
 
 
-def ata_btd_windows(plan: ATAWindowPlan, vals, tau=1.0, dtype=None) -> BTD:
-    """tau * A^T A in BTD form via window GEMMs. `vals`: [n_rows, K]."""
+def ata_btd_windows(
+    plan: ATAWindowPlan, vals, tau=1.0, dtype=None, init: BTD | None = None
+) -> BTD:
+    """tau * A^T A in BTD form via window GEMMs. `vals`: [n_rows, K].
+
+    `init`: optional BTD to accumulate into (init + tau A^T A) — avoids a
+    second full-size BTD allocation when adding to a prior precision (XLA
+    can alias the buffers); requires tau folding at the call site to match.
+    """
     vals = jnp.asarray(vals)
     dtype = dtype or vals.dtype
     N, bs, Nw = plan.N, plan.bs, plan.Nw
     R = plan.rows.shape[1]
-    K = plan.local_cols.shape[2]
     rows = jnp.asarray(plan.rows)
     mask = jnp.asarray(plan.mask, dtype=dtype)
     lcols = jnp.asarray(plan.local_cols)
@@ -105,14 +111,14 @@ def ata_btd_windows(plan: ATAWindowPlan, vals, tau=1.0, dtype=None) -> BTD:
         with jax.default_matmul_precision("float32"):
             return M.T @ M  # [2bs, 2bs]
 
-    G = lax.map(window, jnp.arange(Nw))  # [Nw, 2bs, 2bs]
-    diag = jnp.zeros((N, bs, bs), dtype=dtype)
-    lower = jnp.zeros((max(N - 1, 1), bs, bs), dtype=dtype)
+    G = lax.map(window, jnp.arange(Nw)) * tau  # [Nw, 2bs, 2bs]
+    if init is not None:
+        diag, lower = init.diag, init.lower
+    else:
+        diag = jnp.zeros((N, bs, bs), dtype=dtype)
+        lower = jnp.zeros((max(N - 1, 0), bs, bs), dtype=dtype)
     diag = diag.at[jnp.arange(Nw)].add(G[:, :bs, :bs])
     if N > 1:
         diag = diag.at[jnp.arange(Nw) + 1].add(G[:, bs:, bs:])
         lower = lower.at[jnp.arange(Nw)].add(G[:, bs:, :bs])
-        lower = lower[: N - 1]
-    else:
-        lower = jnp.zeros((0, bs, bs), dtype=dtype)
-    return BTD(diag * tau, lower * tau, plan.n)
+    return BTD(diag, lower, plan.n)

@@ -197,6 +197,17 @@ class BTDPattern:
         lower = buf[self.diag_size :].reshape(max(self.N - 1, 0), self.bs, self.bs)
         return BTD(diag, lower, self.n)
 
+    def scatter_into(self, init: BTD, values) -> BTD:
+        """init + scatter(values) without a second full-size buffer (XLA can
+        alias init's storage)."""
+        buf = jnp.concatenate([init.diag.reshape(-1), init.lower.reshape(-1)])
+        buf = buf.at[self.flat_idx].add(
+            values.reshape(-1).astype(buf.dtype), mode="drop"
+        )
+        diag = buf[: self.diag_size].reshape(self.N, self.bs, self.bs)
+        lower = buf[self.diag_size :].reshape(max(self.N - 1, 0), self.bs, self.bs)
+        return BTD(diag, lower, self.n)
+
 
 def make_btd_pattern(
     rows: np.ndarray, cols: np.ndarray, n: int, bs: int | None = None

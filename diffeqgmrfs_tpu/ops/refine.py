@@ -137,10 +137,14 @@ class MatFreeRefinedFactor:
         diagH = Q.diagonal() + tau * colsq
         self.d = jnp.sqrt(diagH)
         dinv = 1.0 / self.d
-        # scaled system assembled in f64, only the f32 cast kept resident
+        # scaled system assembled in f64 (accumulated into the scaled-Q
+        # buffer to avoid a second full-size BTD), only the f32 cast resident
         Qs, _ = _scale_btd(Q, dinv)
         Jv_scaled = Jc.vals * dinv[Jc.cols] * jnp.sqrt(tau)
-        Hs = Qs + jtj_scaled(Jv_scaled)
+        try:
+            Hs = jtj_scaled(Jv_scaled, init=Qs)
+        except TypeError:  # callback without init support
+            Hs = Qs + jtj_scaled(Jv_scaled)
         H32 = BTD(
             Hs.diag.astype(jnp.float32), Hs.lower.astype(jnp.float32), Hs.n
         )

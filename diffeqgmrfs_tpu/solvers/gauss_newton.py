@@ -239,8 +239,10 @@ def gauss_newton_solve(
         def jtj(Jc):
             return ata_btd_windows(ata_window_plan, Jc.vals, tau=tau, dtype=Q.dtype)
 
-        def jtj_scaled(vals):
-            return ata_btd_windows(ata_window_plan, vals, tau=1.0, dtype=Q.dtype)
+        def jtj_scaled(vals, init=None):
+            return ata_btd_windows(
+                ata_window_plan, vals, tau=1.0, dtype=Q.dtype, init=init
+            )
     else:
         if ata_pattern is not None:
             pat = ata_pattern
@@ -253,8 +255,10 @@ def gauss_newton_solve(
         def jtj(Jc):
             return pat.scatter(Jc.ata_values() * tau)
 
-        def jtj_scaled(vals):
+        def jtj_scaled(vals, init=None):
             v = vals[:, :, None] * vals[:, None, :]
+            if init is not None:
+                return pat.scatter_into(init, v)
             return pat.scatter(v.reshape(-1))
 
     Qmu = Q.matvec(mu_prior)
