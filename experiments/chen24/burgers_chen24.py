@@ -137,12 +137,10 @@ def main():
         gc.collect()
         _, J0 = res.f_and_J(jnp.zeros(N_t * disc.ndofs))
         Jc0 = affine.condense_rowop(J0)
-        from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan
-
-        gn_plan = make_ata_window_plan(Jc0.cols, Q_ic.n, Q_ic.bs).to_device()
+        gn_pat = ata_pattern_cached(Jc0, Q_ic.n, Q_ic.bs).to_device()
         mu_dev, Q_dev = jax.device_put((mu_ic, Q_ic))
 
-        def solve(mu_arg, Q_arg, window_plan):
+        def solve(mu_arg, Q_arg, pattern):
             result = gauss_newton_solve(
                 mu_arg,
                 Q_arg,
@@ -155,14 +153,14 @@ def main():
                 ),
                 affine=affine,
                 mixed_precision=args.mixed_precision,
-                ata_window_plan=window_plan,
+                ata_pattern=pattern,
                 materialize_H=False,  # only the MAP mean is evaluated
             )
             x_full = affine.free_to_full(result.x_k)
             return A_eval.matvec(x_full), result.n_steps
 
         f = jax.jit(solve)
-        return lambda: f(mu_dev, Q_dev, gn_plan)
+        return lambda: f(mu_dev, Q_dev, gn_pat)
 
     solve_jit = build()
     log.info("First solve (compile)...")
