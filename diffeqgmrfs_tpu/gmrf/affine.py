@@ -23,6 +23,7 @@ class AffineMap:
     g: np.ndarray  # [n_full] float: offset
     free_dofs: np.ndarray  # [n_free] int
     prescribed_dofs: np.ndarray  # [n_pres] int
+    free_total: int | None = None  # free-space length incl. block padding
 
     @property
     def n_full(self) -> int:
@@ -54,19 +55,40 @@ class AffineMap:
         return jnp.asarray(self.s_coef) * xf[..., self.s_col]
 
     def restrict(self, x_full):
-        """Select free-dof entries."""
-        return jnp.asarray(x_full)[..., self.free_dofs]
+        """Full-dof vector -> free-space vector (padded layout aware)."""
+        v = jnp.asarray(x_full)[..., self.free_dofs]
+        npad = self.n_free_padded
+        if npad == self.n_free:
+            return v
+        out = jnp.zeros(v.shape[:-1] + (npad,), dtype=v.dtype)
+        return out.at[..., self.s_col[self.free_dofs]].set(v)
 
-    def replicate(self, N_t: int) -> "AffineMap":
-        """Tile over N_t time blocks (space-time dof layout x[t*n_full + s])."""
+    def replicate(self, N_t: int, stride: int | None = None) -> "AffineMap":
+        """Tile over N_t time blocks (space-time dof layout x[t*n_full + s]).
+
+        `stride` (>= n_free, default n_free): spacing of time blocks in the
+        FREE space — used when the spatial block is padded to an MXU-friendly
+        size (free dofs t*stride + [0, n_free), inert padding above).
+        """
         n, nf = self.n_full, self.n_free
+        stride = nf if stride is None else int(stride)
+        assert stride >= nf
         t = np.arange(N_t)
-        s_col = (self.s_col[None, :] + t[:, None] * nf).reshape(-1)
+        s_col = (self.s_col[None, :] + t[:, None] * stride).reshape(-1)
         s_coef = np.tile(self.s_coef, N_t)
         g = np.tile(self.g, N_t)
         free = (self.free_dofs[None, :] + t[:, None] * n).reshape(-1)
         pres = (self.prescribed_dofs[None, :] + t[:, None] * n).reshape(-1)
-        return AffineMap(s_col, s_coef, g, free.astype(np.int64), pres.astype(np.int64))
+        return AffineMap(
+            s_col, s_coef, g, free.astype(np.int64), pres.astype(np.int64),
+            free_total=stride * N_t,
+        )
+
+    @property
+    def n_free_padded(self) -> int:
+        """Total free-space length including block padding (== n_free when
+        unpadded)."""
+        return self.free_total if self.free_total is not None else self.n_free
 
     def condense_rowop(self, A):
         """A -> A S (column remap into free space).
@@ -81,7 +103,7 @@ class AffineMap:
         else:
             new_cols = jnp.asarray(self.s_col, dtype=jnp.int32)[A.cols]
             fac = jnp.asarray(self.s_coef)[A.cols]
-        return RowOp(new_cols, A.vals * jnp.asarray(fac), self.n_free)
+        return RowOp(new_cols, A.vals * jnp.asarray(fac), self.n_free_padded)
 
     def offset_shift(self, A):
         """A @ g — the target shift for condensed observations

@@ -149,12 +149,17 @@ def discretize_advection_diffusion(
     prescribed_noise: float = 1e-8,
     solver_blueprint=None,
     dtype=jnp.float64,
+    pad_block: int | None = None,
 ):
     """FEM-discretize the spatiotemporal SPDE into an ST-GMRF prior.
 
     Analog of `GaussianMarkovRandomFields.discretize(spde, disc, ts;
     mean_offset=, prescribed_noise=)`
     (`scripts/burgers/solve_burgers_gmrf-fem.jl:106`).
+
+    pad_block: pad the spatial free-dof block to a multiple of this value
+    (e.g. 128 for MXU-aligned tiles); padded slots carry identity precision
+    and zero mean and are invisible through the constrained reconstruction.
     """
     del prescribed_noise  # constraints are exact here (see module docstring)
     bp = solver_blueprint or DEFAULT_BLUEPRINT
@@ -219,6 +224,23 @@ def discretize_advection_diffusion(
     Q_joint = joint_ssm(ssm, dtype=dtype)
 
     N_t = len(ts)
+    if pad_block is not None and n % pad_block:
+        if not has_constraints:
+            raise NotImplementedError(
+                "pad_block requires a constrained discretization (the padded "
+                "slots are hidden behind the affine reconstruction)"
+            )
+        bs_pad = -(-n // pad_block) * pad_block
+        Q_joint = _pad_st_blocks(Q_joint, n, bs_pad)
+        mask = jnp.concatenate(
+            [jnp.ones(n, dtype), jnp.zeros(bs_pad - n, dtype)]
+        )
+        mu = jnp.tile(jnp.asarray(mean_offset, dtype=dtype) * mask, N_t)
+        inner = ImplicitEulerConstantMeshSTGMRF(
+            mu, Q_joint, None, bp, disc, N_t, ssm
+        )
+        return ConstrainedGMRF(inner, affine.replicate(N_t, stride=bs_pad))
+
     mu = jnp.full((N_t * n,), jnp.asarray(mean_offset, dtype=dtype))
     inner = ImplicitEulerConstantMeshSTGMRF(
         mu, Q_joint, None, bp, disc, N_t, ssm
@@ -226,6 +248,17 @@ def discretize_advection_diffusion(
     if has_constraints:
         return ConstrainedGMRF(inner, affine.replicate(N_t))
     return inner
+
+
+def _pad_st_blocks(Q: BTD, n: int, bs_pad: int) -> BTD:
+    """Embed [N_t, n, n] ST blocks into [N_t, bs_pad, bs_pad] with identity
+    precision on the padded slots."""
+    N_t, pad = Q.N, bs_pad - n
+    diag = jnp.pad(Q.diag, ((0, 0), (0, pad), (0, pad)))
+    idx = jnp.arange(n, bs_pad)
+    diag = diag.at[:, idx, idx].set(1.0)
+    lower = jnp.pad(Q.lower, ((0, 0), (0, pad), (0, pad)))
+    return BTD(diag, lower, N_t * bs_pad)
 
 
 def _dense_to_btd(A: jnp.ndarray) -> BTD:

@@ -256,9 +256,30 @@ def gauss_newton_solve(
             return pat.scatter(Jc.ata_values() * tau)
 
         def jtj_scaled(vals, init=None):
-            v = vals[:, :, None] * vals[:, None, :]
             if init is not None:
-                return pat.scatter_into(init, v)
+                # chunk the outer-product scatter so the pair-product
+                # transient stays ~100 MB instead of n_rows*K^2*8 bytes
+                n_rows, K = vals.shape
+                n_chunks = max(1, min(8, n_rows // 4096))
+                csize = -(-n_rows // n_chunks)
+                buf = jnp.concatenate(
+                    [init.diag.reshape(-1), init.lower.reshape(-1)]
+                )
+                for c in range(n_chunks):
+                    v = vals[c * csize : (c + 1) * csize]
+                    p = (v[:, :, None] * v[:, None, :]).reshape(-1)
+                    idx = pat.flat_idx.reshape(-1)[
+                        c * csize * K * K : (c + 1) * csize * K * K
+                    ]
+                    buf = buf.at[idx].add(p.astype(buf.dtype), mode="drop")
+                diag = buf[: pat.diag_size].reshape(pat.N, pat.bs, pat.bs)
+                lower = buf[pat.diag_size :].reshape(
+                    max(pat.N - 1, 0), pat.bs, pat.bs
+                )
+                from diffeqgmrfs_tpu.ops.btd import BTD as _BTD
+
+                return _BTD(diag, lower, pat.n)
+            v = vals[:, :, None] * vals[:, None, :]
             return pat.scatter(v.reshape(-1))
 
     Qmu = Q.matvec(mu_prior)

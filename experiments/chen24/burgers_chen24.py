@@ -51,6 +51,8 @@ def parse_cmd():
     p.add_argument("--noise_ic", type=float, default=1e12)
     p.add_argument("--noise_fem", type=float, default=1e18)
     p.add_argument("--dt", type=float, default=0.02)
+    p.add_argument("--pad_block", type=int, default=None,
+                   help="pad spatial block to a multiple (e.g. 128 for MXU tiles)")
     return finalize_args(p.parse_args())
 
 
@@ -107,7 +109,9 @@ def main():
             initial_spde=MaternSPDE(d=1, range=desired_range, smoothness=2),
             spatial_spde=MaternSPDE(d=1, range=desired_range, smoothness=1),
         )
-        u_prior = discretize_advection_diffusion(spde, disc, ts, mean_offset=bulk)
+        u_prior = discretize_advection_diffusion(
+            spde, disc, ts, mean_offset=bulk, pad_block=args.pad_block
+        )
         A_ic = spatial_to_spatiotemporal(
             evaluation_matrix(disc, X_domain), 0, N_t
         )

@@ -215,3 +215,38 @@ def test_product_matern_kron():
     Qt = temporal_matern_precision(t_spde, N_t).toarray()
     Qs = matern_precision_host(s_spde, disc, None).toarray()
     np.testing.assert_allclose(Q, np.kron(Qt, Qs), atol=1e-10)
+
+
+def test_padded_st_prior_equivalent():
+    """pad_block padding must not change posterior means/stds on real dofs."""
+    from diffeqgmrfs_tpu.fem import (
+        periodic_unit_interval_discretization,
+        evaluation_matrix,
+        spatial_to_spatiotemporal,
+    )
+
+    disc = periodic_unit_interval_discretization(7, element_order=2)  # 14 free
+    ts = np.linspace(0, 0.4, 4)
+    xs = np.linspace(0, 1, 15)
+    ic = 0.4 + 0.3 * np.sin(2 * np.pi * xs)
+    c = 20.0
+    spde = AdvectionDiffusionSPDE(
+        d=1, kappa=0.0, alpha=1, gamma=jnp.asarray([-c * float(np.mean(ic))]),
+        c=c, tau=0.1 * np.sqrt(c),
+        spatial_spde=MaternSPDE(d=1, range=0.3, nu=1.5),
+        initial_spde=MaternSPDE(d=1, range=0.3, nu=1.5),
+    )
+    A_ic = spatial_to_spatiotemporal(evaluation_matrix(disc, xs), 0, 4)
+    x_ref = discretize_advection_diffusion(spde, disc, ts, mean_offset=0.4)
+    x_pad = discretize_advection_diffusion(
+        spde, disc, ts, mean_offset=0.4, pad_block=8
+    )
+    assert x_pad.inner_gmrf.precision.bs == 16  # 14 -> 16
+    p_ref = condition_on_observations(x_ref, A_ic, 1e6, jnp.asarray(ic))
+    p_pad = condition_on_observations(x_pad, A_ic, 1e6, jnp.asarray(ic))
+    np.testing.assert_allclose(
+        np.asarray(p_pad.mean()), np.asarray(p_ref.mean()), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_pad.std()), np.asarray(p_ref.std()), rtol=1e-8, atol=1e-11
+    )
