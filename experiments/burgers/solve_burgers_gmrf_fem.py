@@ -38,6 +38,8 @@ def parse_cmd():
     p.add_argument("--n_x_data", type=int, default=129, help="synthetic x points")
     p.add_argument("--mixed_precision", action="store_true",
                    help="f32 MXU factorization + f64 refinement (TPU path)")
+    p.add_argument("--pad_block", type=int, default=None,
+                   help="pad spatial block to a multiple (e.g. 128)")
     return finalize_args(p.parse_args())
 
 
@@ -117,12 +119,21 @@ def main():
     from diffeqgmrfs_tpu.gmrf.conditioning import ata_pattern_cached
     from diffeqgmrfs_tpu.solvers import CholeskySolverBlueprint
 
+    # mixed precision is safe for the GN systems / posterior (the huge
+    # noise_fem term dominates and the equilibrated system stays in f32
+    # range) but NOT for the IC conditioning alone, whose adv-diff prior
+    # spread exceeds f32 — conditioning stays f64.
+    bp_cond = CholeskySolverBlueprint()
     bp = CholeskySolverBlueprint(mixed_precision=args.mixed_precision)
-    affine_st = AffineMap.from_constraint_handler(disc.constraint_handler).replicate(N_t)
+    stride = None
+    if args.pad_block and disc.n_free % args.pad_block:
+        stride = -(-disc.n_free // args.pad_block) * args.pad_block
+    affine_st = AffineMap.from_constraint_handler(disc.constraint_handler).replicate(N_t, stride=stride)
     _, J0 = res.f_and_J(jnp.zeros(N_t * disc.ndofs))
     Jc0 = affine_st.condense_rowop(J0)
     n_free_st = affine_st.n_free
-    gn_pat = ata_pattern_cached(Jc0, n_free_st, disc.n_free).to_device()
+    bs_blk = stride if stride else disc.n_free
+    gn_pat = ata_pattern_cached(Jc0, affine_st.n_free_padded, bs_blk).to_device()
 
     def solve_instance(ic, key, ata_pattern):
         bulk = jnp.mean(ic)
@@ -133,8 +144,12 @@ def main():
             spatial_spde=MaternSPDE(d=1, kappa=kappa, nu=nu_matern),
             initial_spde=MaternSPDE(d=1, kappa=kappa, nu=nu_matern),
         )
-        x = discretize_advection_diffusion(spde, disc, ts, mean_offset=bulk)
-        x_ic = condition_on_observations(x, A_ic, noise_ic, ic, solver_blueprint=bp)
+        x = discretize_advection_diffusion(
+            spde, disc, ts, mean_offset=bulk, pad_block=args.pad_block
+        )
+        x_ic = condition_on_observations(
+            x, A_ic, noise_ic, ic, solver_blueprint=bp_cond
+        )
         ic_pred = E_st.matvec(x_ic.mean()).reshape(N_t, len(x_coords))
         result = gauss_newton_solve(
             x_ic.inner_gmrf.mean(),
