@@ -129,8 +129,11 @@ def main():
     if args.pad_block and disc.n_free % args.pad_block:
         stride = -(-disc.n_free // args.pad_block) * args.pad_block
     affine_st = AffineMap.from_constraint_handler(disc.constraint_handler).replicate(N_t, stride=stride)
-    _, J0 = res.f_and_J(jnp.zeros(N_t * disc.ndofs))
-    Jc0 = affine_st.condense_rowop(J0)
+    # structure-only evaluation: run on the host CPU backend (the
+    # eager TPU path is slow and fault-prone through the relay)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        _, J0 = res.f_and_J(jnp.zeros(N_t * disc.ndofs))
+        Jc0 = affine_st.condense_rowop(J0)
     n_free_st = affine_st.n_free
     bs_blk = stride if stride else disc.n_free
     gn_pat = ata_pattern_cached(Jc0, affine_st.n_free_padded, bs_blk).to_device()

@@ -139,8 +139,11 @@ def main():
         import gc
 
         gc.collect()
-        _, J0 = res.f_and_J(jnp.zeros(N_t * disc.ndofs))
-        Jc0 = affine.condense_rowop(J0)
+        # structure-only evaluation: run on the host CPU backend (the
+        # eager TPU path is slow and fault-prone through the relay)
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            _, J0 = res.f_and_J(jnp.zeros(N_t * disc.ndofs))
+            Jc0 = affine.condense_rowop(J0)
         gn_pat = ata_pattern_cached(Jc0, Q_ic.n, Q_ic.bs).to_device()
         mu_dev, Q_dev = jax.device_put((mu_ic, Q_ic))
 
