@@ -80,11 +80,17 @@ class GMRF:
     # -- factorization -------------------------------------------------------
 
     def _make_factor(self):
+        gemm = getattr(self.blueprint, "gemm_solves", False)
         if getattr(self.blueprint, "mixed_precision", False):
             from diffeqgmrfs_tpu.ops.refine import MixedPrecisionFactor
 
-            return MixedPrecisionFactor(self.precision)
-        return btd_cholesky(self.precision)
+            return MixedPrecisionFactor(self.precision, gemm_solves=gemm)
+        F = btd_cholesky(self.precision)
+        if gemm:
+            from diffeqgmrfs_tpu.ops.inverse_solver import BTDInverseSolver
+
+            return BTDInverseSolver.from_factor(F)
+        return F
 
     def factorize(self) -> "GMRF":
         if self.factor is not None:

@@ -30,18 +30,24 @@ from diffeqgmrfs_tpu.ops.cholesky import BTDCholesky
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class BTDInverseSolver:
-    """Solve-optimized form of a BTDCholesky factor."""
+    """Solve-optimized form of a BTDCholesky factor.
+
+    `logdet` carries log det A (A = L L^T) so the GEMM form is a drop-in
+    factor for NLL computations; diag(L) is not recoverable from W = L^{-1}
+    without a second triangular read, so it is captured at conversion time.
+    """
 
     Ws: jnp.ndarray  # [N, bs, bs] = L_i^{-1} (lower triangular)
     Cs: jnp.ndarray  # [N-1, bs, bs]
     n: int
+    logdet: jnp.ndarray | None = None
 
     def tree_flatten(self):
-        return (self.Ws, self.Cs), (self.n,)
+        return (self.Ws, self.Cs, self.logdet), (self.n,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0])
+        return cls(children[0], children[1], aux[0], children[2])
 
     @property
     def N(self):
@@ -51,13 +57,29 @@ class BTDInverseSolver:
     def bs(self):
         return self.Ws.shape[1]
 
+    @property
+    def dtype(self):
+        return self.Ws.dtype
+
     @classmethod
     def from_factor(cls, F: BTDCholesky) -> "BTDInverseSolver":
-        eye = jnp.eye(F.bs, dtype=F.dtype)
-        Ws = lax.linalg.triangular_solve(
-            F.Ls, jnp.broadcast_to(eye, F.Ls.shape), left_side=True, lower=True
-        )
-        return cls(Ws, F.Cs, F.n)
+        with jax.default_matmul_precision("float32"):
+            eye = jnp.eye(F.bs, dtype=F.dtype)
+            Ws = lax.linalg.triangular_solve(
+                F.Ls, jnp.broadcast_to(eye, F.Ls.shape), left_side=True, lower=True
+            )
+        return cls(Ws, F.Cs, F.n, F.log_det())
+
+    def log_det(self):
+        """log det A, captured from the originating factor."""
+        if self.logdet is None:
+            # fallback: log det A = -2 sum log diag(W) (W_i = L_i^{-1})
+            d = jnp.diagonal(self.Ws, axis1=-2, axis2=-1)
+            return -2.0 * jnp.sum(jnp.log(d))
+        return self.logdet
+
+    def nnz(self) -> int:
+        return int(self.Ws.size + self.Cs.size)
 
     def _to_blocks(self, b):
         b = jnp.asarray(b)

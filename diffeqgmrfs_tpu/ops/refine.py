@@ -55,7 +55,7 @@ class RefinedFactor:
         obj.refine_iters = aux[0]
         return obj
 
-    def __init__(self, H: BTD, refine_iters: int = 3):
+    def __init__(self, H: BTD, refine_iters: int = 3, gemm_solves: bool = False):
         # only the SCALED f64 operator is kept (for refinement residuals);
         # holding the unscaled H as well doubles resident HBM at production
         # sizes (~3 GB per copy for Burgers N_x=1000)
@@ -66,6 +66,10 @@ class RefinedFactor:
             self.Hs.n,
         )
         self.F32 = btd_cholesky(Hs32)
+        if gemm_solves:
+            from diffeqgmrfs_tpu.ops.inverse_solver import BTDInverseSolver
+
+            self.F32 = BTDInverseSolver.from_factor(self.F32)
         self.refine_iters = refine_iters
 
     def _solve_scaled(self, b):
@@ -209,8 +213,8 @@ class MixedPrecisionFactor:
         obj.n = aux[0]
         return obj
 
-    def __init__(self, H: BTD, refine_iters: int = 3):
-        self._rf = RefinedFactor(H, refine_iters)
+    def __init__(self, H: BTD, refine_iters: int = 3, gemm_solves: bool = False):
+        self._rf = RefinedFactor(H, refine_iters, gemm_solves=gemm_solves)
         self.n = H.n
 
     @property

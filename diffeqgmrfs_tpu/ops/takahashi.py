@@ -25,9 +25,16 @@ from jax import lax
 from diffeqgmrfs_tpu.ops.cholesky import BTDCholesky
 
 
-def takahashi_diag(F: BTDCholesky):
-    """Diagonal of A^{-1} (marginal variances), [n]."""
+def takahashi_diag(F):
+    """Diagonal of A^{-1} (marginal variances), [n].
+
+    Accepts a `BTDCholesky` (triangular inverses computed per step) or a
+    `BTDInverseSolver` (the W_i = L_i^{-1} blocks it already holds are
+    reused — the selected inversion and the GEMM-only solve form share
+    those inverses)."""
     with jax.default_matmul_precision("float32"):
+        if hasattr(F, "Ws"):  # BTDInverseSolver: inverses precomputed
+            return takahashi_diag_from_inverses(F.Ws, F.Cs, F.n)
         return _takahashi_diag(F)
 
 
@@ -58,3 +65,22 @@ def _takahashi_diag(F: BTDCholesky):
     else:
         all_diag = jnp.diagonal(Sigma_N)[None]
     return all_diag.reshape(-1)[: F.n]
+
+
+def takahashi_diag_from_inverses(Ws, Cs, n):
+    """Same recursion with precomputed W_i = L_i^{-1}: GEMM-only per step."""
+    N = Ws.shape[0]
+    Sigma_N = Ws[-1].T @ Ws[-1]
+
+    def step(Sigma_next, inp):
+        W, C_i = inp
+        G = C_i @ W
+        Sigma_i = W.T @ W + G.T @ (Sigma_next @ G)
+        return Sigma_i, jnp.diagonal(Sigma_i)
+
+    if N > 1:
+        _, diags = lax.scan(step, Sigma_N, (Ws[:-1], Cs), reverse=True)
+        all_diag = jnp.concatenate([diags, jnp.diagonal(Sigma_N)[None]], axis=0)
+    else:
+        all_diag = jnp.diagonal(Sigma_N)[None]
+    return all_diag.reshape(-1)[:n]

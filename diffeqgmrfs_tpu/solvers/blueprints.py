@@ -47,12 +47,20 @@ class CholeskySolverBlueprint:
 
     mixed_precision=True factors in f32 on the MXU with f64 iterative
     refinement for mean solves (ops/refine.py) — the TPU production path.
+
+    gemm_solves=True converts the factor to GEMM-only solve form
+    (ops/inverse_solver.py: W_i = L_i^{-1} precomputed once; every
+    substitution step becomes a pure matmul, and Takahashi variances reuse
+    the same inverses). Worth it whenever a factor serves many solves —
+    sampling, RBMC probes, refinement loops — since TRSM runs ~6x below
+    MXU GEMM throughput on v5e.
     """
 
     var_strategy: VarianceStrategy = field(default_factory=TakahashiStrategy)
     perm: object = None  # accepted for parity; orderings are structural here
     compute_variance: bool = True
     mixed_precision: bool = False
+    gemm_solves: bool = False
 
 
 @dataclass(frozen=True)

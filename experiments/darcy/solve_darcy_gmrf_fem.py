@@ -38,6 +38,9 @@ def parse_cmd():
     p.add_argument("--batch", type=int, default=1, help="vmap batch size")
     p.add_argument("--mixed_precision", action="store_true",
                    help="f32 MXU factorization + f64 refinement (TPU path)")
+    p.add_argument("--gemm_solves", action="store_true",
+                   help="GEMM-only solve form (W_i = L_i^{-1} precomputed; "
+                        "sampling/variance/refinement ride pure matmuls)")
     return finalize_args(p.parse_args())
 
 
@@ -132,7 +135,9 @@ def main():
 
     from diffeqgmrfs_tpu.solvers import CholeskySolverBlueprint
 
-    bp = CholeskySolverBlueprint(mixed_precision=args.mixed_precision)
+    bp = CholeskySolverBlueprint(
+        mixed_precision=args.mixed_precision, gemm_solves=args.gemm_solves
+    )
 
     def solve_instance(prior_arg, pattern, coeff, key):
         A, ys = obs(coeff)

@@ -250,3 +250,47 @@ def test_padded_st_prior_equivalent():
     np.testing.assert_allclose(
         np.asarray(p_pad.std()), np.asarray(p_ref.std()), rtol=1e-8, atol=1e-11
     )
+
+
+def test_gemm_solves_blueprint_matches_default():
+    """gemm_solves=True factor (BTDInverseSolver) is a drop-in: same mean
+    solve, Takahashi variance (shared inverses), log-det, and sample law."""
+    from diffeqgmrfs_tpu.solvers import CholeskySolverBlueprint
+
+    x = small_gmrf(jax.random.PRNGKey(21))
+    xg = GMRF(
+        x.mu, x.precision, blueprint=CholeskySolverBlueprint(gemm_solves=True)
+    )
+    b = jnp.asarray(np.random.default_rng(1).normal(size=x.n))
+    np.testing.assert_allclose(
+        np.asarray(xg.solve(b)), np.asarray(x.solve(b)), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(xg.variance()), np.asarray(x.variance()), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        float(xg.log_det_precision()), float(x.log_det_precision()), rtol=1e-12
+    )
+    # identical key -> identical sample (both apply L^{-T} to the same z)
+    s_ref = x.sample(jax.random.PRNGKey(3), 4)
+    s_gem = xg.sample(jax.random.PRNGKey(3), 4)
+    np.testing.assert_allclose(np.asarray(s_gem), np.asarray(s_ref), atol=1e-9)
+
+
+def test_gemm_solves_mixed_precision():
+    """gemm_solves composes with the mixed-precision factor."""
+    from diffeqgmrfs_tpu.solvers import CholeskySolverBlueprint
+
+    x = small_gmrf(jax.random.PRNGKey(22))
+    bp = CholeskySolverBlueprint(mixed_precision=True, gemm_solves=True)
+    xm = GMRF(x.mu, x.precision, blueprint=bp)
+    b = jnp.asarray(np.random.default_rng(2).normal(size=x.n))
+    np.testing.assert_allclose(
+        np.asarray(xm.solve(b)), np.asarray(x.solve(b)), rtol=1e-8, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(xm.variance()), np.asarray(x.variance()), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(xm.log_det_precision()), float(x.log_det_precision()), rtol=1e-5
+    )
