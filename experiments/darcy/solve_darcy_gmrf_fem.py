@@ -38,6 +38,10 @@ def parse_cmd():
     p.add_argument("--batch", type=int, default=1, help="vmap batch size")
     p.add_argument("--mixed_precision", action="store_true",
                    help="f32 MXU factorization + f64 refinement (TPU path)")
+    p.add_argument("--nll", action="store_true",
+                   help="per-instance calibration: sqmahal + NLL of the "
+                        "posterior at the dof-interpolated true solution "
+                        "(analog of solve_burgers_gmrf-collocation.jl:200-215)")
     p.add_argument("--gemm_solves", action="store_true",
                    help="GEMM-only solve form (W_i = L_i^{-1} precomputed; "
                         "sampling/variance/refinement ride pure matmuls)")
@@ -139,7 +143,18 @@ def main():
         mixed_precision=args.mixed_precision, gemm_solves=args.gemm_solves
     )
 
-    def solve_instance(prior_arg, pattern, coeff, key):
+    # Calibration target: true solution interpolated into dof space by
+    # conditioning the prior on the full evaluation grid at precision 1e12
+    # (the Burgers-collocation driver's construction,
+    # `solve_burgers_gmrf-collocation.jl:200-215`).
+    pat_E = None
+    if args.nll:
+        E_c = prior.affine.condense_rowop(E) if hasattr(prior, "affine") else E
+        pat_E = ata_pattern_cached(
+            E_c, inner_prior.precision.n, inner_prior.precision.bs
+        ).to_device()
+
+    def solve_instance(prior_arg, pattern, pattern_E, coeff, key, soln_flat):
         A, ys = obs(coeff)
         post = condition_on_observations(
             prior_arg, A, Q_eps, ys, solver_blueprint=bp, pattern=pattern
@@ -147,32 +162,45 @@ def main():
         pred = E.matvec(post.mean()).reshape(ny, nx)
         std = post.std()
         smp = post.sample(key, 1)
-        return pred, std, smp
+        if args.nll:
+            x_soln = condition_on_observations(
+                prior_arg, E, 1e12, soln_flat, pattern=pattern_E
+            )
+            soln_full = x_soln.mean()
+            sqm = post.sqmahal(soln_full)
+            inner = post.inner_gmrf if hasattr(post, "inner_gmrf") else post
+            nll = 0.5 * (
+                inner.n * jnp.log(2 * jnp.pi) + sqm - post.log_det_precision()
+            )
+        else:
+            sqm = nll = jnp.zeros(())
+        return pred, std, smp, sqm, nll
 
     _solve = jax.jit(solve_instance)
 
-    def solve_jit(coeff, key):
-        return _solve(prior_dev, pat, coeff, key)
+    def solve_jit(coeff, key, soln_flat):
+        return _solve(prior_dev, pat, pat_E, coeff, key, soln_flat)
 
-    def _solve_batch(vsolve, prior_arg, pattern, coeffs, keys):
-        return vsolve(prior_arg, pattern, coeffs, keys)
+    def _solve_batch(vsolve, prior_arg, pattern, pattern_E, coeffs, keys, solns):
+        return vsolve(prior_arg, pattern, pattern_E, coeffs, keys, solns)
 
     # warm-up compile (reference "Trigger precompilation")
     key = jax.random.PRNGKey(523802340)
-    coeff0 = jnp.asarray(ds.get_problem(0)[1])
+    soln0, coeff0 = (jnp.asarray(v) for v in ds.get_problem(0))
     with to("Conditioning + Node reordering"):
-        out = solve_jit(coeff0, key)
+        out = solve_jit(coeff0, key, soln0.reshape(-1))
         to.sync(out[0])
     mat_nnz = prior.precision_map().nnz() if hasattr(prior, "precision_map") else 0
 
     N = 3 if args.dry_run else len(ds)
     rel_errs, rmses, max_errs, std_norms = [], [], [], []
+    sqmahals, nlls = [], []
     cond_times = []
     if args.batch > 1:
         # DP: vmap the whole posterior pipeline over instance batches — the
         # chip-saturation axis (SURVEY.md §2.4); replaces the serial loop.
         vsolve = jax.jit(
-            jax.vmap(solve_instance, in_axes=(None, None, 0, 0))
+            jax.vmap(solve_instance, in_axes=(None, None, None, 0, 0, 0))
         )
         for start in range(0, N, args.batch):
             idxs = list(range(start, min(start + args.batch, N)))
@@ -182,9 +210,15 @@ def main():
                          + [ds.get_problem(idxs[-1])[1]] * pad)
             )
             keys = jax.random.split(jax.random.fold_in(key, start), args.batch)
+            solns = jnp.asarray(
+                np.stack([np.asarray(ds.get_problem(i)[0]).reshape(-1) for i in idxs]
+                         + [np.asarray(ds.get_problem(idxs[-1])[0]).reshape(-1)] * pad)
+            )
             cur = PhaseTimers()
             with cur("Conditioning"):
-                pred, std, smp = _solve_batch(vsolve, prior_dev, pat, coeffs, keys)
+                pred, std, smp, sqm, nll = _solve_batch(
+                    vsolve, prior_dev, pat, pat_E, coeffs, keys, solns
+                )
                 cur.sync(pred)
             for j, i in enumerate(idxs):
                 soln = jnp.asarray(ds.get_problem(i)[0])
@@ -192,6 +226,9 @@ def main():
                 rmses.append(float(rmse(pred[j], soln)))
                 max_errs.append(float(max_err(pred[j], soln)))
                 std_norms.append(float(jnp.linalg.norm(std[j])))
+                if args.nll:
+                    sqmahals.append(float(sqm[j]))
+                    nlls.append(float(nll[j]))
                 log.info("instance %d: rel_err=%.3e", i, rel_errs[-1])
             cond_times.append(cur.time("Conditioning"))
     else:
@@ -199,14 +236,18 @@ def main():
             soln, coeff = ds.get_problem(i)
             cur = PhaseTimers()
             with cur("Conditioning"):
-                pred, std, smp = solve_jit(
-                    jnp.asarray(coeff), jax.random.fold_in(key, i)
+                pred, std, smp, sqm, nll = solve_jit(
+                    jnp.asarray(coeff), jax.random.fold_in(key, i),
+                    jnp.asarray(np.asarray(soln).reshape(-1)),
                 )
                 cur.sync(pred, std, smp)
             rel_errs.append(float(rel_err(pred, jnp.asarray(soln))))
             rmses.append(float(rmse(pred, jnp.asarray(soln))))
             max_errs.append(float(max_err(pred, jnp.asarray(soln))))
             std_norms.append(float(jnp.linalg.norm(std)))
+            if args.nll:
+                sqmahals.append(float(sqm))
+                nlls.append(float(nll))
             cond_times.append(cur.time("Conditioning"))
             log.info("instance %d: rel_err=%.3e", i, rel_errs[-1])
             if (i + 1) % 10 == 0:
@@ -217,6 +258,8 @@ def main():
         rmses=rmses,
         max_errs=max_errs,
         std_norms=std_norms,
+        sqmahals=sqmahals,
+        nlls=nlls,
         conditioning_times=cond_times,
         mat_nnz=mat_nnz,
         timers=to.as_dict(),
