@@ -83,10 +83,35 @@ class RowOp:
         return jnp.einsum("rk,...rk->...r", self.vals, x[..., self.cols])
 
     def rmatvec(self, y):
-        """A^T @ y, y [n_rows] -> [n_cols]."""
-        out = jnp.zeros(self.n_cols, dtype=self.vals.dtype)
-        contrib = self.vals * jnp.asarray(y)[:, None]
-        return out.at[self.cols.reshape(-1)].add(contrib.reshape(-1))
+        """A^T @ y, y [..., n_rows] -> [..., n_cols] (batched)."""
+        y = jnp.asarray(y)
+        contrib = self.vals * y[..., :, None]  # [..., n_rows, K]
+        out = jnp.zeros(y.shape[:-1] + (self.n_cols,), dtype=self.vals.dtype)
+        cols = jnp.asarray(self.cols).reshape(-1)
+        return out.at[..., cols].add(
+            contrib.reshape(*contrib.shape[:-2], -1)
+        )
+
+    @classmethod
+    def from_csr(cls, M, dtype=None) -> "RowOp":
+        """Symmetric/general scipy CSR -> padded-row (ELL) RowOp.
+
+        The compact f64 representation of a sparse precision for OPERATOR
+        application (refinement residuals, sqmahal, RBMC probes): ~nnz
+        storage instead of the block-dense BTD (which at production Darcy
+        sizes is the difference between ~0.5 GB and ~11 GB resident)."""
+        M = M.tocsr()
+        n_rows, n_cols = M.shape
+        counts = np.diff(M.indptr)
+        K = int(counts.max()) if n_rows else 0
+        cols = np.zeros((n_rows, K), dtype=np.int32)
+        vals = np.zeros((n_rows, K), dtype=np.asarray(M.data).dtype)
+        r = np.repeat(np.arange(n_rows), counts)
+        k = np.arange(len(M.data)) - np.repeat(M.indptr[:-1], counts)
+        cols[r, k] = M.indices
+        vals[r, k] = M.data
+        v = jnp.asarray(vals, dtype=dtype) if dtype else jnp.asarray(vals)
+        return cls(cols, v, n_cols)
 
     def scale_rows(self, s):
         return RowOp(self.cols, self.vals * jnp.asarray(s)[:, None], self.n_cols)

@@ -1,6 +1,7 @@
 from diffeqgmrfs_tpu.gmrf.affine import AffineMap
 from diffeqgmrfs_tpu.gmrf.gmrf import (
     GMRF,
+    CompactGMRF,
     ConcreteConstantMeshSTGMRF,
     ImplicitEulerConstantMeshSTGMRF,
     ConstrainedGMRF,

@@ -85,6 +85,31 @@ def condition_on_observations(
         )
         return ConstrainedGMRF(inner, x.affine)
 
+    from diffeqgmrfs_tpu.gmrf.gmrf import CompactGMRF
+
+    if isinstance(x, CompactGMRF):
+        # Production-memory path: posterior precision stays in OPERATOR form
+        # (SymSumOp), only the f32 equilibrated factor is materialized.
+        from diffeqgmrfs_tpu.ops.refine import SymSumOp, MatFreeConditionFactor
+
+        tau64 = jnp.asarray(precision, dtype=x.precision64.vals.dtype)
+        H_op = SymSumOp(x.precision64, A, tau64, diag_Q=x.diag64)
+        pat = (
+            pattern
+            if pattern is not None
+            else ata_pattern_cached(A, x.precision.n, x.precision.bs)
+        )
+        factor = MatFreeConditionFactor(
+            x.precision,
+            H_op,
+            pat,
+            gemm_solves=getattr(bp, "gemm_solves", False),
+        )
+        rhs = x.precision64.matvec(x.mu) + tau64 * A.rmatvec(
+            jnp.asarray(y, dtype=tau64.dtype)
+        )
+        return GMRF(factor.solve(rhs), H_op, factor, bp)
+
     Q = x.precision
     tau = jnp.asarray(precision, dtype=Q.dtype)
     Q_new = add_ata(Q, A, tau, pattern=pattern)

@@ -154,6 +154,43 @@ class GMRF:
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
+class CompactGMRF(GMRF):
+    """Spatial GMRF in production-memory form: `precision` is the f32 BTD
+    (factorization storage) while `precision64` holds the same matrix as a
+    compact padded-row (ELL) RowOp in f64 for operator application —
+    refinement residuals, exact rhs/sqmahal, RBMC probes.
+
+    At Darcy production sizes the f64 BTD of the precision is ~6x the ELL
+    footprint (dense [bs, bs] blocks vs ~nnz rows), and conditioning through
+    `MatFreeConditionFactor` keeps only the f32 factor resident."""
+
+    precision64: object = None  # RowOp (ELL, f64)
+    diag64: jnp.ndarray = None  # diag of the f64 precision (host-precomputed:
+    # RowOp cols turn into tracers through jit signatures, so the diagonal
+    # cannot be extracted structurally inside a trace)
+
+    def tree_flatten(self):
+        return (
+            self.mu,
+            self.precision,
+            self.factor,
+            self.precision64,
+            self.diag64,
+        ), (self.blueprint,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(
+            children[0], children[1], children[2], aux[0], children[3], children[4]
+        )
+
+    def sqmahal(self, v):
+        d = jnp.asarray(v) - self.mu
+        return jnp.dot(d, self.precision64.matvec(d))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
 class ConcreteConstantMeshSTGMRF(GMRF):
     """Spatiotemporal GMRF on a fixed spatial mesh x time grid.
 

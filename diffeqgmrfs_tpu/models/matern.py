@@ -161,20 +161,35 @@ def discretize_matern(
     disc: FEMDiscretization,
     solver_blueprint=None,
     bs: int | None = None,
+    compact: bool = False,
 ):
     """FEM-discretize a Matérn SPDE into a GMRF prior.
 
     Analog of `GaussianMarkovRandomFields.discretize(spde, disc)`
     (`/root/reference/scripts/darcy/solve_darcy_gmrf-fem.jl:94`). Returns a
     `ConstrainedGMRF` when the discretization carries constraints.
+
+    compact=True returns a `CompactGMRF`: f32 BTD for factorization + f64
+    ELL operator for exact application — the production-memory path (the
+    f64 BTD at Darcy N_xy=300 is ~11 GB; the ELL is ~0.5 GB).
     """
     bp = solver_blueprint or DEFAULT_BLUEPRINT
     affine = AffineMap.from_constraint_handler(disc.constraint_handler)
     has_constraints = len(affine.prescribed_dofs) > 0
     Q = matern_precision_host(spde, disc, affine if has_constraints else None)
-    Qb = csr_to_btd(Q, bs=bs)
-    mu = jnp.zeros(Q.shape[0], dtype=Qb.dtype)
-    inner = GMRF(mu, Qb, None, bp)
+    if compact:
+        from diffeqgmrfs_tpu.fem.operators import RowOp
+        from diffeqgmrfs_tpu.gmrf.gmrf import CompactGMRF
+
+        Qb32 = csr_to_btd(Q, bs=bs, dtype=jnp.float32)
+        Q64 = RowOp.from_csr(Q, dtype=jnp.float64)
+        diag64 = jnp.asarray(Q.diagonal(), dtype=jnp.float64)
+        mu = jnp.zeros(Q.shape[0], dtype=jnp.float64)
+        inner = CompactGMRF(mu, Qb32, None, bp, Q64, diag64)
+    else:
+        Qb = csr_to_btd(Q, bs=bs)
+        mu = jnp.zeros(Q.shape[0], dtype=Qb.dtype)
+        inner = GMRF(mu, Qb, None, bp)
     if has_constraints:
         return ConstrainedGMRF(inner, affine)
     return inner

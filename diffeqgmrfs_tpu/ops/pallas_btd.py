@@ -75,19 +75,25 @@ def _sweep(kernel, Ws, Cs, b, reverse: bool, interpret: bool):
         c_arr = jnp.concatenate([jnp.zeros((1, bs, bs), dtype=Cs.dtype), Cs], 0)
         idx = lambda i: (i, 0, 0)
 
-    return pl.pallas_call(
-        kernel,
-        grid=(N,),
-        in_specs=[
-            pl.BlockSpec((1, bs, bs), idx),
-            pl.BlockSpec((1, bs, bs), idx),
-            pl.BlockSpec((1, bs, k), idx),
-        ],
-        out_specs=pl.BlockSpec((1, bs, k), idx),
-        out_shape=jax.ShapeDtypeStruct((N, bs, k), dtype),
-        scratch_shapes=[pltpu.VMEM((bs, k), dtype)],
-        interpret=interpret,
-    )(Ws, c_arr, b)
+    # Mosaic kernels traced with jax_enable_x64=True fail remote (AOT)
+    # compilation (tpu_compile_helper exit 1, verified by bisection: the
+    # identical kernel compiles with x64 off). The sweep is all-f32, so
+    # trace the pallas_call with x64 locally disabled — outer f64 program
+    # semantics are unaffected (tracers keep their dtypes).
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            grid=(N,),
+            in_specs=[
+                pl.BlockSpec((1, bs, bs), idx),
+                pl.BlockSpec((1, bs, bs), idx),
+                pl.BlockSpec((1, bs, k), idx),
+            ],
+            out_specs=pl.BlockSpec((1, bs, k), idx),
+            out_shape=jax.ShapeDtypeStruct((N, bs, k), dtype),
+            scratch_shapes=[pltpu.VMEM((bs, k), dtype)],
+            interpret=interpret,
+        )(Ws, c_arr, b)
 
 
 def pallas_forward_solve(Ws, Cs, b, interpret: bool = False):

@@ -121,24 +121,9 @@ class MatFreeRefinedFactor:
         self.Jc = Jc
         self.tau = tau
         self.refine_iters = refine_iters
-        # f64 diagonal of H: diag(J^T J)_j = sum_r (sum_{slots of col j} v)^2.
-        # Rows carry DUPLICATE column slots (stacked operators share columns),
-        # so values must be merged per (row, col) before squaring.
-        import numpy as np_
-
-        cols_np = np_.asarray(Jc.cols)
-        n_rows, K = cols_np.shape
-        keys = (
-            np_.repeat(np_.arange(n_rows, dtype=np_.int64), K) * Q.n
-            + cols_np.reshape(-1).astype(np_.int64)
-        )
-        uniq, inv = np_.unique(keys, return_inverse=True)
-        merged_col = (uniq % Q.n).astype(np_.int32)
-        merged = jnp.zeros(len(uniq), dtype=Q.dtype).at[inv].add(
-            Jc.vals.reshape(-1)
-        )
-        colsq = jnp.zeros(Q.n, dtype=Q.dtype).at[merged_col].add(merged**2)
-        diagH = Q.diagonal() + tau * colsq
+        # f64 diagonal of H: diag(J^T J)_j = sum_r (sum_{slots of col j} v)^2
+        # (duplicate column slots merged per row — rowop_col_sumsq).
+        diagH = Q.diagonal() + tau * rowop_col_sumsq(Jc, Q.n)
         self.d = jnp.sqrt(diagH)
         dinv = 1.0 / self.d
         # scaled system assembled in f64 (accumulated into the scaled-Q
@@ -175,6 +160,172 @@ class MatFreeRefinedFactor:
 
     def matvec_H(self, x):
         return self._apply_H(x)
+
+
+def rowop_col_sumsq(A, n):
+    """diag(A^T A) with duplicate (row, col) slots merged before squaring.
+
+    Rows of stacked operators may carry the same column in several slots;
+    sum-then-square per (row, col) is required for the true diagonal."""
+    import numpy as np_
+
+    cols_np = np_.asarray(A.cols)
+    n_rows, K = cols_np.shape
+    keys = (
+        np_.repeat(np_.arange(n_rows, dtype=np_.int64), K) * n
+        + cols_np.reshape(-1).astype(np_.int64)
+    )
+    uniq, inv = np_.unique(keys, return_inverse=True)
+    merged_col = (uniq % n).astype(np_.int32)
+    merged = jnp.zeros(len(uniq), dtype=A.vals.dtype).at[inv].add(
+        A.vals.reshape(-1)
+    )
+    return jnp.zeros(n, dtype=A.vals.dtype).at[merged_col].add(merged**2)
+
+
+@jax.tree_util.register_pytree_node_class
+class SymSumOp:
+    """H = Q + tau A^T A in pure operator form (f64 action, no BTD storage).
+
+    The posterior precision of a conditioned `CompactGMRF`: `Q` is the
+    prior precision as a symmetric padded-row (ELL) RowOp, `A` the
+    observation RowOp. Provides the duck-typed surface GMRF queries use of
+    a precision (`matvec`, `diagonal`, `n`, `nnz`)."""
+
+    def __init__(self, Q, A, tau, diag_Q=None):
+        self.Q = Q
+        self.A = A
+        self.tau = tau
+        if diag_Q is None:  # slots with cols[r,k] == r hold the diagonal
+            import numpy as np_
+
+            mask = np_.asarray(Q.cols) == np_.arange(Q.n_cols)[:, None]
+            diag_Q = jnp.sum(Q.vals * jnp.asarray(mask, dtype=Q.vals.dtype), axis=1)
+        self.diag_Q = diag_Q
+
+    def tree_flatten(self):
+        return (self.Q, self.A, self.tau, self.diag_Q), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.Q, obj.A, obj.tau, obj.diag_Q = children
+        return obj
+
+    @property
+    def n(self):
+        return self.Q.n_cols
+
+    @property
+    def dtype(self):
+        return self.Q.vals.dtype
+
+    def matvec(self, x):
+        return self.Q.matvec(x) + self.tau * self.A.rmatvec(self.A.matvec(x))
+
+    def diagonal(self):
+        return self.diag_Q + self.tau * rowop_col_sumsq(self.A, self.n)
+
+    def nnz(self) -> int:
+        return int(self.Q.vals.size + self.A.vals.size)
+
+
+@jax.tree_util.register_pytree_node_class
+class MatFreeConditionFactor:
+    """Mixed-precision factor of H = Q + tau A^T A keeping only the f32
+    equilibrated BTD factor + compact operators resident.
+
+    The production-scale conditioning path (Darcy N_xy=300: the f64 BTD of
+    H alone is ~11 GB; here resident HBM is the f32 factor (~3.7 GB) plus
+    ~0.5 GB of ELL operators):
+
+      d        = sqrt(diag Q (f64 vector) + tau colsumsq(A))
+      H~32     = scale(Q32_btd, 1/d) + scatter((sqrt(tau)/d ∘ A)^T (..))    [f32]
+      F32      = btd_cholesky(H~32)
+      solve    : f64 iterative refinement, residuals through the OPERATOR
+                 H x = Q x + tau A^T (A x)  (ELL gathers, never materialized)
+
+    Same drop-in surface as MixedPrecisionFactor."""
+
+    def tree_flatten(self):
+        return (self.H_op, self.d, self.F32), (self.refine_iters, self.n)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.H_op, obj.d, obj.F32 = children
+        obj.refine_iters, obj.n = aux
+        return obj
+
+    def __init__(
+        self,
+        Q32: BTD,
+        H_op: SymSumOp,
+        pattern,
+        refine_iters: int = 3,
+        gemm_solves: bool = False,
+    ):
+        self.H_op = H_op
+        self.n = Q32.n
+        self.refine_iters = refine_iters
+        diagH = H_op.diagonal()  # f64
+        self.d = jnp.sqrt(diagH)
+        dinv32 = (1.0 / self.d).astype(jnp.float32)
+        Qs32, _ = _scale_btd(Q32, dinv32)
+        A_scaled = H_op.A.scale(jnp.sqrt(H_op.tau).astype(jnp.float64))
+        Av32 = (
+            A_scaled.vals * (1.0 / self.d)[jnp.asarray(H_op.A.cols)]
+        ).astype(jnp.float32)
+        from diffeqgmrfs_tpu.fem.operators import RowOp
+
+        A32 = RowOp(H_op.A.cols, Av32, Q32.n)
+        H32 = Qs32 + pattern.scatter(A32.ata_values())
+        H32 = _unit_pad(H32)
+        self.F32 = btd_cholesky(H32)
+        if gemm_solves:
+            from diffeqgmrfs_tpu.ops.inverse_solver import BTDInverseSolver
+
+            self.F32 = BTDInverseSolver.from_factor(self.F32)
+
+    @property
+    def dtype(self):
+        return self.H_op.dtype
+
+    def _apply_Hs(self, y):
+        return self.H_op.matvec(y / self.d) / self.d
+
+    def _solve32(self, b):
+        return self.F32.solve(b.astype(jnp.float32)).astype(self.dtype)
+
+    def solve(self, b):
+        b = jnp.asarray(b)
+        bs = b / self.d
+        y = self._solve32(bs)
+        for _ in range(self.refine_iters):
+            y = y + self._solve32(bs - self._apply_Hs(y))
+        return y / self.d
+
+    def backward_solve(self, b):
+        y = self.F32.backward_solve(jnp.asarray(b).astype(jnp.float32))
+        return y.astype(self.dtype) * (1.0 / self.d)
+
+    def sample_zero_mean(self, key, n_samples: int = 1):
+        y = self.F32.sample_zero_mean(key, n_samples).astype(self.dtype)
+        return y * (1.0 / self.d)[None, :]
+
+    def variance_diag(self):
+        from diffeqgmrfs_tpu.ops.takahashi import takahashi_diag
+
+        v = takahashi_diag(self.F32).astype(self.dtype)
+        return v / (self.d**2)
+
+    def log_det(self):
+        return self.F32.log_det().astype(self.dtype) + 2.0 * jnp.sum(
+            jnp.log(self.d)
+        )
+
+    def nnz(self) -> int:
+        return self.F32.nnz()
 
 
 def _scale_btd(H: BTD, dinv):

@@ -42,6 +42,9 @@ def parse_cmd():
                    help="per-instance calibration: sqmahal + NLL of the "
                         "posterior at the dof-interpolated true solution "
                         "(analog of solve_burgers_gmrf-collocation.jl:200-215)")
+    p.add_argument("--compact", action="store_true",
+                   help="production-memory prior: f32 BTD factor + f64 ELL "
+                        "operator (CompactGMRF / MatFreeConditionFactor)")
     p.add_argument("--gemm_solves", action="store_true",
                    help="GEMM-only solve form (W_i = L_i^{-1} precomputed; "
                         "sampling/variance/refinement ride pure matmuls)")
@@ -111,7 +114,7 @@ def main():
         E = evaluation_matrix(disc, pts)
     with to("Prior construction"):
         spde = MaternSPDE(d=2, range=1 / np.sqrt(args.N_xy), smoothness=2)
-        prior = discretize_matern(spde, disc)
+        prior = discretize_matern(spde, disc, compact=args.compact)
     obs = DarcyFEMObservations(
         disc,
         ds.x_coords,

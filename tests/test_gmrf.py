@@ -16,6 +16,7 @@ from diffeqgmrfs_tpu.fem import (
     interval_discretization,
     periodic_unit_interval_discretization,
     unit_square_discretization,
+    uniform_unit_square_discretization,
     evaluation_matrix,
 )
 from diffeqgmrfs_tpu.gmrf.affine import AffineMap
@@ -293,4 +294,64 @@ def test_gemm_solves_mixed_precision():
     )
     np.testing.assert_allclose(
         float(xm.log_det_precision()), float(x.log_det_precision()), rtol=1e-5
+    )
+
+
+def test_compact_gmrf_conditioning_matches_f64():
+    """CompactGMRF (f32 BTD + f64 ELL, MatFreeConditionFactor) reproduces
+    the f64 BTD conditioning path: mean to refinement accuracy, variance to
+    f32, log-det, sqmahal; all inside jit with the prior as an argument."""
+    from diffeqgmrfs_tpu.models import discretize_matern
+    from diffeqgmrfs_tpu.gmrf.conditioning import ata_pattern_cached
+
+    disc = uniform_unit_square_discretization(8, element_order=2, use_dirichlet_bc=True)
+    spde = MaternSPDE(d=2, range=0.35, smoothness=2)
+    prior = discretize_matern(spde, disc)
+    prior_c = discretize_matern(spde, disc, compact=True)
+
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(rng.uniform(0.05, 0.95, size=(40, 2)))
+    E = evaluation_matrix(disc, pts)
+    yv = jnp.asarray(rng.normal(size=40))
+
+    post = condition_on_observations(prior, E, 1e6, yv)
+    inner_c = prior_c.inner_gmrf
+    E_c = prior_c.affine.condense_rowop(E)
+    pat = ata_pattern_cached(E_c, inner_c.precision.n, inner_c.precision.bs)
+
+    def solve(prior_arg, pattern, y):
+        return condition_on_observations(prior_arg, E, 1e6, y, pattern=pattern)
+
+    post_c = jax.jit(solve)(prior_c, pat, yv)
+
+    m_ref = np.asarray(post.mean())
+    m_c = np.asarray(post_c.mean())
+    np.testing.assert_allclose(m_c, m_ref, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(post_c.std()), np.asarray(post.std()), rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        float(post_c.inner_gmrf.log_det_precision()),
+        float(post.inner_gmrf.log_det_precision()),
+        rtol=1e-4,
+    )
+    v = jnp.asarray(rng.normal(size=len(m_ref)))
+    np.testing.assert_allclose(
+        float(post_c.sqmahal(v)), float(post.sqmahal(v)), rtol=1e-6
+    )
+
+
+def test_rowop_from_csr_and_batched_rmatvec():
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(7)
+    M = sp.random(12, 9, density=0.3, random_state=5, format="csr")
+    A = RowOp.from_csr(M)
+    x = rng.normal(size=(3, 9))
+    np.testing.assert_allclose(
+        np.asarray(A.matvec(jnp.asarray(x))), x @ M.T.toarray(), atol=1e-12
+    )
+    y = rng.normal(size=(4, 12))
+    np.testing.assert_allclose(
+        np.asarray(A.rmatvec(jnp.asarray(y))), y @ M.toarray(), atol=1e-12
     )
