@@ -77,10 +77,19 @@ def _sweep(kernel, Ws, Cs, b, reverse: bool, interpret: bool):
 
     # Mosaic kernels traced with jax_enable_x64=True fail remote (AOT)
     # compilation (tpu_compile_helper exit 1, verified by bisection: the
-    # identical kernel compiles with x64 off). The sweep is all-f32, so
-    # trace the pallas_call with x64 locally disabled — outer f64 program
-    # semantics are unaffected (tracers keep their dtypes).
-    with jax.enable_x64(False):
+    # identical kernel compiles with x64 off). f32 sweeps (the TPU path)
+    # are traced with x64 locally disabled — outer f64 program semantics
+    # are unaffected (tracers keep their dtypes). f64 sweeps (CPU
+    # interpreter tests) must NOT use the context: x64-off downgrades the
+    # f64 out_shape/scratch requests to f32 and the kernel refs mismatch.
+    import contextlib
+
+    ctx = (
+        jax.enable_x64(False)
+        if dtype == jnp.float32
+        else contextlib.nullcontext()
+    )
+    with ctx:
         return pl.pallas_call(
             kernel,
             grid=(N,),
