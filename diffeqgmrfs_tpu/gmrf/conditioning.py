@@ -57,6 +57,10 @@ def add_ata(Q: BTD, A: RowOp, tau, pattern: BTDPattern | None = None) -> BTD:
     the HLO; otherwise the pattern is built/cached at trace time.
     """
     pat = pattern if pattern is not None else ata_pattern_cached(A, Q.n, Q.bs)
+    if hasattr(pat, "local_cols"):  # ATAWindowPlan: scatter-free GEMM path
+        from diffeqgmrfs_tpu.ops.ata_windows import ata_btd_windows
+
+        return ata_btd_windows(pat, A.vals, tau=tau, dtype=Q.dtype, init=Q)
     if pat.N != Q.N:
         raise ValueError("partition mismatch between Q and A^T A pattern")
     ata = pat.scatter(A.ata_values() * tau)

@@ -104,21 +104,40 @@ def ata_btd_windows(
     lcols = jnp.asarray(plan.local_cols)
     r_idx = jnp.arange(R)[:, None]
 
-    def window(b):
+    def window_G(b):
         v = vals[rows[b]] * mask[b][:, None]  # [R, K]
         M = jnp.zeros((R, 2 * bs), dtype=dtype)
         M = M.at[r_idx, lcols[b]].add(v)
         with jax.default_matmul_precision("float32"):
-            return M.T @ M  # [2bs, 2bs]
+            return (M.T @ M) * tau  # [2bs, 2bs]
 
-    G = lax.map(window, jnp.arange(Nw)) * tau  # [Nw, 2bs, 2bs]
     if init is not None:
         diag, lower = init.diag, init.lower
     else:
         diag = jnp.zeros((N, bs, bs), dtype=dtype)
         lower = jnp.zeros((max(N - 1, 0), bs, bs), dtype=dtype)
-    diag = diag.at[jnp.arange(Nw)].add(G[:, :bs, :bs])
-    if N > 1:
-        diag = diag.at[jnp.arange(Nw) + 1].add(G[:, bs:, bs:])
-        lower = lower.at[jnp.arange(Nw)].add(G[:, bs:, :bs])
+
+    if N == 1:
+        return BTD(diag + window_G(0)[:bs, :bs][None], lower, plan.n)
+
+    # scan-accumulate one window Gram at a time: materializing all Nw
+    # [2bs, 2bs] panels first is ~4 Nw bs^2 floats (~10 GB at Darcy
+    # N_xy=300) and OOMs; the carry buffers alias in place.
+    def step(carry, b):
+        dg, lo = carry
+        G = window_G(b)
+        dg = lax.dynamic_update_slice(
+            dg, (lax.dynamic_slice(dg, (b, 0, 0), (1, bs, bs)) + G[None, :bs, :bs]), (b, 0, 0)
+        )
+        dg = lax.dynamic_update_slice(
+            dg,
+            (lax.dynamic_slice(dg, (b + 1, 0, 0), (1, bs, bs)) + G[None, bs:, bs:]),
+            (b + 1, 0, 0),
+        )
+        lo = lax.dynamic_update_slice(
+            lo, (lax.dynamic_slice(lo, (b, 0, 0), (1, bs, bs)) + G[None, bs:, :bs]), (b, 0, 0)
+        )
+        return (dg, lo), None
+
+    (diag, lower), _ = lax.scan(step, (diag, lower), jnp.arange(Nw))
     return BTD(diag, lower, plan.n)

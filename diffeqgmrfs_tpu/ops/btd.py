@@ -189,23 +189,39 @@ class BTDPattern:
     def total_size(self) -> int:
         return self.diag_size + max(self.N - 1, 0) * self.bs * self.bs
 
+    def _split_idx(self):
+        """Per-buffer indices: a single flat (2N-1) bs^2 buffer exceeds
+        XLA's 32-bit index space at production sizes (Darcy N_xy=300:
+        1.34e9 elements); diag and lower are scattered separately, each
+        well under 2^31, with out-of-piece entries dropped."""
+        ds = self.diag_size
+        idx = jnp.asarray(self.flat_idx)
+        idx_d = jnp.where(idx < ds, idx, ds).astype(jnp.int32)
+        idx_l = jnp.where(idx >= ds, idx - ds, self.total_size).astype(jnp.int32)
+        return idx_d, idx_l
+
     def scatter(self, values) -> BTD:
         """Scatter COO values (jit-traceable) into a fresh BTD."""
-        buf = jnp.zeros(self.total_size, dtype=values.dtype)
-        buf = buf.at[self.flat_idx].add(values.reshape(-1), mode="drop")
-        diag = buf[: self.diag_size].reshape(self.N, self.bs, self.bs)
-        lower = buf[self.diag_size :].reshape(max(self.N - 1, 0), self.bs, self.bs)
+        vals = values.reshape(-1)
+        idx_d, idx_l = self._split_idx()
+        dbuf = jnp.zeros(self.diag_size, dtype=vals.dtype)
+        dbuf = dbuf.at[idx_d].add(vals, mode="drop")
+        lsize = max(self.N - 1, 0) * self.bs * self.bs
+        lbuf = jnp.zeros(lsize, dtype=vals.dtype)
+        lbuf = lbuf.at[idx_l].add(vals, mode="drop")
+        diag = dbuf.reshape(self.N, self.bs, self.bs)
+        lower = lbuf.reshape(max(self.N - 1, 0), self.bs, self.bs)
         return BTD(diag, lower, self.n)
 
     def scatter_into(self, init: BTD, values) -> BTD:
-        """init + scatter(values) without a second full-size buffer (XLA can
+        """init + scatter(values) without fresh full-size buffers (XLA can
         alias init's storage)."""
-        buf = jnp.concatenate([init.diag.reshape(-1), init.lower.reshape(-1)])
-        buf = buf.at[self.flat_idx].add(
-            values.reshape(-1).astype(buf.dtype), mode="drop"
-        )
-        diag = buf[: self.diag_size].reshape(self.N, self.bs, self.bs)
-        lower = buf[self.diag_size :].reshape(max(self.N - 1, 0), self.bs, self.bs)
+        vals = values.reshape(-1).astype(init.diag.dtype)
+        idx_d, idx_l = self._split_idx()
+        dbuf = init.diag.reshape(-1).at[idx_d].add(vals, mode="drop")
+        lbuf = init.lower.reshape(-1).at[idx_l].add(vals, mode="drop")
+        diag = dbuf.reshape(self.N, self.bs, self.bs)
+        lower = lbuf.reshape(max(self.N - 1, 0), self.bs, self.bs)
         return BTD(diag, lower, self.n)
 
 

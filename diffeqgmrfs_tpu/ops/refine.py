@@ -276,10 +276,15 @@ class MatFreeConditionFactor:
         Av32 = (
             A_scaled.vals * (1.0 / self.d)[jnp.asarray(H_op.A.cols)]
         ).astype(jnp.float32)
-        from diffeqgmrfs_tpu.fem.operators import RowOp
+        if hasattr(pattern, "local_cols"):  # ATAWindowPlan: scatter-free GEMMs
+            from diffeqgmrfs_tpu.ops.ata_windows import ata_btd_windows
 
-        A32 = RowOp(H_op.A.cols, Av32, Q32.n)
-        H32 = Qs32 + pattern.scatter(A32.ata_values())
+            H32 = ata_btd_windows(pattern, Av32, dtype=jnp.float32, init=Qs32)
+        else:
+            from diffeqgmrfs_tpu.fem.operators import RowOp
+
+            A32 = RowOp(H_op.A.cols, Av32, Q32.n)
+            H32 = Qs32 + pattern.scatter(A32.ata_values())
         H32 = _unit_pad(H32)
         self.F32 = btd_cholesky(H32)
         if gemm_solves:

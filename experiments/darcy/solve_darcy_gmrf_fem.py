@@ -45,6 +45,9 @@ def parse_cmd():
     p.add_argument("--compact", action="store_true",
                    help="production-memory prior: f32 BTD factor + f64 ELL "
                         "operator (CompactGMRF / MatFreeConditionFactor)")
+    p.add_argument("--ata_windows", action="store_true",
+                   help="A^T A via block-window GEMMs instead of flat "
+                        "scatter (scatter-free MXU path)")
     p.add_argument("--gemm_solves", action="store_true",
                    help="GEMM-only solve form (W_i = L_i^{-1} precomputed; "
                         "sampling/variance/refinement ride pure matmuls)")
@@ -131,13 +134,24 @@ def main():
     # operator and thread prior + pattern through the jit signature (large
     # index/precision arrays must be jit arguments, not closure constants).
     inner_prior = prior.inner_gmrf if hasattr(prior, "inner_gmrf") else prior
-    A0, _ = obs(jnp.asarray(ds.get_problem(0)[1]))
-    A0c = prior.affine.condense_rowop(A0) if hasattr(prior, "affine") else A0
+    # structure-only evaluation: run on the host CPU backend (the eager TPU
+    # path through the relay is fault-prone and competes with the resident
+    # prior for HBM at production sizes)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        A0, _ = obs(jnp.asarray(ds.get_problem(0)[1]))
+        A0c = prior.affine.condense_rowop(A0) if hasattr(prior, "affine") else A0
     from diffeqgmrfs_tpu.gmrf.conditioning import ata_pattern_cached
 
-    pat = ata_pattern_cached(
-        A0c, inner_prior.precision.n, inner_prior.precision.bs
-    ).to_device()
+    if args.ata_windows:
+        from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan
+
+        pat = make_ata_window_plan(
+            A0c.cols, inner_prior.precision.n, inner_prior.precision.bs
+        ).to_device()
+    else:
+        pat = ata_pattern_cached(
+            A0c, inner_prior.precision.n, inner_prior.precision.bs
+        ).to_device()
     prior_dev = jax.device_put(prior)
 
     from diffeqgmrfs_tpu.solvers import CholeskySolverBlueprint

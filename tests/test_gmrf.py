@@ -355,3 +355,35 @@ def test_rowop_from_csr_and_batched_rmatvec():
     np.testing.assert_allclose(
         np.asarray(A.rmatvec(jnp.asarray(y))), y @ M.toarray(), atol=1e-12
     )
+
+
+def test_compact_conditioning_window_plan_matches_scatter():
+    """ATAWindowPlan threaded as `pattern` gives the same posterior as the
+    flat-scatter BTDPattern in the compact conditioning path."""
+    from diffeqgmrfs_tpu.models import discretize_matern
+    from diffeqgmrfs_tpu.gmrf.conditioning import ata_pattern_cached
+    from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan
+
+    disc = uniform_unit_square_discretization(8, element_order=2, use_dirichlet_bc=True)
+    spde = MaternSPDE(d=2, range=0.35, smoothness=2)
+    prior_c = discretize_matern(spde, disc, compact=True)
+    inner = prior_c.inner_gmrf
+
+    rng = np.random.default_rng(11)
+    pts = jnp.asarray(rng.uniform(0.05, 0.95, size=(40, 2)))
+    E = evaluation_matrix(disc, pts)
+    yv = jnp.asarray(rng.normal(size=40))
+    E_c = prior_c.affine.condense_rowop(E)
+    pat = ata_pattern_cached(E_c, inner.precision.n, inner.precision.bs)
+    plan = make_ata_window_plan(E_c.cols, inner.precision.n, inner.precision.bs)
+
+    post_s = condition_on_observations(prior_c, E, 1e6, yv, pattern=pat)
+    post_w = condition_on_observations(prior_c, E, 1e6, yv, pattern=plan)
+    # both assemble the f32 system with different summation orders; the f64
+    # refinement brings them together to ~1e-8 rel, not bit-equality
+    np.testing.assert_allclose(
+        np.asarray(post_w.mean()), np.asarray(post_s.mean()), rtol=1e-6, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(post_w.std()), np.asarray(post_s.std()), rtol=5e-3, atol=1e-12
+    )
