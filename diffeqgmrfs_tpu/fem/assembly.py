@@ -272,15 +272,19 @@ def assemble_cube_term(disc, weights, field: str = "u") -> CellOp:
     return CellOp(cell_dofs, Ke, disc.ndofs, fe=ve)
 
 
-def assemble_darcy(disc, coeff_q, beta: float = 1.0, field: str = "u"):
+def assemble_darcy(disc, coeff_q, beta: float = 1.0, field: str = "u", geom=None):
     """Darcy operator G[i,j] = ∫ a(x) ∇φ_i·∇φ_j dΩ and rhs f[i] = β ∫ φ_i dΩ.
 
     coeff_q: coefficient sampled at quadrature points [nc, nq] (traced; the
     nearest-grid lookup of `src/problems/darcy.jl:39` happens in the dataset
     layer with static indices). Analog of `assemble_darcy_diff_matrix`
     (`/root/reference/src/problems/darcy.jl:5-63`).
+
+    geom: optional (w_detJ, phi, grad) device arrays threaded through the
+    jit signature — closed-over geometry becomes an HLO literal (~1 GB f64
+    at Darcy N_xy=300), which blows executable memory through the relay.
     """
-    w_q, phi, grad = _geom(disc)
+    w_q, phi, grad = geom if geom is not None else _geom(disc)
     cell_dofs = disc.dof_handler.cell_dofs_field(field)
     Ke = jnp.einsum("cq,...cq,cqid,cqjd->...cij", w_q, jnp.asarray(coeff_q), grad, grad)
     fe = beta * jnp.einsum("cq,qi->ci", w_q, phi)

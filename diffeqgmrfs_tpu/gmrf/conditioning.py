@@ -108,6 +108,7 @@ def condition_on_observations(
             H_op,
             pat,
             gemm_solves=getattr(bp, "gemm_solves", False),
+            packed_q_idx=x.q_pack_idx,
         )
         rhs = x.precision64.matvec(x.mu) + tau64 * A.rmatvec(
             jnp.asarray(y, dtype=tau64.dtype)

@@ -168,6 +168,9 @@ class CompactGMRF(GMRF):
     diag64: jnp.ndarray = None  # diag of the f64 precision (host-precomputed:
     # RowOp cols turn into tracers through jit signatures, so the diagonal
     # cannot be extracted structurally inside a trace)
+    q_pack_idx: jnp.ndarray = None  # packed-scatter plan for the ELL values
+    # (ops/packed.py); set -> conditioning assembles + factors in packed
+    # banded-block storage and `precision` is a ShapeOnly stub
 
     def tree_flatten(self):
         return (
@@ -176,12 +179,19 @@ class CompactGMRF(GMRF):
             self.factor,
             self.precision64,
             self.diag64,
+            self.q_pack_idx,
         ), (self.blueprint,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(
-            children[0], children[1], children[2], aux[0], children[3], children[4]
+            children[0],
+            children[1],
+            children[2],
+            aux[0],
+            children[3],
+            children[4],
+            children[5],
         )
 
     def sqmahal(self, v):

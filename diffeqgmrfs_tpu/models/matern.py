@@ -162,6 +162,7 @@ def discretize_matern(
     solver_blueprint=None,
     bs: int | None = None,
     compact: bool = False,
+    packed: bool = False,
 ):
     """FEM-discretize a Matérn SPDE into a GMRF prior.
 
@@ -172,7 +173,13 @@ def discretize_matern(
     compact=True returns a `CompactGMRF`: f32 BTD for factorization + f64
     ELL operator for exact application — the production-memory path (the
     f64 BTD at Darcy N_xy=300 is ~11 GB; the ELL is ~0.5 GB).
+
+    packed=True (implies compact) additionally skips the device BTD of Q
+    entirely: conditioning assembles + factors in PACKED banded-block
+    storage (ops/packed.py), halving both operator and factor HBM — the
+    only way Darcy N_xy=300 fits a 16 GB v5e.
     """
+    compact = compact or packed
     bp = solver_blueprint or DEFAULT_BLUEPRINT
     affine = AffineMap.from_constraint_handler(disc.constraint_handler)
     has_constraints = len(affine.prescribed_dofs) > 0
@@ -181,11 +188,43 @@ def discretize_matern(
         from diffeqgmrfs_tpu.fem.operators import RowOp
         from diffeqgmrfs_tpu.gmrf.gmrf import CompactGMRF
 
-        Qb32 = csr_to_btd(Q, bs=bs, dtype=jnp.float32)
         Q64 = RowOp.from_csr(Q, dtype=jnp.float64)
         diag64 = jnp.asarray(Q.diagonal(), dtype=jnp.float64)
         mu = jnp.zeros(Q.shape[0], dtype=jnp.float64)
-        inner = CompactGMRF(mu, Qb32, None, bp, Q64, diag64)
+        if packed:
+            # never materialize Q's BTD: ship a packed scatter plan built on
+            # the ELL structure (padding slots sentinel-dropped) and carry
+            # only shape metadata as `precision`
+            from diffeqgmrfs_tpu.ops.packed import (
+                ShapeOnly,
+                make_packed_scatter_idx,
+            )
+            from diffeqgmrfs_tpu.ops.btd import choose_block_size
+
+            n = Q.shape[0]
+            Qr = Q.tocsr()
+            coo = Q.tocoo()
+            bw = int(np.max(np.abs(coo.row - coo.col))) if coo.nnz else 0
+            bs_p = bs or choose_block_size(bw + 1, n)
+            counts = np.diff(Qr.indptr)
+            K = Q64.K
+            valid = np.arange(K)[None, :] < counts[:, None]
+            rows_ell = np.broadcast_to(np.arange(n)[:, None], (n, K))
+            q_idx = make_packed_scatter_idx(
+                rows_ell, np.asarray(Q64.cols), n, bs_p, valid=valid
+            )
+            inner = CompactGMRF(
+                mu,
+                ShapeOnly(n, -(-n // bs_p), bs_p),
+                None,
+                bp,
+                Q64,
+                diag64,
+                jnp.asarray(q_idx),
+            )
+        else:
+            Qb32 = csr_to_btd(Q, bs=bs, dtype=jnp.float32)
+            inner = CompactGMRF(mu, Qb32, None, bp, Q64, diag64)
     else:
         Qb = csr_to_btd(Q, bs=bs)
         mu = jnp.zeros(Q.shape[0], dtype=Qb.dtype)

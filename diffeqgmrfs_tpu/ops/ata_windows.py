@@ -56,14 +56,33 @@ class ATAWindowPlan:
         return jax.device_put(self)
 
 
-def make_ata_window_plan(cols: np.ndarray, n: int, bs: int) -> ATAWindowPlan:
-    """Build the plan from a RowOp's static column structure [n_rows, K]."""
+def make_ata_window_plan(
+    cols: np.ndarray, n: int, bs: int, zero_slots: np.ndarray | None = None
+) -> ATAWindowPlan:
+    """Build the plan from a RowOp's static column structure [n_rows, K].
+
+    zero_slots: optional bool mask of slots whose values are STRUCTURALLY
+    zero (padding, constraint-condensation zeros with s_coef == 0). Those
+    slots are excluded from the row-span computation — a padding col 0 on a
+    row whose real cols sit in a far block would otherwise make the row
+    span "more than two blocks". Their local columns are clipped into the
+    window, which is harmless because their values are identically zero.
+    """
     cols = np.asarray(cols)
     n_rows, K = cols.shape
     N = max((n + bs - 1) // bs, 1)
     Nw = max(N - 1, 1)
-    cmin = cols.min(axis=1)
-    cmax = cols.max(axis=1)
+    if zero_slots is not None:
+        zs = np.asarray(zero_slots, dtype=bool)
+        big = np.iinfo(np.int64).max
+        cmin = np.where(zs, big, cols.astype(np.int64)).min(axis=1)
+        cmax = np.where(zs, -1, cols.astype(np.int64)).max(axis=1)
+        all_zero = zs.all(axis=1)
+        cmin = np.where(all_zero, 0, cmin)
+        cmax = np.where(all_zero, 0, cmax)
+    else:
+        cmin = cols.min(axis=1)
+        cmax = cols.max(axis=1)
     w = np.minimum(cmin // bs, Nw - 1).astype(np.int64)
     if np.any(cmax - w * bs >= 2 * bs):
         bad = np.argmax(cmax - w * bs >= 2 * bs)

@@ -264,18 +264,45 @@ class MatFreeConditionFactor:
         pattern,
         refine_iters: int = 3,
         gemm_solves: bool = False,
+        packed_q_idx=None,
     ):
         self.H_op = H_op
         self.n = Q32.n
         self.refine_iters = refine_iters
         diagH = H_op.diagonal()  # f64
         self.d = jnp.sqrt(diagH)
-        dinv32 = (1.0 / self.d).astype(jnp.float32)
-        Qs32, _ = _scale_btd(Q32, dinv32)
+        dinv = 1.0 / self.d
         A_scaled = H_op.A.scale(jnp.sqrt(H_op.tau).astype(jnp.float64))
-        Av32 = (
-            A_scaled.vals * (1.0 / self.d)[jnp.asarray(H_op.A.cols)]
-        ).astype(jnp.float32)
+        Av32 = (A_scaled.vals * dinv[jnp.asarray(H_op.A.cols)]).astype(
+            jnp.float32
+        )
+        if packed_q_idx is not None:
+            # PACKED production path: Q never exists as a device BTD.
+            # Scale the ELL values per entry (dinv_i dinv_j), scatter into
+            # packed banded-block storage, window-accumulate tau A^T A,
+            # factor packed (half the HBM of the full-block path).
+            if not hasattr(pattern, "local_cols"):
+                raise ValueError(
+                    "packed conditioning requires an ATAWindowPlan pattern"
+                )
+            from diffeqgmrfs_tpu.ops.packed import (
+                packed_scatter,
+                ata_packed_windows,
+                packed_cholesky,
+            )
+
+            Q = H_op.Q
+            Qv32 = (Q.vals * dinv[:, None] * dinv[jnp.asarray(Q.cols)]).astype(
+                jnp.float32
+            )
+            Hp = packed_scatter(
+                packed_q_idx, Qv32, Q32.n, Q32.N, Q32.bs, dtype=jnp.float32
+            )
+            Hp = ata_packed_windows(pattern, Av32, Hp)
+            self.F32 = packed_cholesky(Hp.add_identity_padding())
+            return
+        dinv32 = dinv.astype(jnp.float32)
+        Qs32, _ = _scale_btd(Q32, dinv32)
         if hasattr(pattern, "local_cols"):  # ATAWindowPlan: scatter-free GEMMs
             from diffeqgmrfs_tpu.ops.ata_windows import ata_btd_windows
 
@@ -319,9 +346,12 @@ class MatFreeConditionFactor:
         return y * (1.0 / self.d)[None, :]
 
     def variance_diag(self):
-        from diffeqgmrfs_tpu.ops.takahashi import takahashi_diag
+        if hasattr(self.F32, "variance_diag"):  # PackedBTDCholesky
+            v = self.F32.variance_diag().astype(self.dtype)
+        else:
+            from diffeqgmrfs_tpu.ops.takahashi import takahashi_diag
 
-        v = takahashi_diag(self.F32).astype(self.dtype)
+            v = takahashi_diag(self.F32).astype(self.dtype)
         return v / (self.d**2)
 
     def log_det(self):

@@ -103,10 +103,16 @@ class DarcyFEMObservations:
         """Gather the coefficient field at quadrature points, [nc, nq]."""
         return jnp.asarray(coeff_mat)[self.qx, self.qy].reshape(self.q_shape)
 
-    def __call__(self, coeff_mat):
+    def geom_arrays(self):
+        """(w_detJ, phi, grad) as arrays — device_put once and pass to
+        __call__ via the jit signature (avoids giant HLO literals)."""
+        g = self.disc.geometry
+        return (jnp.asarray(g.w_detJ), jnp.asarray(g.phi), jnp.asarray(g.grad))
+
+    def __call__(self, coeff_mat, geom=None):
         """-> (A: RowOp, ys) for one instance's coefficient field."""
         coeff_q = self.coeff_at_quad(coeff_mat)
-        op = assemble_darcy(self.disc, coeff_q, beta=self.beta)
+        op = assemble_darcy(self.disc, coeff_q, beta=self.beta, geom=geom)
         A = op.to_rowop()
         ys = op.rhs_vector()
         if self.prescribed_mask is not None:

@@ -45,6 +45,9 @@ def parse_cmd():
     p.add_argument("--compact", action="store_true",
                    help="production-memory prior: f32 BTD factor + f64 ELL "
                         "operator (CompactGMRF / MatFreeConditionFactor)")
+    p.add_argument("--packed", action="store_true",
+                   help="packed banded-block storage: half the operator and "
+                        "factor HBM (implies --compact and --ata_windows)")
     p.add_argument("--ata_windows", action="store_true",
                    help="A^T A via block-window GEMMs instead of flat "
                         "scatter (scatter-free MXU path)")
@@ -117,7 +120,9 @@ def main():
         E = evaluation_matrix(disc, pts)
     with to("Prior construction"):
         spde = MaternSPDE(d=2, range=1 / np.sqrt(args.N_xy), smoothness=2)
-        prior = discretize_matern(spde, disc, compact=args.compact)
+        prior = discretize_matern(
+            spde, disc, compact=args.compact, packed=args.packed
+        )
     obs = DarcyFEMObservations(
         disc,
         ds.x_coords,
@@ -142,17 +147,27 @@ def main():
         A0c = prior.affine.condense_rowop(A0) if hasattr(prior, "affine") else A0
     from diffeqgmrfs_tpu.gmrf.conditioning import ata_pattern_cached
 
+    if args.packed:
+        args.ata_windows = True
     if args.ata_windows:
         from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan
 
+        # structural-zero slots: constraint condensation (s_coef == 0)
+        zs_A = (
+            np.asarray(prior.affine.s_coef)[A0.cols] == 0.0
+            if hasattr(prior, "affine")
+            else None
+        )
         pat = make_ata_window_plan(
-            A0c.cols, inner_prior.precision.n, inner_prior.precision.bs
+            A0c.cols, inner_prior.precision.n, inner_prior.precision.bs,
+            zero_slots=zs_A,
         ).to_device()
     else:
         pat = ata_pattern_cached(
             A0c, inner_prior.precision.n, inner_prior.precision.bs
         ).to_device()
     prior_dev = jax.device_put(prior)
+    geom_dev = jax.device_put(obs.geom_arrays())
 
     from diffeqgmrfs_tpu.solvers import CholeskySolverBlueprint
 
@@ -167,12 +182,25 @@ def main():
     pat_E = None
     if args.nll:
         E_c = prior.affine.condense_rowop(E) if hasattr(prior, "affine") else E
-        pat_E = ata_pattern_cached(
-            E_c, inner_prior.precision.n, inner_prior.precision.bs
-        ).to_device()
+        if args.ata_windows:
+            from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan
 
-    def solve_instance(prior_arg, pattern, pattern_E, coeff, key, soln_flat):
-        A, ys = obs(coeff)
+            zs_E = (
+                np.asarray(prior.affine.s_coef)[E.cols] == 0.0
+                if hasattr(prior, "affine")
+                else None
+            )
+            pat_E = make_ata_window_plan(
+                E_c.cols, inner_prior.precision.n, inner_prior.precision.bs,
+                zero_slots=zs_E,
+            ).to_device()
+        else:
+            pat_E = ata_pattern_cached(
+                E_c, inner_prior.precision.n, inner_prior.precision.bs
+            ).to_device()
+
+    def solve_instance(prior_arg, pattern, pattern_E, geom, coeff, key, soln_flat):
+        A, ys = obs(coeff, geom=geom)
         post = condition_on_observations(
             prior_arg, A, Q_eps, ys, solver_blueprint=bp, pattern=pattern
         )
@@ -196,10 +224,10 @@ def main():
     _solve = jax.jit(solve_instance)
 
     def solve_jit(coeff, key, soln_flat):
-        return _solve(prior_dev, pat, pat_E, coeff, key, soln_flat)
+        return _solve(prior_dev, pat, pat_E, geom_dev, coeff, key, soln_flat)
 
     def _solve_batch(vsolve, prior_arg, pattern, pattern_E, coeffs, keys, solns):
-        return vsolve(prior_arg, pattern, pattern_E, coeffs, keys, solns)
+        return vsolve(prior_arg, pattern, pattern_E, geom_dev, coeffs, keys, solns)
 
     # warm-up compile (reference "Trigger precompilation")
     key = jax.random.PRNGKey(523802340)
@@ -217,7 +245,7 @@ def main():
         # DP: vmap the whole posterior pipeline over instance batches — the
         # chip-saturation axis (SURVEY.md §2.4); replaces the serial loop.
         vsolve = jax.jit(
-            jax.vmap(solve_instance, in_axes=(None, None, None, 0, 0, 0))
+            jax.vmap(solve_instance, in_axes=(None, None, None, None, 0, 0, 0))
         )
         for start in range(0, N, args.batch):
             idxs = list(range(start, min(start + args.batch, N)))

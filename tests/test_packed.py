@@ -1,0 +1,180 @@
+"""Packed banded-block storage vs full-block BTD reference."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffeqgmrfs_tpu.ops import BTD, btd_cholesky
+from diffeqgmrfs_tpu.ops.packed import PackedBTD, PackedBTDCholesky, packed_cholesky
+from diffeqgmrfs_tpu.ops.takahashi import takahashi_diag
+
+
+def banded_btd_spd(key, N=5, bs=16, shift=3, n=None):
+    """SPD BTD whose coupling blocks are upper-shifted (bw = bs - shift)."""
+    n = n or N * bs
+    diag = jax.random.normal(key, (N, bs, bs), dtype=jnp.float64) * 0.1
+    diag = 0.5 * (diag + diag.transpose(0, 2, 1)) + 4.0 * jnp.eye(bs)
+    lower = jax.random.normal(jax.random.PRNGKey(7), (N - 1, bs, bs), dtype=jnp.float64) * 0.1
+    # enforce the banded structure: B[r, c] = 0 unless c >= r + shift
+    r = np.arange(bs)
+    mask = (r[None, :] >= r[:, None] + shift).astype(np.float64)
+    lower = lower * jnp.asarray(mask)[None]
+    return BTD(diag, lower, n)
+
+
+def test_pack_roundtrip():
+    A = banded_btd_spd(jax.random.PRNGKey(0))
+    P = PackedBTD.from_btd(A)
+    np.testing.assert_allclose(
+        np.asarray(P.to_btd().to_dense()), np.asarray(A.to_dense()), atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(P.diagonal()), np.asarray(A.diagonal()), atol=0
+    )
+
+
+def test_packed_cholesky_matches_full():
+    A = banded_btd_spd(jax.random.PRNGKey(1))
+    F = btd_cholesky(A)
+    Fp = packed_cholesky(PackedBTD.from_btd(A))
+    rng = np.random.default_rng(2)
+    b = jnp.asarray(rng.normal(size=(3, A.n)))
+    np.testing.assert_allclose(
+        np.asarray(Fp.solve(b)), np.asarray(F.solve(b)), rtol=1e-11, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(Fp.forward_solve(b)), np.asarray(F.forward_solve(b)),
+        rtol=1e-11, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(Fp.backward_solve(b)), np.asarray(F.backward_solve(b)),
+        rtol=1e-11, atol=1e-12,
+    )
+    np.testing.assert_allclose(float(Fp.log_det()), float(F.log_det()), rtol=1e-13)
+    # factor C blocks keep the upper shift (pack is lossless)
+    Ld = np.asarray(F.Cs)
+    r = np.arange(A.bs)
+    assert np.abs(Ld * (r[None, None, :] < r[None, :, None] + 1)).max() < 1e-14
+
+
+def test_packed_takahashi_and_sampling():
+    A = banded_btd_spd(jax.random.PRNGKey(3), N=4, bs=12, shift=2, n=44)
+    F = btd_cholesky(A)
+    Fp = packed_cholesky(PackedBTD.from_btd(A))
+    np.testing.assert_allclose(
+        np.asarray(Fp.variance_diag()), np.asarray(takahashi_diag(F)), rtol=1e-11
+    )
+    s_ref = F.sample_zero_mean(jax.random.PRNGKey(5), 3)
+    s_pck = Fp.sample_zero_mean(jax.random.PRNGKey(5), 3)
+    np.testing.assert_allclose(np.asarray(s_pck), np.asarray(s_ref), atol=1e-11)
+
+
+def test_packed_padding_and_single_block():
+    # n < N*bs (padding) handled through add_identity_padding
+    A = banded_btd_spd(jax.random.PRNGKey(4), N=3, bs=8, shift=2, n=21)
+    # zero out padded rows/cols then identity-pad, mirroring production flow
+    P = PackedBTD.from_btd(A)
+    Fp = packed_cholesky(P)
+    F = btd_cholesky(A)
+    b = jnp.asarray(np.random.default_rng(6).normal(size=21))
+    np.testing.assert_allclose(
+        np.asarray(Fp.solve(b)), np.asarray(F.solve(b)), rtol=1e-11, atol=1e-12
+    )
+    # single block
+    A1 = banded_btd_spd(jax.random.PRNGKey(8), N=1, bs=8, shift=1, n=8)
+    F1 = packed_cholesky(PackedBTD.from_btd(A1))
+    np.testing.assert_allclose(
+        np.asarray(F1.solve(b[:8])), np.asarray(btd_cholesky(A1).solve(b[:8])),
+        rtol=1e-11, atol=1e-12,
+    )
+
+
+def test_packed_scatter_matches_btd():
+    import scipy.sparse as sp
+    from diffeqgmrfs_tpu.ops.packed import make_packed_scatter_idx, packed_scatter
+
+    rng = np.random.default_rng(9)
+    n, bs, bw = 40, 8, 5
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        for j in range(max(0, i - bw), min(n, i + bw + 1)):
+            rows.append(i); cols.append(j)
+            v = rng.normal()
+            vals.append(v)
+    M = sp.coo_matrix((vals, (rows, cols)), shape=(n, n))
+    M = 0.5 * (M + M.T) + 20 * sp.eye(n)
+    Mc = M.tocoo()
+    idx = make_packed_scatter_idx(Mc.row, Mc.col, n, bs)
+    P = packed_scatter(idx, jnp.asarray(Mc.data), n, -(-n // bs), bs)
+    np.testing.assert_allclose(
+        np.asarray(P.to_btd().to_dense()), M.toarray(), atol=1e-13
+    )
+
+
+def test_ata_packed_windows_matches_full():
+    from diffeqgmrfs_tpu.ops.packed import (
+        PackedBTD, ata_packed_windows, packed_scatter, make_packed_scatter_idx,
+    )
+    from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan, ata_btd_windows
+    from diffeqgmrfs_tpu.fem.operators import RowOp
+
+    rng = np.random.default_rng(10)
+    n, bs, K = 40, 8, 4
+    cols = np.stack(
+        [np.clip(np.sort(rng.choice(np.arange(max(0, r - 3), min(n, r + 4)), K, replace=True)), 0, n - 1) for r in range(n)]
+    )
+    vals = jnp.asarray(rng.normal(size=(n, K)))
+    A = RowOp(cols, vals, n)
+    plan = make_ata_window_plan(cols, n, bs)
+    full = ata_btd_windows(plan, vals, tau=1.7)
+    N = -(-n // bs)
+    init = PackedBTD(jnp.zeros((N, bs, bs), jnp.float64), n)
+    packed = ata_packed_windows(plan, vals, init, tau=1.7)
+    np.testing.assert_allclose(
+        np.asarray(packed.to_btd().to_dense()),
+        np.asarray(full.to_dense()),
+        atol=1e-12,
+    )
+
+
+def test_packed_conditioning_matches_compact():
+    """packed=True prior (no device BTD of Q) conditions to the same
+    posterior as the compact f32-BTD path, inside jit."""
+    from diffeqgmrfs_tpu.fem import uniform_unit_square_discretization, evaluation_matrix
+    from diffeqgmrfs_tpu.models import MaternSPDE, discretize_matern
+    from diffeqgmrfs_tpu.gmrf import condition_on_observations
+    from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan
+
+    disc = uniform_unit_square_discretization(8, element_order=2, use_dirichlet_bc=True)
+    spde = MaternSPDE(d=2, range=0.35, smoothness=2)
+    prior_c = discretize_matern(spde, disc, compact=True)
+    prior_p = discretize_matern(spde, disc, packed=True)
+    inner_c = prior_c.inner_gmrf
+    inner_p = prior_p.inner_gmrf
+    assert inner_p.q_pack_idx is not None
+    assert inner_p.precision.bs == inner_c.precision.bs
+
+    rng = np.random.default_rng(12)
+    pts = jnp.asarray(rng.uniform(0.05, 0.95, size=(40, 2)))
+    E = evaluation_matrix(disc, pts)
+    yv = jnp.asarray(rng.normal(size=40))
+    E_c = prior_c.affine.condense_rowop(E)
+    plan = make_ata_window_plan(E_c.cols, inner_c.precision.n, inner_c.precision.bs)
+
+    post_c = condition_on_observations(prior_c, E, 1e6, yv, pattern=plan)
+
+    def solve(prior_arg, pattern, y):
+        return condition_on_observations(prior_arg, E, 1e6, y, pattern=pattern)
+
+    post_p = jax.jit(solve)(prior_p, plan, yv)
+    np.testing.assert_allclose(
+        np.asarray(post_p.mean()), np.asarray(post_c.mean()), rtol=1e-6, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(post_p.std()), np.asarray(post_c.std()), rtol=5e-3, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(post_p.inner_gmrf.log_det_precision()),
+        float(post_c.inner_gmrf.log_det_precision()),
+        rtol=1e-4,
+    )
