@@ -32,7 +32,13 @@ from diffeqgmrfs_tpu.ops.btd import BTD
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class ATAWindowPlan:
-    """Static row->window assignment for a fixed operator structure."""
+    """Static row->window assignment for a fixed operator structure.
+
+    Optionally carries a column-sum-square plan (`colsq_inv`, `colsq_col`,
+    `n_uniq`): diag(A^T A) with per-(row, col) duplicate slots merged,
+    host-precomputed so it works when A's columns are TRACED (threaded
+    through a jit signature) — np.unique cannot run on tracers.
+    """
 
     rows: np.ndarray  # [Nw, R] int32 row indices (padded with 0)
     mask: np.ndarray  # [Nw, R] {0,1} row validity
@@ -40,13 +46,25 @@ class ATAWindowPlan:
     n: int
     N: int
     bs: int
+    colsq_inv: np.ndarray | None = None  # [n_rows*K] slot -> merged entry
+    colsq_col: np.ndarray | None = None  # [n_uniq] merged entry -> column
+    n_uniq: int = 0
 
     def tree_flatten(self):
-        return (self.rows, self.mask, self.local_cols), (self.n, self.N, self.bs)
+        return (
+            self.rows,
+            self.mask,
+            self.local_cols,
+            self.colsq_inv,
+            self.colsq_col,
+        ), (self.n, self.N, self.bs, self.n_uniq)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], children[2], aux[0], aux[1], aux[2])
+        return cls(
+            children[0], children[1], children[2],
+            aux[0], aux[1], aux[2], children[3], children[4], aux[3],
+        )
 
     @property
     def Nw(self):
@@ -54,6 +72,16 @@ class ATAWindowPlan:
 
     def to_device(self):
         return jax.device_put(self)
+
+    def colsq(self, vals):
+        """diag(A^T A) from traced values via the host-precomputed plan."""
+        vals = jnp.asarray(vals).reshape(-1)
+        merged = jnp.zeros(self.n_uniq, dtype=vals.dtype).at[
+            jnp.asarray(self.colsq_inv)
+        ].add(vals)
+        return jnp.zeros(self.n, dtype=vals.dtype).at[
+            jnp.asarray(self.colsq_col)
+        ].add(merged**2)
 
 
 def make_ata_window_plan(
@@ -102,7 +130,17 @@ def make_ata_window_plan(
         mask[b, : len(sel)] = 1.0
     local = cols[rows] - (np.arange(Nw, dtype=np.int64) * bs)[:, None, None]
     local = np.clip(local, 0, 2 * bs - 1).astype(np.int32)
-    return ATAWindowPlan(rows, mask, local, n, N, bs)
+    # column-sum-square plan: merge duplicate (row, col) slots host-side
+    keys = (
+        np.repeat(np.arange(n_rows, dtype=np.int64), K) * n
+        + cols.reshape(-1).astype(np.int64)
+    )
+    uniq, inv = np.unique(keys, return_inverse=True)
+    colsq_col = (uniq % n).astype(np.int32)
+    return ATAWindowPlan(
+        rows, mask, local, n, N, bs,
+        inv.astype(np.int32), colsq_col, len(uniq),
+    )
 
 
 def ata_btd_windows(

@@ -168,15 +168,21 @@ class PackedBTDCholesky:
         return x.T.reshape(*batch_shape, self.n)
 
     def forward_solve(self, b):
-        """L y = b; slot i holds both L_i and the coupling C_i it needs."""
+        """L y = b; slot i holds both L_i and the coupling C_i it needs.
+
+        P is read via dynamic_slice on the invariant buffer (slicing P
+        inside scan xs would materialize a full-size copy)."""
         with jax.default_matmul_precision("float32"):
+            bs = self.bs
+            P = self.P
             bb, batch_shape = self._to_blocks(b)
             x0 = lax.linalg.triangular_solve(
-                jnp.tril(self.P[0]), bb[0], left_side=True, lower=True
+                jnp.tril(P[0]), bb[0], left_side=True, lower=True
             )
 
             def step(x_prev, inp):
-                P_i, b_i = inp
+                i, b_i = inp
+                P_i = lax.dynamic_slice(P, (i, 0, 0), (1, bs, bs))[0]
                 t = b_i - jnp.triu(P_i, 1) @ x_prev
                 x_i = lax.linalg.triangular_solve(
                     jnp.tril(P_i), t, left_side=True, lower=True
@@ -184,7 +190,7 @@ class PackedBTDCholesky:
                 return x_i, x_i
 
             if self.N > 1:
-                _, xs = lax.scan(step, x0, (self.P[1:], bb[1:]))
+                _, xs = lax.scan(step, x0, (jnp.arange(1, self.N), bb[1:]))
                 xb = jnp.concatenate([x0[None], xs], axis=0)
             else:
                 xb = x0[None]
@@ -193,14 +199,18 @@ class PackedBTDCholesky:
     def backward_solve(self, b):
         """L^T x = b; step i needs C_{i+1} from slot i+1."""
         with jax.default_matmul_precision("float32"):
+            bs = self.bs
+            P = self.P
             bb, batch_shape = self._to_blocks(b)
             xN = lax.linalg.triangular_solve(
-                jnp.tril(self.P[-1]), bb[-1],
+                jnp.tril(P[-1]), bb[-1],
                 left_side=True, lower=True, transpose_a=True,
             )
 
             def step(x_next, inp):
-                P_i, P_ip1, b_i = inp
+                i, b_i = inp
+                P_i = lax.dynamic_slice(P, (i, 0, 0), (1, bs, bs))[0]
+                P_ip1 = lax.dynamic_slice(P, (i + 1, 0, 0), (1, bs, bs))[0]
                 t = b_i - jnp.triu(P_ip1, 1).T @ x_next
                 x_i = lax.linalg.triangular_solve(
                     jnp.tril(P_i), t,
@@ -210,7 +220,7 @@ class PackedBTDCholesky:
 
             if self.N > 1:
                 _, xs = lax.scan(
-                    step, xN, (self.P[:-1], self.P[1:], bb[:-1]), reverse=True
+                    step, xN, (jnp.arange(self.N - 1), bb[:-1]), reverse=True
                 )
                 xb = jnp.concatenate([xs, xN[None]], axis=0)
             else:
@@ -240,11 +250,13 @@ class PackedBTDCholesky:
                     jnp.tril(P_i), eye, left_side=True, lower=True
                 )
 
-            W_N = inv_lower(self.P[-1])
+            P = self.P
+            W_N = inv_lower(P[-1])
             Sigma_N = W_N.T @ W_N
 
-            def step(Sigma_next, inp):
-                P_i, P_ip1 = inp
+            def step(Sigma_next, i):
+                P_i = lax.dynamic_slice(P, (i, 0, 0), (1, bs, bs))[0]
+                P_ip1 = lax.dynamic_slice(P, (i + 1, 0, 0), (1, bs, bs))[0]
                 W = inv_lower(P_i)
                 G = jnp.triu(P_ip1, 1) @ W
                 Sigma_i = W.T @ W + G.T @ (Sigma_next @ G)
@@ -252,7 +264,7 @@ class PackedBTDCholesky:
 
             if self.N > 1:
                 _, diags = lax.scan(
-                    step, Sigma_N, (self.P[:-1], self.P[1:]), reverse=True
+                    step, Sigma_N, jnp.arange(self.N - 1), reverse=True
                 )
                 all_diag = jnp.concatenate(
                     [diags, jnp.diagonal(Sigma_N)[None]], axis=0
@@ -266,18 +278,25 @@ class PackedBTDCholesky:
 
 
 def packed_cholesky(H: PackedBTD) -> PackedBTDCholesky:
-    """Blocked Cholesky sweep on packed storage.
+    """Blocked Cholesky sweep on packed storage, IN PLACE.
 
-    Each scan step consumes ONE packed slice and emits ONE packed slice, so
-    peak memory is packed input + packed output — half the full-block BTD
-    sweep (which additionally stacks L and C separately).
+    The factor overwrites the operator buffer slot by slot (tril(D_i)+B_i
+    -> L_i+C_i) through a fori_loop whose carry is the single [N, bs, bs]
+    buffer — XLA aliases the dynamic_update_slice in place, so peak memory
+    is ONE packed object (a scan over `H.P[1:]` with stacked outputs holds
+    input + output + slicing copies: observed 25 GB vs 15.75 at Darcy
+    N_xy=300, vs ~5.4 GB here).
     """
     with jax.default_matmul_precision("float32"):
+        bs = H.bs
         L0 = jnp.linalg.cholesky(_sym_from_tril(jnp.tril(H.P[0])))
         if H.N == 1:
             return PackedBTDCholesky(L0[None], H.n)
+        P = lax.dynamic_update_slice(H.P, L0[None], (0, 0, 0))
 
-        def step(L_prev, P_i):
+        def body(i, P):
+            L_prev = jnp.tril(lax.dynamic_slice(P, (i - 1, 0, 0), (1, bs, bs))[0])
+            P_i = lax.dynamic_slice(P, (i, 0, 0), (1, bs, bs))[0]
             B_i = jnp.triu(P_i, 1)
             D_i = _sym_from_tril(jnp.tril(P_i))
             C = lax.linalg.triangular_solve(
@@ -285,10 +304,10 @@ def packed_cholesky(H: PackedBTD) -> PackedBTDCholesky:
             )
             L_i = jnp.linalg.cholesky(D_i - C @ C.T)
             # shift s >= 1 keeps C strictly upper: L_i + C packs losslessly
-            return L_i, L_i + jnp.triu(C, 1)
+            return lax.dynamic_update_slice(P, (L_i + jnp.triu(C, 1))[None], (i, 0, 0))
 
-        _, Ps = lax.scan(step, L0, H.P[1:])
-        return PackedBTDCholesky(jnp.concatenate([L0[None], Ps], axis=0), H.n)
+        P = lax.fori_loop(1, H.N, body, P)
+        return PackedBTDCholesky(P, H.n)
 
 
 # ---------------------------------------------------------------------------

@@ -269,7 +269,11 @@ class MatFreeConditionFactor:
         self.H_op = H_op
         self.n = Q32.n
         self.refine_iters = refine_iters
-        diagH = H_op.diagonal()  # f64
+        if getattr(pattern, "colsq_inv", None) is not None:
+            # host-precomputed merge plan: works when A.cols are traced
+            diagH = H_op.diag_Q + H_op.tau * pattern.colsq(H_op.A.vals)
+        else:
+            diagH = H_op.diagonal()  # f64
         self.d = jnp.sqrt(diagH)
         dinv = 1.0 / self.d
         A_scaled = H_op.A.scale(jnp.sqrt(H_op.tau).astype(jnp.float64))

@@ -109,8 +109,74 @@ class DarcyFEMObservations:
         g = self.disc.geometry
         return (jnp.asarray(g.w_detJ), jnp.asarray(g.phi), jnp.asarray(g.grad))
 
-    def __call__(self, coeff_mat, geom=None):
-        """-> (A: RowOp, ys) for one instance's coefficient field."""
+    def structure_arrays(self):
+        """ALL static index/mask arrays of the per-instance assembly as one
+        pytree — device_put once and thread through the jit signature.
+
+        Traced-closure arrays are embedded into the program as MLIR
+        literals (`_array_mlir_constant_handler`); at Darcy N_xy=300 the
+        gather/scatter index sets total ~150 MB, which overflows the remote
+        compiler's request limit (HTTP 413) and duplicates into every
+        executable. As signature arguments they are ordinary device
+        buffers.
+        """
+        op0 = assemble_darcy(
+            self.disc, jnp.zeros(self.q_shape), beta=self.beta
+        )
+        cols, slot, K = op0.rowop_structure()
+        nd = op0.nd
+        rows_flat = np.repeat(op0.cell_dofs[:, :, None], nd, axis=2).reshape(-1)
+        st = dict(
+            qx=jnp.asarray(self.qx, dtype=jnp.int32),
+            qy=jnp.asarray(self.qy, dtype=jnp.int32),
+            cell_dofs=jnp.asarray(op0.cell_dofs, dtype=jnp.int32),
+            rows_flat=jnp.asarray(rows_flat, dtype=jnp.int32),
+            slot=jnp.asarray(np.asarray(slot), dtype=jnp.int32),
+            cols=jnp.asarray(np.asarray(cols), dtype=jnp.int32),
+            prescribed_mask=(
+                None
+                if self.prescribed_mask is None
+                else jnp.asarray(self.prescribed_mask)
+            ),
+            row_mask=(
+                None if self.row_mask is None else jnp.asarray(self.row_mask)
+            ),
+        )
+        self._K = int(K)
+        return st
+
+    def __call__(self, coeff_mat, geom=None, structure=None):
+        """-> (A: RowOp, ys) for one instance's coefficient field.
+
+        With `structure` (from structure_arrays, threaded through the jit
+        signature) the assembly runs entirely on argument arrays — no
+        static index constants reach the HLO."""
+        if structure is not None:
+            st = structure
+            w_q, phi, grad = geom
+            coeff_q = jnp.asarray(coeff_mat)[st["qx"], st["qy"]].reshape(
+                self.q_shape
+            )
+            Ke = jnp.einsum("cq,...cq,cqid,cqjd->...cij", w_q, coeff_q, grad, grad)
+            fe = self.beta * jnp.einsum("cq,qi->ci", w_q, phi)
+            ndofs = self.disc.ndofs
+            vals = jnp.zeros((ndofs, self._K), dtype=Ke.dtype)
+            vals = vals.at[st["rows_flat"], st["slot"]].add(Ke.reshape(-1))
+            A = RowOp(st["cols"], vals, ndofs)
+            ys = jnp.zeros(ndofs, dtype=Ke.dtype)
+            ys = ys.at[st["cell_dofs"].reshape(-1)].add(fe.reshape(-1))
+            if st["prescribed_mask"] is not None:
+                A = A.scale_rows(st["prescribed_mask"])
+                ys = ys * st["prescribed_mask"]
+            if st["row_mask"] is not None:
+                A = A.scale_rows(st["row_mask"])
+                ys = ys * st["row_mask"]
+            if self.A_boundary is not None:
+                A = vstack_rowops([A, self.A_boundary])
+                ys = jnp.concatenate(
+                    [ys, jnp.zeros(self.A_boundary.n_rows, dtype=ys.dtype)]
+                )
+            return A, ys
         coeff_q = self.coeff_at_quad(coeff_mat)
         op = assemble_darcy(self.disc, coeff_q, beta=self.beta, geom=geom)
         A = op.to_rowop()

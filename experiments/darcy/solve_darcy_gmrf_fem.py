@@ -168,6 +168,9 @@ def main():
         ).to_device()
     prior_dev = jax.device_put(prior)
     geom_dev = jax.device_put(obs.geom_arrays())
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        obs_st = obs.structure_arrays()
+    obs_st = jax.device_put(obs_st)
 
     from diffeqgmrfs_tpu.solvers import CholeskySolverBlueprint
 
@@ -199,8 +202,8 @@ def main():
                 E_c, inner_prior.precision.n, inner_prior.precision.bs
             ).to_device()
 
-    def solve_instance(prior_arg, pattern, pattern_E, geom, coeff, key, soln_flat):
-        A, ys = obs(coeff, geom=geom)
+    def solve_instance(prior_arg, pattern, pattern_E, geom, structure, coeff, key, soln_flat):
+        A, ys = obs(coeff, geom=geom, structure=structure)
         post = condition_on_observations(
             prior_arg, A, Q_eps, ys, solver_blueprint=bp, pattern=pattern
         )
@@ -224,10 +227,10 @@ def main():
     _solve = jax.jit(solve_instance)
 
     def solve_jit(coeff, key, soln_flat):
-        return _solve(prior_dev, pat, pat_E, geom_dev, coeff, key, soln_flat)
+        return _solve(prior_dev, pat, pat_E, geom_dev, obs_st, coeff, key, soln_flat)
 
     def _solve_batch(vsolve, prior_arg, pattern, pattern_E, coeffs, keys, solns):
-        return vsolve(prior_arg, pattern, pattern_E, geom_dev, coeffs, keys, solns)
+        return vsolve(prior_arg, pattern, pattern_E, geom_dev, obs_st, coeffs, keys, solns)
 
     # warm-up compile (reference "Trigger precompilation")
     key = jax.random.PRNGKey(523802340)
@@ -245,7 +248,7 @@ def main():
         # DP: vmap the whole posterior pipeline over instance batches — the
         # chip-saturation axis (SURVEY.md §2.4); replaces the serial loop.
         vsolve = jax.jit(
-            jax.vmap(solve_instance, in_axes=(None, None, None, None, 0, 0, 0))
+            jax.vmap(solve_instance, in_axes=(None, None, None, None, None, 0, 0, 0))
         )
         for start in range(0, N, args.batch):
             idxs = list(range(start, min(start + args.batch, N)))
