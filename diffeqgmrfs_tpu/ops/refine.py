@@ -265,10 +265,12 @@ class MatFreeConditionFactor:
         refine_iters: int = 3,
         gemm_solves: bool = False,
         packed_q_idx=None,
+        factor_dtype: str = "f32",
     ):
         self.H_op = H_op
         self.n = Q32.n
         self.refine_iters = refine_iters
+        fdt = jnp.float64 if factor_dtype == "f64" else jnp.float32
         if getattr(pattern, "colsq_inv", None) is not None:
             # host-precomputed merge plan: works when A.cols are traced
             diagH = H_op.diag_Q + H_op.tau * pattern.colsq(H_op.A.vals)
@@ -277,9 +279,7 @@ class MatFreeConditionFactor:
         self.d = jnp.sqrt(diagH)
         dinv = 1.0 / self.d
         A_scaled = H_op.A.scale(jnp.sqrt(H_op.tau).astype(jnp.float64))
-        Av32 = (A_scaled.vals * dinv[jnp.asarray(H_op.A.cols)]).astype(
-            jnp.float32
-        )
+        Av32 = (A_scaled.vals * dinv[jnp.asarray(H_op.A.cols)]).astype(fdt)
         if packed_q_idx is not None:
             # PACKED production path: Q never exists as a device BTD.
             # Scale the ELL values per entry (dinv_i dinv_j), scatter into
@@ -296,21 +296,24 @@ class MatFreeConditionFactor:
             )
 
             Q = H_op.Q
-            Qv32 = (Q.vals * dinv[:, None] * dinv[jnp.asarray(Q.cols)]).astype(
-                jnp.float32
-            )
+            Qv32 = (Q.vals * dinv[:, None] * dinv[jnp.asarray(Q.cols)]).astype(fdt)
             Hp = packed_scatter(
-                packed_q_idx, Qv32, Q32.n, Q32.N, Q32.bs, dtype=jnp.float32
+                packed_q_idx, Qv32, Q32.n, Q32.N, Q32.bs, dtype=fdt
             )
             Hp = ata_packed_windows(pattern, Av32, Hp)
             self.F32 = packed_cholesky(Hp.add_identity_padding())
             return
-        dinv32 = dinv.astype(jnp.float32)
-        Qs32, _ = _scale_btd(Q32, dinv32)
+        dinv32 = dinv.astype(fdt)
+        Qs32, _ = _scale_btd(
+            Q32 if Q32.dtype == fdt else BTD(
+                Q32.diag.astype(fdt), Q32.lower.astype(fdt), Q32.n
+            ),
+            dinv32,
+        )
         if hasattr(pattern, "local_cols"):  # ATAWindowPlan: scatter-free GEMMs
             from diffeqgmrfs_tpu.ops.ata_windows import ata_btd_windows
 
-            H32 = ata_btd_windows(pattern, Av32, dtype=jnp.float32, init=Qs32)
+            H32 = ata_btd_windows(pattern, Av32, dtype=fdt, init=Qs32)
         else:
             from diffeqgmrfs_tpu.fem.operators import RowOp
 
@@ -331,18 +334,19 @@ class MatFreeConditionFactor:
         return self.H_op.matvec(y / self.d) / self.d
 
     def _solve32(self, b):
-        return self.F32.solve(b.astype(jnp.float32)).astype(self.dtype)
+        return self.F32.solve(b.astype(self.F32.dtype)).astype(self.dtype)
 
     def solve(self, b):
         b = jnp.asarray(b)
         bs = b / self.d
         y = self._solve32(bs)
-        for _ in range(self.refine_iters):
+        n_ref = 0 if self.F32.dtype == jnp.float64 else self.refine_iters
+        for _ in range(n_ref):
             y = y + self._solve32(bs - self._apply_Hs(y))
         return y / self.d
 
     def backward_solve(self, b):
-        y = self.F32.backward_solve(jnp.asarray(b).astype(jnp.float32))
+        y = self.F32.backward_solve(jnp.asarray(b).astype(self.F32.dtype))
         return y.astype(self.dtype) * (1.0 / self.d)
 
     def sample_zero_mean(self, key, n_samples: int = 1):

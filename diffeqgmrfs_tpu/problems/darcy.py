@@ -125,14 +125,27 @@ class DarcyFEMObservations:
         )
         cols, slot, K = op0.rowop_structure()
         nd = op0.nd
-        rows_flat = np.repeat(op0.cell_dofs[:, :, None], nd, axis=2).reshape(-1)
+        nc = op0.cell_dofs.shape[0]
+        # scatter index arrays permuted to (i, j, c) entry order — the
+        # unrolled assembly emits Ke as [nd*nd, c] (big dim LAST everywhere:
+        # TPU tiles the trailing two dims to (8, 128), so [c, 6, 6] temps
+        # pad 28x and OOM at production sizes)
+        rows_cij = np.repeat(op0.cell_dofs[:, :, None], nd, axis=2)  # [c,i,j]
+        rows_ijc = rows_cij.transpose(1, 2, 0).reshape(-1)
+        slot_ijc = (
+            np.asarray(slot).reshape(nc, nd, nd).transpose(1, 2, 0).reshape(-1)
+        )
+        g = self.disc.geometry
         st = dict(
-            qx=jnp.asarray(self.qx, dtype=jnp.int32),
-            qy=jnp.asarray(self.qy, dtype=jnp.int32),
-            cell_dofs=jnp.asarray(op0.cell_dofs, dtype=jnp.int32),
-            rows_flat=jnp.asarray(rows_flat, dtype=jnp.int32),
-            slot=jnp.asarray(np.asarray(slot), dtype=jnp.int32),
+            qxT=jnp.asarray(self.qx.reshape(self.q_shape).T, dtype=jnp.int32),
+            qyT=jnp.asarray(self.qy.reshape(self.q_shape).T, dtype=jnp.int32),
+            cell_dofsT=jnp.asarray(op0.cell_dofs.T, dtype=jnp.int32),
+            rows_flat=jnp.asarray(rows_ijc, dtype=jnp.int32),
+            slot=jnp.asarray(slot_ijc, dtype=jnp.int32),
             cols=jnp.asarray(np.asarray(cols), dtype=jnp.int32),
+            # geometry with the cell axis LAST (tile-friendly): [i, d, q, c]
+            gradT=jnp.asarray(np.ascontiguousarray(np.asarray(g.grad).transpose(2, 3, 1, 0))),
+            wT=jnp.asarray(np.ascontiguousarray(np.asarray(g.w_detJ).T)),
             prescribed_mask=(
                 None
                 if self.prescribed_mask is None
@@ -143,6 +156,8 @@ class DarcyFEMObservations:
             ),
         )
         self._K = int(K)
+        self._nd = nd
+        self._phi = np.asarray(g.phi)  # [q, nd], tiny static
         return st
 
     def __call__(self, coeff_mat, geom=None, structure=None):
@@ -153,18 +168,35 @@ class DarcyFEMObservations:
         static index constants reach the HLO."""
         if structure is not None:
             st = structure
-            w_q, phi, grad = geom
-            coeff_q = jnp.asarray(coeff_mat)[st["qx"], st["qy"]].reshape(
-                self.q_shape
-            )
-            Ke = jnp.einsum("cq,...cq,cqid,cqjd->...cij", w_q, coeff_q, grad, grad)
-            fe = self.beta * jnp.einsum("cq,qi->ci", w_q, phi)
+            gradT, wT = st["gradT"], st["wT"]  # [nd, dim, q, c], [q, c]
+            nd, dim = gradT.shape[0], gradT.shape[1]
+            coeff_q = jnp.asarray(coeff_mat)[st["qxT"], st["qyT"]]  # [q, c]
+            wc = wT * coeff_q
+            # unrolled tiny-dim contraction: every array is [q, c] or [c] —
+            # dot_general here produces [c, nd, nd] temps whose (8, 128)
+            # trailing-tile padding expands 28x (observed 3 x 5.5 GB at
+            # N_xy=300); 21 symmetric elementwise reductions are free
+            vecs = {}
+            for i in range(nd):
+                for j in range(i + 1):
+                    acc = gradT[i, 0] * gradT[j, 0]
+                    for d in range(1, dim):
+                        acc = acc + gradT[i, d] * gradT[j, d]
+                    vecs[(i, j)] = jnp.sum(wc * acc, axis=0)  # [c]
+            Ke36 = jnp.stack(
+                [vecs[(i, j)] if j <= i else vecs[(j, i)]
+                 for i in range(nd) for j in range(nd)]
+            )  # [nd*nd, c]
+            phi = self._phi  # [q, nd] static tiny
+            feT = self.beta * jnp.stack(
+                [jnp.sum(wT * phi[:, i][:, None], axis=0) for i in range(nd)]
+            )  # [nd, c]
             ndofs = self.disc.ndofs
-            vals = jnp.zeros((ndofs, self._K), dtype=Ke.dtype)
-            vals = vals.at[st["rows_flat"], st["slot"]].add(Ke.reshape(-1))
+            vals = jnp.zeros((ndofs, self._K), dtype=Ke36.dtype)
+            vals = vals.at[st["rows_flat"], st["slot"]].add(Ke36.reshape(-1))
             A = RowOp(st["cols"], vals, ndofs)
-            ys = jnp.zeros(ndofs, dtype=Ke.dtype)
-            ys = ys.at[st["cell_dofs"].reshape(-1)].add(fe.reshape(-1))
+            ys = jnp.zeros(ndofs, dtype=Ke36.dtype)
+            ys = ys.at[st["cell_dofsT"].reshape(-1)].add(feT.reshape(-1))
             if st["prescribed_mask"] is not None:
                 A = A.scale_rows(st["prescribed_mask"])
                 ys = ys * st["prescribed_mask"]

@@ -61,6 +61,11 @@ class CholeskySolverBlueprint:
     compute_variance: bool = True
     mixed_precision: bool = False
     gemm_solves: bool = False
+    # factor dtype for the compact/packed conditioning paths: "f32" (MXU,
+    # + f64 refinement; valid while cond(equilibrated H) < 1/eps_f32 ~ 1e7)
+    # or "f64" (emulated on TPU, ~47x slower, needed when the squared
+    # observation operator pushes cond ~ N^4 past f32 — Darcy N_xy >~ 100)
+    factor_dtype: str = "f32"
 
 
 @dataclass(frozen=True)

@@ -45,6 +45,10 @@ def parse_cmd():
     p.add_argument("--compact", action="store_true",
                    help="production-memory prior: f32 BTD factor + f64 ELL "
                         "operator (CompactGMRF / MatFreeConditionFactor)")
+    p.add_argument("--f64_factor", action="store_true",
+                   help="factor in f64 (needed when cond(H~) > 1/eps_f32, "
+                        "i.e. Darcy FEM observations beyond N_xy ~ 100; "
+                        "~47x slower on v5e but exact)")
     p.add_argument("--packed", action="store_true",
                    help="packed banded-block storage: half the operator and "
                         "factor HBM (implies --compact and --ata_windows)")
@@ -175,7 +179,9 @@ def main():
     from diffeqgmrfs_tpu.solvers import CholeskySolverBlueprint
 
     bp = CholeskySolverBlueprint(
-        mixed_precision=args.mixed_precision, gemm_solves=args.gemm_solves
+        mixed_precision=args.mixed_precision,
+        gemm_solves=args.gemm_solves,
+        factor_dtype="f64" if args.f64_factor else "f32",
     )
 
     # Calibration target: true solution interpolated into dof space by
