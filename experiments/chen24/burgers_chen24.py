@@ -95,6 +95,20 @@ def main():
     N_t = len(ts)
 
     def build():
+        return _build_setup_on_cpu()
+
+    def _build_setup_on_cpu():
+        # the ENTIRE eager setup phase (prior construction, IC
+        # conditioning, structure-only Jacobian) runs on the host CPU
+        # backend: eager chains on the relay keep several multi-GB f64 BTD
+        # intermediates alive simultaneously (no cross-op liveness
+        # analysis) and OOM the TPU at N_x=1000 before the solve even
+        # compiles. Only (mu, Q, pattern) ship to the TPU.
+        cpu0 = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu0):
+            return _build_inner()
+
+    def _build_inner():
         disc = interval_discretization(
             -1.0, 1.0, args.N_x, element_order=args.el_order, dirichlet=True
         )
@@ -144,8 +158,10 @@ def main():
         with jax.default_device(jax.local_devices(backend="cpu")[0]):
             _, J0 = res.f_and_J(jnp.zeros(N_t * disc.ndofs))
             Jc0 = affine.condense_rowop(J0)
-        gn_pat = ata_pattern_cached(Jc0, Q_ic.n, Q_ic.bs).to_device()
-        mu_dev, Q_dev = jax.device_put((mu_ic, Q_ic))
+        gn_pat = ata_pattern_cached(Jc0, Q_ic.n, Q_ic.bs)
+        tpu0 = jax.devices()[0]
+        gn_pat = jax.device_put(gn_pat, tpu0)
+        mu_dev, Q_dev = jax.device_put((mu_ic, Q_ic), tpu0)
 
         def solve(mu_arg, Q_arg, pattern):
             result = gauss_newton_solve(

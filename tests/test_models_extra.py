@@ -56,3 +56,22 @@ def test_cg_matches_cholesky():
     x_cg = cg_solve(A, b, tol=1e-12)
     x_ch = btd_cholesky(A).solve(b)
     np.testing.assert_allclose(np.asarray(x_cg), np.asarray(x_ch), atol=1e-8)
+
+
+def test_pdebench_hdf5_loader(tmp_path):
+    """PDEBench HDF5 layout (`scripts/solve_burger.jl:40-47`): `tensor`
+    dataset [N, Nt, Nx] + visc attr round-trips through BurgersDataset."""
+    import h5py
+    from diffeqgmrfs_tpu.datasets.burgers import BurgersDataset
+
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(3, 5, 17))
+    p = str(tmp_path / "pdebench.h5")
+    with h5py.File(p, "w") as f:
+        f.create_dataset("tensor", data=data)
+        f.attrs["visc"] = 0.007
+    ds = BurgersDataset(p)
+    assert len(ds) == 3
+    assert abs(ds.nu - 0.007) < 1e-12
+    np.testing.assert_allclose(np.asarray(ds.get_solution(1)), data[1])
+    np.testing.assert_allclose(np.asarray(ds.get_initial_condition(2)), data[2, 0])
