@@ -56,9 +56,15 @@ def shard_btd(Q, mesh: Mesh):
     nd = Q.diag.ndim
     if nd == 3:
         spec = P("time", None, None)
+        rep = P(None, None, None)
     else:
         spec = P("dp", "time", None, None)
-    return BTD(constrain(Q.diag, spec), constrain(Q.lower, spec), Q.n)
+        rep = P("dp", None, None, None)
+    t = mesh.shape["time"]
+    # lower has N-1 blocks; an uneven count stays unsharded on the time
+    # axis (eager constraints require exact divisibility)
+    lower_spec = spec if Q.lower.shape[-3] % t == 0 else rep
+    return BTD(constrain(Q.diag, spec), constrain(Q.lower, lower_spec), Q.n)
 
 
 def batch_sharding(mesh: Mesh):
