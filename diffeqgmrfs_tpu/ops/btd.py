@@ -138,6 +138,40 @@ class BTD:
         """Dense-blocked storage nonzeros (cost proxy, cf. reference mat_nnz)."""
         return int(self.diag.size + self.lower.size)
 
+    def to_csr_host(self, tol: float = 0.0):
+        """Host-side scipy CSR of the TRUE nonzeros (drops the dense-block
+        padding zeros). For converting priors to compact ELL form — ST
+        prior blocks are mostly zeros (1D spatial bandwidth ~4 inside
+        bs ~ 2000 dense blocks)."""
+        import numpy as np_
+        import scipy.sparse as sp_
+
+        N, bs, n = self.N, self.bs, self.n
+        rows, cols, vals = [], [], []
+        diag = np_.asarray(self.diag)
+        lower = np_.asarray(self.lower)
+        for i in range(N):
+            r, c = np_.nonzero(np_.abs(diag[i]) > tol)
+            rows.append(r + i * bs)
+            cols.append(c + i * bs)
+            vals.append(diag[i][np_.abs(diag[i]) > tol])
+            if i + 1 < N:
+                r, c = np_.nonzero(np_.abs(lower[i]) > tol)
+                rows.append(r + (i + 1) * bs)
+                cols.append(c + i * bs)
+                vals.append(lower[i][np_.abs(lower[i]) > tol])
+                # symmetric mirror (upper)
+                rows.append(c + i * bs)
+                cols.append(r + (i + 1) * bs)
+                vals.append(lower[i][np_.abs(lower[i]) > tol])
+        r = np_.concatenate(rows)
+        c = np_.concatenate(cols)
+        v = np_.concatenate(vals)
+        keep = (r < n) & (c < n)
+        return sp_.coo_matrix(
+            (v[keep], (r[keep], c[keep])), shape=(n, n)
+        ).tocsr()
+
 
 # ---------------------------------------------------------------------------
 # COO -> BTD scatter patterns (static structure, jit-able values)

@@ -332,6 +332,10 @@ class ShapeOnly:
     def tree_unflatten(cls, aux, children):
         return cls(*aux)
 
+    @property
+    def dtype(self):
+        return jnp.float64  # priors are f64; only shape metadata is real
+
     def nnz(self) -> int:
         return 0
 

@@ -441,3 +441,80 @@ class MixedPrecisionFactor:
 
     def nnz(self) -> int:
         return self._rf.F32.nnz()
+
+
+class EllMatFreeFactor:
+    """Mixed-precision Newton-system factor with the prior precision held
+    ONLY as a compact f64 ELL operator (RowOp) — no f64 BTD is resident.
+
+    The f64 BTD of a production ST prior is ~3.4 GB, which XLA's TPU x64
+    emulation stores as f32 hi/lo pairs and then COPIES around while-loop
+    boundaries — observed 31.5 GB peak for the chen24 Burgers N_x=1000
+    Gauss-Newton body. Here the f32 scaled system is scattered directly
+    from the ELL values (q_pattern: BTDPattern over the ELL structure) and
+    the f64 action for refinement residuals is ELL-gather + J products:
+
+        H t = Q t + tau J^T (J t)
+
+    Peak per step: two f32 BTD buffers (scaled system + factor).
+    """
+
+    def __init__(
+        self,
+        q_ell,
+        q_diag,
+        q_pattern,
+        Jc,
+        tau,
+        jtj_scaled32,
+        refine_iters: int = 5,
+        q_coo=None,
+    ):
+        self.q_ell = q_ell
+        self.Jc = Jc
+        self.tau = tau
+        self.refine_iters = refine_iters
+        n = q_pattern.n
+        diagH = q_diag + tau * rowop_col_sumsq(Jc, n)
+        self.d = jnp.sqrt(diagH)
+        dinv = 1.0 / self.d
+        if q_coo is not None:
+            # scatter in the pattern's (CSR COO) entry order — the padded
+            # ELL order does not match the pattern's nnz layout
+            q_rows, q_cols, q_vals = q_coo
+            Qv32 = (
+                q_vals * dinv[jnp.asarray(q_rows)] * dinv[jnp.asarray(q_cols)]
+            ).astype(jnp.float32)
+        else:
+            Qv32 = (
+                q_ell.vals * dinv[:, None] * dinv[jnp.asarray(q_ell.cols)]
+            ).astype(jnp.float32)
+        Qs32 = q_pattern.scatter(Qv32)
+        Jv32 = (Jc.vals * dinv[jnp.asarray(Jc.cols)] * jnp.sqrt(tau)).astype(
+            jnp.float32
+        )
+        H32 = jtj_scaled32(Jv32, init=Qs32)
+        H32 = _unit_pad(H32)
+        self.F32 = btd_cholesky(H32)
+
+    def _apply_H(self, t):
+        return self.q_ell.matvec(t) + self.tau * self.Jc.rmatvec(
+            self.Jc.matvec(t)
+        )
+
+    def matvec_H(self, x):
+        return self._apply_H(x)
+
+    def _apply_Hs(self, y):
+        return self._apply_H(y / self.d) / self.d
+
+    def _solve32(self, b):
+        return self.F32.solve(b.astype(jnp.float32)).astype(b.dtype)
+
+    def solve(self, b):
+        b = jnp.asarray(b)
+        bs = b / self.d
+        y = self._solve32(bs)
+        for _ in range(self.refine_iters):
+            y = y + self._solve32(bs - self._apply_Hs(y))
+        return y / self.d

@@ -205,6 +205,10 @@ def gauss_newton_solve(
     ata_pattern=None,
     ata_window_plan=None,
     materialize_H: bool = True,
+    q_ell=None,
+    q_diag=None,
+    q_pattern=None,
+    q_coo=None,
 ) -> GaussNewtonResult:
     """Functional Gauss-Newton loop (jit/vmap-friendly).
 
@@ -218,6 +222,15 @@ def gauss_newton_solve(
     ata_window_plan: alternative scatter-free J^T J path via block-window
     GEMMs (ops/ata_windows.py) — preferred on TPU where giant scatter-adds
     serialize; takes precedence over ata_pattern.
+
+    (q_ell, q_diag, q_pattern): prior precision in compact f64 ELL form +
+    its scatter pattern into BTD storage. With mixed_precision, the Newton
+    body then never holds ANY f64 BTD: the f32 scaled system is scattered
+    directly from the ELL values and refinement residuals apply Q by ELL
+    gathers (ops/refine.py EllMatFreeFactor). On TPU, f64 arrays are
+    emulated as f32 hi/lo pairs and copied around while-loop boundaries —
+    a 3.4 GB f64 prior BTD ballooned to 31.5 GB peak at chen24 Burgers
+    N_x=1000; this path runs the same config in a few GB.
     """
     from diffeqgmrfs_tpu.gmrf.conditioning import ata_pattern_cached
     from diffeqgmrfs_tpu.ops.refine import RefinedFactor
@@ -228,6 +241,7 @@ def gauss_newton_solve(
     mu_prior = jnp.asarray(mu_prior)
     y = jnp.asarray(y)
     tau = jnp.asarray(noise, dtype=Q.dtype)
+    use_ell = q_ell is not None
 
     def full(x):
         return x if affine is None else affine.free_to_full(x)
@@ -282,7 +296,15 @@ def gauss_newton_solve(
             v = vals[:, :, None] * vals[:, None, :]
             return pat.scatter(v.reshape(-1))
 
-    Qmu = Q.matvec(mu_prior)
+    Qmu = q_ell.matvec(mu_prior) if use_ell else Q.matvec(mu_prior)
+
+    def jtj_scaled32(vals, init):
+        """Scaled J^T J accumulated in the init buffer's (f32) dtype."""
+        if ata_window_plan is not None:
+            return ata_btd_windows(
+                ata_window_plan, vals, tau=1.0, dtype=init.diag.dtype, init=init
+            )
+        return pat.scatter_into(init, vals[:, :, None] * vals[:, None, :])
 
     def body(carry):
         x, _, step, hist, _ = carry
@@ -291,7 +313,18 @@ def gauss_newton_solve(
         r_norm = jnp.linalg.norm(f - y)
         hist = hist.at[step].set(r_norm)
         rhs = Qmu + tau * Jc.rmatvec(Jc.matvec(x) - (f - y))
-        if mixed_precision:
+        if use_ell and mixed_precision:
+            # ELL path: no f64 BTD anywhere in the loop body
+            from diffeqgmrfs_tpu.ops.refine import EllMatFreeFactor
+
+            F = EllMatFreeFactor(
+                q_ell, q_diag, q_pattern, Jc, tau, jtj_scaled32,
+                refine_iters=5, q_coo=q_coo,
+            )
+            x_new = F.solve(rhs)
+            dx = x_new - x
+            Hdx = F.matvec_H(dx)
+        elif mixed_precision:
             # matrix-free mixed precision: the f64 Newton system is never
             # materialized (production ST systems are ~GBs per BTD copy)
             from diffeqgmrfs_tpu.ops.refine import MatFreeRefinedFactor

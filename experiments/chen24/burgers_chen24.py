@@ -159,14 +159,58 @@ def main():
             _, J0 = res.f_and_J(jnp.zeros(N_t * disc.ndofs))
             Jc0 = affine.condense_rowop(J0)
         gn_pat = ata_pattern_cached(Jc0, Q_ic.n, Q_ic.bs)
-        tpu0 = jax.devices()[0]
-        gn_pat = jax.device_put(gn_pat, tpu0)
-        mu_dev, Q_dev = jax.device_put((mu_ic, Q_ic), tpu0)
+        # prior precision in compact ELL/COO form: the f64 BTD never
+        # reaches the TPU (x64 pair emulation + while-loop copies pushed
+        # the N_x=1000 GN body to 31.5 GB; the ELL path runs in a few GB)
+        from diffeqgmrfs_tpu.fem.operators import RowOp
+        from diffeqgmrfs_tpu.ops.btd import make_btd_pattern
+        from diffeqgmrfs_tpu.ops.packed import ShapeOnly
+        import numpy as np_
 
-        def solve(mu_arg, Q_arg, pattern):
+        if not args.mixed_precision:
+            # f64 reference path keeps the BTD (host/CPU runs)
+            tpu0 = jax.devices()[0]
+            gn_pat = jax.device_put(gn_pat, tpu0)
+            mu_dev, Q_dev = jax.device_put((mu_ic, Q_ic), tpu0)
+
+            def solve_f64(mu_arg, Q_arg, pattern):
+                result = gauss_newton_solve(
+                    mu_arg, Q_arg, res.f_and_J, args.noise_fem,
+                    jnp.zeros(res.n_rows), mu_arg,
+                    criterion=OrCriterion(
+                        [NewtonDecrementCriterion(1e-5), StepNumberCriterion(30)]
+                    ),
+                    affine=affine, ata_pattern=pattern, materialize_H=False,
+                )
+                x_full = affine.free_to_full(result.x_k)
+                return A_eval.matvec(x_full), result.n_steps
+
+            f64_fn = jax.jit(solve_f64)
+            return lambda: f64_fn(mu_dev, Q_dev, gn_pat)
+
+        Q_csr = Q_ic.to_csr_host()
+        q_ell = RowOp.from_csr(Q_csr, dtype=jnp.float64)
+        q_diag = jnp.asarray(Q_csr.diagonal())
+        coo = Q_csr.tocoo()
+        q_pattern = make_btd_pattern(coo.row, coo.col, Q_ic.n, bs=Q_ic.bs)
+        q_coo = (
+            jnp.asarray(coo.row.astype(np_.int32)),
+            jnp.asarray(coo.col.astype(np_.int32)),
+            jnp.asarray(coo.data),
+        )
+        q_shape = ShapeOnly(Q_ic.n, Q_ic.N, Q_ic.bs)
+        del Q_ic, u_ic
+        gc.collect()
+        tpu0 = jax.devices()[0]
+        gn_pat, q_pattern = jax.device_put((gn_pat, q_pattern), tpu0)
+        mu_dev, q_ell, q_diag, q_coo = jax.device_put(
+            (mu_ic, q_ell, q_diag, q_coo), tpu0
+        )
+
+        def solve(mu_arg, pattern, q_ell_a, q_diag_a, q_pattern_a, q_coo_a):
             result = gauss_newton_solve(
                 mu_arg,
-                Q_arg,
+                q_shape,
                 res.f_and_J,
                 args.noise_fem,
                 jnp.zeros(res.n_rows),
@@ -178,12 +222,16 @@ def main():
                 mixed_precision=args.mixed_precision,
                 ata_pattern=pattern,
                 materialize_H=False,  # only the MAP mean is evaluated
+                q_ell=q_ell_a,
+                q_diag=q_diag_a,
+                q_pattern=q_pattern_a,
+                q_coo=q_coo_a,
             )
             x_full = affine.free_to_full(result.x_k)
             return A_eval.matvec(x_full), result.n_steps
 
         f = jax.jit(solve)
-        return lambda: f(mu_dev, Q_dev, gn_pat)
+        return lambda: f(mu_dev, gn_pat, q_ell, q_diag, q_pattern, q_coo)
 
     solve_jit = build()
     log.info("First solve (compile)...")

@@ -92,3 +92,82 @@ def test_matfree_mixed_gauss_newton_matches_f64():
     # inexact-Newton regime: per-step refined solves are ~1e-5 accurate at
     # obs precision 1e15; GN re-linearization absorbs the rest
     assert d < 2e-5, d
+
+
+def test_gauss_newton_ell_path_matches_btd():
+    """GN with the prior as f64 ELL (EllMatFreeFactor: no f64 BTD in the
+    loop) matches the BTD mixed-precision path on a small Burgers ST
+    problem."""
+    import numpy as np
+    import jax.numpy as jnp
+    from diffeqgmrfs_tpu.fem import (
+        periodic_unit_interval_discretization,
+        evaluation_matrix,
+        spatial_to_spatiotemporal,
+    )
+    from diffeqgmrfs_tpu.fem.operators import RowOp
+    from diffeqgmrfs_tpu.models import (
+        MaternSPDE, AdvectionDiffusionSPDE, discretize_advection_diffusion,
+    )
+    from diffeqgmrfs_tpu.gmrf import condition_on_observations
+    from diffeqgmrfs_tpu.problems import BurgersFEMResidual
+    from diffeqgmrfs_tpu.solvers import gauss_newton_solve, StepNumberCriterion
+    from diffeqgmrfs_tpu.gmrf.conditioning import ata_pattern_cached
+    from diffeqgmrfs_tpu.ops.btd import make_btd_pattern
+    from diffeqgmrfs_tpu.ops.packed import ShapeOnly
+
+    N_x, N_t, nu = 12, 6, 0.05
+    disc = periodic_unit_interval_discretization(N_x, element_order=2)
+    ts = np.linspace(0.0, 0.25, N_t)
+    xs = np.linspace(0.0, 1.0, 2 * N_x + 1)
+    ic = jnp.asarray(0.6 + 0.25 * np.sin(2 * np.pi * xs))
+    A_ic = spatial_to_spatiotemporal(evaluation_matrix(disc, xs), 0, N_t)
+    res = BurgersFEMResidual(disc, ts, nu)
+    kappa = float(np.sqrt(8 * 1.5) / np.sqrt(1 / N_x))
+    c = 1.0 / nu
+    spde = AdvectionDiffusionSPDE(
+        d=1, kappa=0.0, alpha=1, gamma=jnp.asarray([-c * 0.6]), c=c,
+        tau=0.1 * np.sqrt(c),
+        spatial_spde=MaternSPDE(d=1, kappa=kappa, nu=1.5),
+        initial_spde=MaternSPDE(d=1, kappa=kappa, nu=1.5),
+    )
+    x = discretize_advection_diffusion(spde, disc, ts, mean_offset=0.6)
+    x_ic = condition_on_observations(x, A_ic, 1e8, ic)
+    mu, Q = x_ic.inner_gmrf.mean(), x_ic.inner_gmrf.precision
+    affine = x_ic.affine
+    crit = StepNumberCriterion(4)
+    kw = dict(criterion=crit, affine=affine, materialize_H=False)
+
+    res_btd = gauss_newton_solve(
+        mu, Q, res.f_and_J, 1e10, jnp.zeros(res.n_rows), mu,
+        mixed_precision=True, **kw,
+    )
+
+    # ELL form of the same Q
+    Q_csr = Q.to_csr_host()
+    q_ell = RowOp.from_csr(Q_csr, dtype=jnp.float64)
+    q_diag = jnp.asarray(Q_csr.diagonal())
+    coo = Q_csr.tocoo()
+    q_pattern = make_btd_pattern(coo.row, coo.col, Q.n, bs=Q.bs)
+    # structural check: ELL reproduces the BTD matvec
+    v = jnp.asarray(np.random.default_rng(0).normal(size=Q.n))
+    np.testing.assert_allclose(
+        np.asarray(q_ell.matvec(v)), np.asarray(Q.matvec(v)), rtol=1e-12, atol=1e-12
+    )
+    _, J0 = res.f_and_J(affine.free_to_full(mu))
+    Jc0 = affine.condense_rowop(J0)
+    pat = ata_pattern_cached(Jc0, Q.n, Q.bs)
+    q_coo = (
+        jnp.asarray(coo.row.astype(np.int32)),
+        jnp.asarray(coo.col.astype(np.int32)),
+        jnp.asarray(coo.data),
+    )
+    res_ell = gauss_newton_solve(
+        mu, ShapeOnly(Q.n, Q.N, Q.bs), res.f_and_J, 1e10,
+        jnp.zeros(res.n_rows), mu,
+        mixed_precision=True, ata_pattern=pat,
+        q_ell=q_ell, q_diag=q_diag, q_pattern=q_pattern, q_coo=q_coo, **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_ell.x_k), np.asarray(res_btd.x_k), rtol=1e-6, atol=1e-8
+    )
