@@ -49,8 +49,9 @@ class Timer:
         self.counts[name] = self.counts.get(name, 0) + 1
 
     def time(self, name: str) -> int:
-        """Accumulated time in ns for a phase (TimerOutputs.time analog)."""
-        return self.times_ns[name]
+        """Accumulated time in ns for a phase (TimerOutputs.time analog);
+        0 for phases that never completed (e.g. a failed timing re-run)."""
+        return self.times_ns.get(name, 0)
 
     def seconds(self, name: str) -> float:
         return self.times_ns[name] / 1e9

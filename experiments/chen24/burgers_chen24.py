@@ -235,12 +235,22 @@ def main():
 
     solve_jit = build()
     log.info("First solve (compile)...")
-    solve_jit()[0].block_until_ready()
-    log.info("Actual solve...")
-    with to("Solve time"):
-        sol, n_steps = solve_jit()
-        to.sync(sol)
-    sol = np.asarray(sol)
+    sol1, n_steps = solve_jit()
+    sol = np.asarray(sol1)  # full fetch forces true completion (relay)
+    n_steps = int(n_steps)
+    log.info("first run done (%d Newton steps); timed re-run...", n_steps)
+    # re-executions of large GN programs on the relay sometimes hit a
+    # generic "TPU device error" kernel fault; the first run's result is
+    # already in hand, so a timing-rerun fault is reported, not fatal
+    try:
+        with to("Solve time"):
+            sol2, n_steps2 = solve_jit()
+            to.sync(sol2)
+        sol = np.asarray(sol2)
+        n_steps = int(n_steps2)
+    except Exception as e:  # pragma: no cover - relay flakiness
+        log.warning("timed re-run failed (%s); keeping first-run result",
+                    str(e)[:140].replace("\n", " "))
     truth = cole_hopf_solution(X_domain, T_END, NU)
 
     err = sol - truth
