@@ -103,6 +103,29 @@ def condition_on_observations(
             if pattern is not None
             else ata_pattern_cached(A, x.precision.n, x.precision.bs)
         )
+        if getattr(bp, "sqrt_factor", False):
+            # SRIF path: QR of the stacked [Λ; sqrt(tau) A] — f32-valid at
+            # cond(H) up to ~1/eps_f32^2 (ops/srif.py)
+            if x.sqrt32 is None:
+                raise ValueError(
+                    "sqrt_factor blueprint requires a prior discretized "
+                    "with sqrt=True (no Λ operand on this CompactGMRF)"
+                )
+            if not hasattr(pat, "local_cols"):
+                raise ValueError(
+                    "sqrt_factor conditioning requires an ATAWindowPlan "
+                    "pattern for the observation operator"
+                )
+            from diffeqgmrfs_tpu.ops.refine import SRIFConditionFactor
+
+            factor = SRIFConditionFactor(
+                H_op, pat, x.sqrt32, x.sqrt_plan,
+                x.precision.n, x.precision.N, x.precision.bs,
+            )
+            rhs = x.precision64.matvec(x.mu) + tau64 * A.rmatvec(
+                jnp.asarray(y, dtype=tau64.dtype)
+            )
+            return GMRF(factor.solve(rhs), H_op, factor, bp)
         factor = MatFreeConditionFactor(
             x.precision,
             H_op,

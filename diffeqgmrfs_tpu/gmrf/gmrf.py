@@ -171,6 +171,10 @@ class CompactGMRF(GMRF):
     q_pack_idx: jnp.ndarray = None  # packed-scatter plan for the ELL values
     # (ops/packed.py); set -> conditioning assembles + factors in packed
     # banded-block storage and `precision` is a ShapeOnly stub
+    sqrt32: object = None  # RowOp (f32): sparse Λ with Λ^T Λ = Q — the SRIF
+    # operand (ops/srif.py) enabling f32 square-root factorization where
+    # cond(H) exceeds 1/eps_f32 (blueprint sqrt_factor=True)
+    sqrt_plan: object = None  # ATAWindowPlan for sqrt32's rows (host-built)
 
     def tree_flatten(self):
         return (
@@ -180,6 +184,8 @@ class CompactGMRF(GMRF):
             self.precision64,
             self.diag64,
             self.q_pack_idx,
+            self.sqrt32,
+            self.sqrt_plan,
         ), (self.blueprint,)
 
     @classmethod
@@ -192,6 +198,8 @@ class CompactGMRF(GMRF):
             children[3],
             children[4],
             children[5],
+            children[6],
+            children[7],
         )
 
     def sqmahal(self, v):

@@ -149,6 +149,74 @@ def matern_precision_host(spde: MaternSPDE, disc: FEMDiscretization, affine: Aff
     return (ratio * Q).tocsr()
 
 
+def matern_sqrt_host(
+    spde: MaternSPDE, disc: FEMDiscretization, affine: AffineMap | None = None
+) -> sp.csr_matrix:
+    """Fill-free sparse square root Λ of the Matérn precision: Q = Λᵀ Λ.
+
+    SRIF operand (ops/srif.py): factoring the stacked [Λ; sqrt(tau) A]
+    by QR keeps the f32 factor valid at cond(H) up to ~1e14, where direct
+    f32 Cholesky of H breaks down (Darcy N_xy >= 128, RESULTS.md).
+
+    Construction avoids ALL factor fill by using the per-cell element
+    square root: K = kappa^2 M~ + G = E^T E with E = stack_c(L_c^T P_c),
+    L_c = chol(kappa^2 diag(hrz_c) + G_c) — 6x6 dense per cell. Then with
+    F = M~^{-1} K (lumped mass, as sparse as K):
+
+        alpha = 2m+1:  Λ = sqrt(ratio) E F^m        (Λ^T Λ = K (M^{-1}K)^{2m})
+        alpha = 2m:    Λ = sqrt(ratio) M~^{-1/2} K F^{m-1}
+
+    Rows stay local (cell m-ring stencils, ~tens of nnz) instead of the
+    O(bandwidth) dense rows a banded Cholesky of Q would produce. Matches
+    `matern_precision_host` exactly, including HRZ lumping and constraint
+    condensation order (condense K, m first, then powers).
+    """
+    kappa, nu, alpha, sigma_sq = spde.resolved()
+    g = disc.geometry
+    Me = np.einsum("cq,qi,qj->cij", g.w_detJ, g.phi, g.phi)
+    Ge = np.einsum("cq,cqid,cqjd->cij", g.w_detJ, g.grad, g.grad)
+    diag_c = np.einsum("cii->ci", Me)
+    hrz = diag_c * (Me.sum(axis=(1, 2)) / diag_c.sum(axis=1))[:, None]
+    nd = Me.shape[1]
+    Ke = (kappa**2) * hrz[:, :, None] * np.eye(nd)[None] + Ge
+    Lc = np.linalg.cholesky(Ke)  # [C, nd, nd] lower
+    cd = disc.dof_handler.cell_dofs_field(disc.dof_handler.field_names[0])
+    C = cd.shape[0]
+    n = disc.ndofs
+    rows = np.repeat(np.arange(C * nd), nd)
+    cols = np.broadcast_to(cd[:, None, :], (C, nd, nd)).reshape(-1)
+    vals = Lc.transpose(0, 2, 1).reshape(-1)  # row (c, j) = L_c[:, j]
+    E = sp.coo_matrix((vals, (rows, cols)), shape=(C * nd, n)).tocsr()
+    # lumped mass + stiffness on full dofs (same HRZ as host_mass_stiffness)
+    m = np.zeros(n)
+    np.add.at(m, cd.reshape(-1), hrz.reshape(-1))
+    r = np.repeat(cd[:, :, None], nd, axis=2).reshape(-1)
+    c = np.repeat(cd[:, None, :], nd, axis=1).reshape(-1)
+    G = sp.coo_matrix((Ge.reshape(-1), (r, c)), shape=(n, n)).tocsr()
+    if affine is not None and len(affine.prescribed_dofs):
+        S = sp.coo_matrix(
+            (affine.s_coef, (np.arange(affine.n_full), affine.s_col)),
+            shape=(affine.n_full, affine.n_free),
+        ).tocsr()
+        E = (E @ S).tocsr()
+        G = (S.T @ G @ S).tocsr()
+        m = condense_diag(m, affine)
+    K = (kappa**2) * sp.diags(m) + G
+    F = (sp.diags(1.0 / m) @ K).tocsr()
+    if alpha % 2 == 1:
+        Lam = E
+        for _ in range((alpha - 1) // 2):
+            Lam = (Lam @ F).tocsr()
+    else:
+        Lam = (sp.diags(1.0 / np.sqrt(m)) @ K).tocsr()
+        for _ in range((alpha - 2) // 2):
+            Lam = (Lam @ F).tocsr()
+    ratio = spde.natural_variance() / sigma_sq
+    Lam = (np.sqrt(ratio) * Lam).tocsr()
+    Lam.eliminate_zeros()
+    return Lam
+
+
 def csr_to_btd(Q: sp.csr_matrix, bs: int | None = None, dtype=jnp.float64) -> BTD:
     Qc = Q.tocoo()
     pat = make_btd_pattern(Qc.row, Qc.col, Q.shape[0], bs=bs)
@@ -163,6 +231,7 @@ def discretize_matern(
     bs: int | None = None,
     compact: bool = False,
     packed: bool = False,
+    sqrt: bool = False,
 ):
     """FEM-discretize a Matérn SPDE into a GMRF prior.
 
@@ -178,7 +247,13 @@ def discretize_matern(
     entirely: conditioning assembles + factors in PACKED banded-block
     storage (ops/packed.py), halving both operator and factor HBM — the
     only way Darcy N_xy=300 fits a 16 GB v5e.
+
+    sqrt=True (implies packed) additionally ships the fill-free sparse
+    square root Λ (Q = Λ^T Λ, `matern_sqrt_host`) + its window plan, so
+    conditioning with a `sqrt_factor=True` blueprint runs the SRIF windowed
+    QR (ops/srif.py) — f32-valid at cond(H) up to ~1e14.
     """
+    packed = packed or sqrt
     compact = compact or packed
     bp = solver_blueprint or DEFAULT_BLUEPRINT
     affine = AffineMap.from_constraint_handler(disc.constraint_handler)
@@ -213,6 +288,15 @@ def discretize_matern(
             q_idx = make_packed_scatter_idx(
                 rows_ell, np.asarray(Q64.cols), n, bs_p, valid=valid
             )
+            sqrt32 = sqrt_plan = None
+            if sqrt:
+                from diffeqgmrfs_tpu.ops.srif import rowop_window_plan
+
+                Lam = matern_sqrt_host(
+                    spde, disc, affine if has_constraints else None
+                )
+                sqrt32 = RowOp.from_csr(Lam, dtype=jnp.float32)
+                sqrt_plan = rowop_window_plan(sqrt32, n, bs_p).to_device()
             inner = CompactGMRF(
                 mu,
                 ShapeOnly(n, -(-n // bs_p), bs_p),
@@ -221,6 +305,8 @@ def discretize_matern(
                 Q64,
                 diag64,
                 jnp.asarray(q_idx),
+                sqrt32,
+                sqrt_plan,
             )
         else:
             Qb32 = csr_to_btd(Q, bs=bs, dtype=jnp.float32)

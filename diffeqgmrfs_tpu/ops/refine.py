@@ -371,6 +371,42 @@ class MatFreeConditionFactor:
         return self.F32.nnz()
 
 
+@jax.tree_util.register_pytree_node_class
+class SRIFConditionFactor(MatFreeConditionFactor):
+    """Square-root-information factor of H = Q + tau A^T A: windowed QR of
+    the stacked [Λ_Q; sqrt(tau) A] (ops/srif.py), never forming H.
+
+    The f32 factor error scales with sqrt(cond(H)) instead of cond(H), so
+    the f32 MXU path stays valid through the Darcy production regime
+    (cond(H~) ~ N_xy^4 ~ 1e10 at N_xy=300) where direct f32 Cholesky breaks
+    down and the reference would lean on f64 CHOLMOD
+    (`/root/reference/scripts/darcy/solve_darcy_gmrf-fem.jl:167-170`).
+    Downstream surface (solve/refine, sampling, Takahashi variances,
+    log-det) is inherited from MatFreeConditionFactor — the packed factor
+    R^T is a drop-in PackedBTDCholesky. `lam_plan` is the window plan for
+    the sqrt operand, built host-side at prior construction (values may be
+    tracers here).
+    """
+
+    def __init__(self, H_op: SymSumOp, a_plan, sqrt_op, lam_plan, n, N, bs,
+                 refine_iters: int = 4):
+        from diffeqgmrfs_tpu.ops.srif import srif_packed_qr
+
+        self.H_op = H_op
+        self.n = n
+        self.refine_iters = refine_iters
+        if getattr(a_plan, "colsq_inv", None) is not None:
+            diagH = H_op.diag_Q + H_op.tau * a_plan.colsq(H_op.A.vals)
+        else:
+            diagH = H_op.diagonal()
+        self.d = jnp.sqrt(diagH)
+        Av = H_op.A.vals * jnp.sqrt(H_op.tau)
+        self.F32 = srif_packed_qr(
+            [(lam_plan, sqrt_op.vals), (a_plan, Av)],
+            n, N, bs, dtype=jnp.float32, col_scale=1.0 / self.d,
+        )
+
+
 def _scale_btd(H: BTD, dinv):
     db = H.pad_vec(dinv)
     pad_mask = H.pad_vec(jnp.ones_like(dinv))

@@ -1,0 +1,170 @@
+"""Square-root-information (SRIF) factorization: windowed block QR.
+
+f32 Cholesky of the posterior precision H = Q + tau A^T A fails once
+cond(H~) > 1/eps_f32 — for Darcy FEM observations (squared stiffness in
+A^T A) that happens between N_xy=64 and N_xy=128, far below the reference
+config N_xy=300 (`/root/reference/scripts/darcy/solve_darcy_gmrf-fem.jl`).
+The classical fix is never to form H: factor the STACKED square-root system
+
+    S = [ Lambda ; sqrt(tau) A ],      S^T S = H,   Lambda^T Lambda = Q
+
+by orthogonal transforms only. Householder QR computes R with
+R = R_exact (I + F), ||F|| ~ eps * cond(S) = eps * sqrt(cond(H)), so the
+factor stays VALID in f32 at cond(H) up to ~1/eps_f32^2 ~ 1e14, and f64
+iterative refinement against the operator form of H contracts at rate
+~eps_f32 * sqrt(cond(H)) per step. R^T is exactly the Cholesky factor of H
+(up to row signs), so the result drops straight into `PackedBTDCholesky`
+and every downstream consumer (solves, sampling, Takahashi variances,
+log-det) works unchanged.
+
+Structure: all operands are banded with row support <= bs, so rows group
+into the same two-block windows as the A^T A Gram path
+(`ops/ata_windows.ATAWindowPlan`). The sweep processes windows left to
+right keeping an upper-trapezoidal carry of bs rows:
+
+    step b:  T   = [ carry ; rows(window b) ]          [(bs + m_b), 2bs]
+             R_T = qr(T, mode='r')                      (MXU Householder)
+             out: R[b, b] = R_T[:bs, :bs],  R[b, b+1] = R_T[:bs, bs:]
+             carry' = R_T[bs:2bs, bs:]  (already upper-triangular)
+
+This is the QR analog of the blocked Cholesky sweep
+(`/root/reference/src/tridiagonal_cholesky.jl:65-82`) and the batch form of
+the Kalman square-root information filter. Per-window cost is one dense
+QR of ~[3bs, 2bs] — ~8x the flops of the Cholesky step, but in f32 on the
+MXU instead of ~47x-slower emulated f64.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from diffeqgmrfs_tpu.ops.packed import PackedBTDCholesky
+
+
+def _window_panel(plan, vals, b, bs, dtype, col_scale=None):
+    """Dense [R, 2bs] panel of window b's rows (local scatter, cf.
+    ata_windows.window_G). `col_scale`: optional per-global-column scaling
+    (equilibration), padded to N*bs."""
+    rows = jnp.asarray(plan.rows)
+    mask = jnp.asarray(plan.mask, dtype=dtype)
+    lcols = jnp.asarray(plan.local_cols)
+    R = plan.rows.shape[1]
+    v = (vals[rows[b]] * mask[b][:, None]).astype(dtype)
+    if col_scale is not None:
+        gcols = b * bs + lcols[b]
+        v = v * col_scale[gcols].astype(dtype)
+    M = jnp.zeros((R, 2 * bs), dtype=dtype)
+    return M.at[jnp.arange(R)[:, None], lcols[b]].add(v)
+
+
+def srif_packed_qr(
+    operands,
+    n: int,
+    N: int,
+    bs: int,
+    dtype=jnp.float32,
+    col_scale=None,
+) -> PackedBTDCholesky:
+    """QR-factor the stacked banded system into a packed Cholesky factor.
+
+    operands: list of (plan: ATAWindowPlan, vals [n_rows, K]) — the stacked
+    S is the union of all operands' rows. Every plan must share (n, N, bs).
+    col_scale: optional [n]-vector; columns of S are scaled by it
+    (symmetric equilibration of H = S^T S). Returns R^T as a
+    `PackedBTDCholesky` (positive diagonal, padding rows set to identity).
+    """
+    for plan, _ in operands:
+        if (plan.N, plan.bs) != (N, bs):
+            raise ValueError("operand plan partition mismatch")
+    cs = None
+    if col_scale is not None:
+        cs = jnp.asarray(col_scale)
+        pad = N * bs - n
+        if pad:
+            cs = jnp.concatenate([cs, jnp.ones((pad,), cs.dtype)])
+
+    def panels(b):
+        return [
+            _window_panel(plan, jnp.asarray(vals), b, bs, dtype, cs)
+            for plan, vals in operands
+        ]
+
+    with jax.default_matmul_precision("float32"):
+        if N == 1:
+            T = jnp.concatenate(panels(0), axis=0)[:, :bs]
+            if T.shape[0] < bs:
+                T = jnp.pad(T, ((0, bs - T.shape[0]), (0, 0)))
+            R_T = jnp.linalg.qr(T, mode="r")[:bs]
+            s = jnp.where(jnp.diag(R_T) < 0, -1.0, 1.0).astype(dtype)
+            L = jnp.tril((s[:, None] * R_T).T)
+            return _fix_padding(PackedBTDCholesky(L[None], n))
+
+        Nw = N - 1
+        P0 = jnp.zeros((N, bs, bs), dtype=dtype)
+        carry0 = jnp.zeros((bs, 2 * bs), dtype=dtype)
+
+        def body(b, state):
+            P, carry = state
+            T = jnp.concatenate([carry] + panels(b), axis=0)
+            if T.shape[0] < 2 * bs:
+                T = jnp.pad(T, ((0, 2 * bs - T.shape[0]), (0, 0)))
+            R_T = jnp.linalg.qr(T, mode="r")[: 2 * bs]
+            s = jnp.where(jnp.diagonal(R_T) < 0, -1.0, 1.0).astype(dtype)
+            R_T = s[:, None] * R_T
+            # slot b: L_b = R[b,b]^T (lower-tri); slot b+1: coupling
+            # C_{b+1} = R[b,b+1]^T, strictly upper-shifted when bw < bs
+            Pb = lax.dynamic_slice(P, (b, 0, 0), (1, bs, bs))
+            P = lax.dynamic_update_slice(
+                P, Pb + jnp.tril(R_T[:bs, :bs].T)[None], (b, 0, 0)
+            )
+            Pb1 = lax.dynamic_slice(P, (b + 1, 0, 0), (1, bs, bs))
+            P = lax.dynamic_update_slice(
+                P, Pb1 + jnp.triu(R_T[:bs, bs:].T, 1)[None], (b + 1, 0, 0)
+            )
+            # carry covers block col b+1 only; right half (col b+2) starts
+            # empty for the next window
+            return P, jnp.pad(R_T[bs:, bs:], ((0, 0), (0, bs)))
+
+        P, carry = lax.fori_loop(0, Nw, body, (P0, carry0))
+        # final block: carry's left half is R[N-1, N-1] (upper-tri; right
+        # half is structurally zero — no operand column reaches past n_pad)
+        s = jnp.where(jnp.diagonal(carry[:, :bs]) < 0, -1.0, 1.0).astype(dtype)
+        Llast = jnp.tril((s[:, None] * carry[:, :bs]).T)
+        PN = lax.dynamic_slice(P, (N - 1, 0, 0), (1, bs, bs))
+        P = lax.dynamic_update_slice(P, PN + Llast[None], (N - 1, 0, 0))
+        return _fix_padding(PackedBTDCholesky(P, n))
+
+
+def _fix_padding(F: PackedBTDCholesky) -> PackedBTDCholesky:
+    """Unit diagonal on padding rows (cols >= n) so triangular solves stay
+    finite; padded rhs entries are zero so the unit block is inert."""
+    N, bs, n = F.N, F.bs, F.n
+    if N * bs == n:
+        return F
+    d = jnp.diagonal(F.P, axis1=-2, axis2=-1).reshape(-1)
+    is_pad = jnp.arange(N * bs) >= n
+    newd = jnp.where(is_pad & (jnp.abs(d) < 1e-30), 1.0, d).reshape(N, bs)
+    r = jnp.arange(bs)
+    return PackedBTDCholesky(F.P.at[:, r, r].set(newd), n)
+
+
+def rowop_window_plan(A, n: int, bs: int, zero_slots="auto"):
+    """ATAWindowPlan for a RowOp's rows (SRIF operand form).
+
+    zero_slots="auto" marks structurally-zero slots (ELL padding /
+    condensation zeros) from the CURRENT values — valid when the structure
+    has zeros exactly where every instance does (true for from_csr padding
+    and constraint condensation)."""
+    from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan
+
+    zs = None
+    if isinstance(zero_slots, str) and zero_slots == "auto":
+        zs = np.asarray(A.vals) == 0.0
+        if not zs.any():
+            zs = None
+    elif zero_slots is not None:
+        zs = np.asarray(zero_slots, dtype=bool)
+    return make_ata_window_plan(np.asarray(A.cols), n, bs, zero_slots=zs)

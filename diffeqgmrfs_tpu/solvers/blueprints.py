@@ -66,6 +66,12 @@ class CholeskySolverBlueprint:
     # or "f64" (emulated on TPU, ~47x slower, needed when the squared
     # observation operator pushes cond ~ N^4 past f32 — Darcy N_xy >~ 100)
     factor_dtype: str = "f32"
+    # sqrt_factor=True factors the STACKED square-root system
+    # [Λ_Q; sqrt(tau) A] by windowed QR (ops/srif.py) instead of forming
+    # H = Q + tau A^T A: factor error scales with sqrt(cond(H)), keeping
+    # f32 valid at cond(H) up to ~1e14 — the production answer to the
+    # f64-factor regime above. Requires a prior discretized with sqrt=True.
+    sqrt_factor: bool = False
 
 
 @dataclass(frozen=True)

@@ -58,6 +58,11 @@ def parse_cmd():
     p.add_argument("--gemm_solves", action="store_true",
                    help="GEMM-only solve form (W_i = L_i^{-1} precomputed; "
                         "sampling/variance/refinement ride pure matmuls)")
+    p.add_argument("--sqrt", action="store_true",
+                   help="SRIF square-root factorization: windowed QR of the "
+                        "stacked [Lambda_Q; sqrt(tau) A] (implies --packed); "
+                        "f32-valid at cond(H) ~ N_xy^4 where direct f32 "
+                        "Cholesky breaks (N_xy >= 128)")
     return finalize_args(p.parse_args())
 
 
@@ -124,8 +129,11 @@ def main():
         E = evaluation_matrix(disc, pts)
     with to("Prior construction"):
         spde = MaternSPDE(d=2, range=1 / np.sqrt(args.N_xy), smoothness=2)
+        if args.sqrt:
+            args.packed = True
         prior = discretize_matern(
-            spde, disc, compact=args.compact, packed=args.packed
+            spde, disc, compact=args.compact, packed=args.packed,
+            sqrt=args.sqrt,
         )
     obs = DarcyFEMObservations(
         disc,
@@ -182,6 +190,7 @@ def main():
         mixed_precision=args.mixed_precision,
         gemm_solves=args.gemm_solves,
         factor_dtype="f64" if args.f64_factor else "f32",
+        sqrt_factor=args.sqrt,
     )
 
     # Calibration target: true solution interpolated into dof space by
