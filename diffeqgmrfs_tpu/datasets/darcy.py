@@ -139,7 +139,9 @@ def _darcy_fem_solution(coeff, n_xy, beta, grid):
     np.add.at(f, cd.reshape(-1), fe.reshape(-1))
     free = disc.constraint_handler.free_dofs
     u = np.zeros(n)
-    u[free] = spla.spsolve(K[np.ix_(free, free)].tocsc(), f[free])
+    # two-step slicing: np.ix_ on csr materializes a (n_free x n_free)
+    # index temp and overflows scipy's int32 nnz math beyond ~45k free dofs
+    u[free] = spla.spsolve(K[free][:, free].tocsc(), f[free])
     # evaluate on the grid: sol[iy, ix] = u(x_ix, y_iy)
     from diffeqgmrfs_tpu.fem import evaluation_matrix
     import jax.numpy as jnp

@@ -158,6 +158,19 @@ class RowOp:
         rows = np.repeat(np.arange(self.n_rows), self.K)
         return A.at[rows, self.cols.reshape(-1)].add(self.vals.reshape(-1))
 
+    def to_csr_host(self):
+        """Host scipy CSR (values must be concrete, not tracers)."""
+        import scipy.sparse as _sp
+
+        rows = np.repeat(np.arange(self.n_rows), self.K)
+        M = _sp.coo_matrix(
+            (np.asarray(self.vals).reshape(-1),
+             (rows, np.asarray(self.cols).reshape(-1))),
+            shape=(self.n_rows, self.n_cols),
+        ).tocsr()
+        M.sum_duplicates()
+        return M
+
     # -- constraints ---------------------------------------------------------
 
     def condense(self, ch):

@@ -479,6 +479,62 @@ class MixedPrecisionFactor:
         return self._rf.F32.nnz()
 
 
+class SRIFNewtonFactor:
+    """Square-root Newton-system factor: windowed QR of the stacked
+    [sqrt-ops of Q; sqrt(tau) J] (ops/srif.py) — the Gauss-Newton analog of
+    SRIFConditionFactor, f32-valid at cond(H) up to ~1e14 (elliptic Chen24
+    N=100, `_research/elliptic_chen24.jl`, where the equilibrated f32
+    Cholesky goes indefinite — RESULTS.md).
+
+    `sqrt_ops`: list of (window plan, values) whose stacked rows S_Q satisfy
+    S_Q^T S_Q = Q — e.g. [(lam_plan, lam_vals)] for a Matérn prior, plus
+    (obs_plan, sqrt(tau_b) * A_b.vals) when the GN prior is itself a
+    conditioned posterior. `j_plan` doubles as J's SRIF row plan (the same
+    ATAWindowPlan the Gram path uses). Refinement residuals apply H in
+    operator form: H t = Q t + tau J^T (J t) via the f64 ELL prior.
+    """
+
+    def __init__(self, q_ell, q_diag, sqrt_ops, j_plan, Jc, tau,
+                 n, N, bs, refine_iters: int = 4):
+        from diffeqgmrfs_tpu.ops.srif import srif_packed_qr
+
+        self.q_ell = q_ell
+        self.Jc = Jc
+        self.tau = tau
+        self.refine_iters = refine_iters
+        if getattr(j_plan, "colsq_inv", None) is not None:
+            diagH = q_diag + tau * j_plan.colsq(Jc.vals)
+        else:
+            diagH = q_diag + tau * rowop_col_sumsq(Jc, n)
+        self.d = jnp.sqrt(diagH)
+        ops = list(sqrt_ops) + [(j_plan, Jc.vals * jnp.sqrt(tau))]
+        self.F32 = srif_packed_qr(
+            ops, n, N, bs, dtype=jnp.float32, col_scale=1.0 / self.d
+        )
+
+    def _apply_H(self, t):
+        return self.q_ell.matvec(t) + self.tau * self.Jc.rmatvec(
+            self.Jc.matvec(t)
+        )
+
+    def matvec_H(self, x):
+        return self._apply_H(x)
+
+    def _apply_Hs(self, y):
+        return self._apply_H(y / self.d) / self.d
+
+    def _solve32(self, b):
+        return self.F32.solve(b.astype(jnp.float32)).astype(b.dtype)
+
+    def solve(self, b):
+        b = jnp.asarray(b)
+        bs_ = b / self.d
+        y = self._solve32(bs_)
+        for _ in range(self.refine_iters):
+            y = y + self._solve32(bs_ - self._apply_Hs(y))
+        return y / self.d
+
+
 class EllMatFreeFactor:
     """Mixed-precision Newton-system factor with the prior precision held
     ONLY as a compact f64 ELL operator (RowOp) — no f64 BTD is resident.

@@ -209,6 +209,7 @@ def gauss_newton_solve(
     q_diag=None,
     q_pattern=None,
     q_coo=None,
+    sqrt_ops=None,
 ) -> GaussNewtonResult:
     """Functional Gauss-Newton loop (jit/vmap-friendly).
 
@@ -231,6 +232,13 @@ def gauss_newton_solve(
     emulated as f32 hi/lo pairs and copied around while-loop boundaries —
     a 3.4 GB f64 prior BTD ballooned to 31.5 GB peak at chen24 Burgers
     N_x=1000; this path runs the same config in a few GB.
+
+    sqrt_ops: list of (ATAWindowPlan, values) whose stacked rows S_Q satisfy
+    S_Q^T S_Q = Q. With q_ell + ata_window_plan, each Newton system is then
+    factored by SRIF windowed QR (ops/srif.py SRIFNewtonFactor) on the
+    stacked [S_Q; sqrt(tau) J] — f32-valid at cond(H) up to ~1e14, the
+    answer to the elliptic-Chen24-N=100 regime where the equilibrated f32
+    Cholesky goes indefinite (RESULTS.md).
     """
     from diffeqgmrfs_tpu.gmrf.conditioning import ata_pattern_cached
     from diffeqgmrfs_tpu.ops.refine import RefinedFactor
@@ -313,7 +321,18 @@ def gauss_newton_solve(
         r_norm = jnp.linalg.norm(f - y)
         hist = hist.at[step].set(r_norm)
         rhs = Qmu + tau * Jc.rmatvec(Jc.matvec(x) - (f - y))
-        if use_ell and mixed_precision:
+        if sqrt_ops is not None:
+            # SRIF path: QR of [S_Q; sqrt(tau) J], never forming H
+            from diffeqgmrfs_tpu.ops.refine import SRIFNewtonFactor
+
+            F = SRIFNewtonFactor(
+                q_ell, q_diag, sqrt_ops, ata_window_plan, Jc, tau,
+                Q.n, Q.N, Q.bs,
+            )
+            x_new = F.solve(rhs)
+            dx = x_new - x
+            Hdx = F.matvec_H(dx)
+        elif use_ell and mixed_precision:
             # ELL path: no f64 BTD anywhere in the loop body
             from diffeqgmrfs_tpu.ops.refine import EllMatFreeFactor
 

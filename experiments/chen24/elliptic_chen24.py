@@ -58,6 +58,11 @@ def parse_cmd():
     p.add_argument("--el_order", type=int, default=2)
     p.add_argument("--mixed_precision", action="store_true",
                    help="f32 MXU factorization + f64 refinement (TPU path)")
+    p.add_argument("--sqrt", action="store_true",
+                   help="SRIF square-root Newton systems: windowed QR of "
+                        "[Lambda_Q; sqrt(tau_b) A_b; sqrt(tau) J] — f32 "
+                        "stays valid at N_el_xy=100 where the equilibrated "
+                        "f32 Cholesky goes indefinite")
     p.add_argument("--matern_range", type=float, default=0.1)
     p.add_argument("--matern_smoothness", type=int, default=1)
     p.add_argument("--h_bd", type=float, default=0.001)
@@ -129,11 +134,53 @@ def main():
 
         jcols, _, K = res.diff_cell.rowop_structure()
         j_struct = RowOp(jcols, jnp.zeros((disc.ndofs, K)), disc.ndofs)
-        pat = j_struct.ata_pattern(bs=x_bc.precision.bs).to_device()
+        if args.sqrt:
+            # SRIF operands: Lambda (Q = Λ^T Λ), boundary rows, plus the
+            # f64 ELL of the CONDITIONED prior Q_bc = Q + tau_b A_b^T A_b
+            # for refinement residuals — all static per config (host-built)
+            import scipy.sparse as sp_
+            from diffeqgmrfs_tpu.models.matern import (
+                matern_sqrt_host,
+                matern_precision_host,
+            )
+            from diffeqgmrfs_tpu.ops.srif import rowop_window_plan
+            from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan
+
+            n, bsz = disc.ndofs, x_bc.precision.bs
+            lam32 = RowOp.from_csr(matern_sqrt_host(spde, disc),
+                                   dtype=jnp.float32)
+            lam_plan = rowop_window_plan(lam32, n, bsz).to_device()
+            ab_plan = rowop_window_plan(A_b, n, bsz).to_device()
+            ab_vals = A_b.vals * np.sqrt(1e12)
+            Ab_csr = A_b.to_csr_host()
+            Q_bc = (matern_precision_host(spde, disc)
+                    + 1e12 * (Ab_csr.T @ Ab_csr)).tocsr()
+            q_ell = RowOp.from_csr(Q_bc, dtype=jnp.float64)
+            q_diag = jnp.asarray(Q_bc.diagonal())
+            j_plan = make_ata_window_plan(np.asarray(jcols), n, bsz).to_device()
+            sqrt_arrays = dict(
+                j_plan=j_plan,
+                sqrt_ops=[(lam_plan, lam32.vals), (ab_plan, ab_vals)],
+                q_ell=q_ell,
+                q_diag=q_diag,
+            )
+            pat = None
+        else:
+            sqrt_arrays = None
+            pat = j_struct.ata_pattern(bs=x_bc.precision.bs).to_device()
 
         # the conditioned prior (Q is hundreds of MB at production size) and
         # the scatter pattern enter through the jit SIGNATURE, not closures
-        def solve(x_bc_arg, ata_pattern):
+        def solve(x_bc_arg, ata_pattern, sa):
+            kw = {}
+            if sa is not None:
+                kw = dict(
+                    ata_window_plan=sa["j_plan"],
+                    sqrt_ops=sa["sqrt_ops"],
+                    q_ell=sa["q_ell"],
+                    q_diag=sa["q_diag"],
+                    materialize_H=False,
+                )
             result = gauss_newton_solve(
                 x_bc_arg.mean(),
                 x_bc_arg.precision,
@@ -146,13 +193,15 @@ def main():
                 ),
                 mixed_precision=args.mixed_precision,
                 ata_pattern=ata_pattern,
+                **kw,
             )
             post = result.posterior()
             return A_eval.matvec(post.mean()), result.n_steps
 
         f = jax.jit(solve)
         x_bc_dev = jax.device_put(x_bc)
-        return lambda: f(x_bc_dev, pat)
+        sqrt_dev = jax.device_put(sqrt_arrays) if sqrt_arrays else None
+        return lambda: f(x_bc_dev, pat, sqrt_dev)
 
     solve_jit = gmrf_fem_solve()
     log.info("First solve (compile)...")

@@ -183,6 +183,65 @@ def test_srif_darcy_conditioning_matches_f64():
     assert abs(lds - ld64) / abs(ld64) < 1e-4
 
 
+def test_srif_gauss_newton_matches_f64():
+    """GN with SRIF square-root Newton systems (sqrt_ops path) matches the
+    default f64 GN on a mini elliptic Chen24 problem — the regime the path
+    exists for (`_research/elliptic_chen24.jl` at N=100 breaks f32 Cholesky)."""
+    from diffeqgmrfs_tpu.fem import unit_square_discretization, evaluation_matrix
+    from diffeqgmrfs_tpu.fem.operators import RowOp
+    from diffeqgmrfs_tpu.models import MaternSPDE, discretize_matern
+    from diffeqgmrfs_tpu.models.matern import (
+        matern_precision_host, matern_sqrt_host,
+    )
+    from diffeqgmrfs_tpu.gmrf import condition_on_observations
+    from diffeqgmrfs_tpu.problems import EllipticCubicResidual
+    from diffeqgmrfs_tpu.solvers import gauss_newton_solve, StepNumberCriterion
+    from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan
+
+    N = 10
+    disc = unit_square_discretization(N, element_order=2)
+    spde = MaternSPDE(d=2, range=0.3, smoothness=1)
+    x = discretize_matern(spde, disc)
+    line = np.linspace(0, 1, 41)
+    zeros, ones = np.zeros_like(line), np.ones_like(line)
+    Xb = np.concatenate([
+        np.stack([line, zeros], -1), np.stack([ones, line], -1),
+        np.stack([line, ones], -1), np.stack([zeros, line], -1),
+    ])
+    A_b = evaluation_matrix(disc, Xb)
+    x_bc = condition_on_observations(x, A_b, 1e10, jnp.zeros(len(Xb)))
+    rng = np.random.default_rng(0)
+    rhs_q = rng.normal(size=disc.geometry.qcoords.shape[:2])
+    prescribed = disc.dof_handler.node_dofs("u", disc.mesh.node_sets["boundary"])
+    res = EllipticCubicResidual(disc, rhs_q, prescribed, alpha=1.0)
+    tau = 1e12
+    args = (x_bc.mean(), x_bc.precision, res.f_and_J, tau,
+            jnp.zeros(res.n_rows), x_bc.mean())
+    crit = StepNumberCriterion(5)
+    r64 = gauss_newton_solve(*args, criterion=crit)
+
+    n, bsz = disc.ndofs, x_bc.precision.bs
+    lam32 = RowOp.from_csr(matern_sqrt_host(spde, disc), dtype=jnp.float32)
+    from diffeqgmrfs_tpu.ops.srif import rowop_window_plan
+
+    lam_plan = rowop_window_plan(lam32, n, bsz)
+    ab_plan = rowop_window_plan(A_b, n, bsz)
+    Ab_csr = A_b.to_csr_host()
+    Q_bc = (matern_precision_host(spde, disc) + 1e10 * (Ab_csr.T @ Ab_csr)).tocsr()
+    q_ell = RowOp.from_csr(Q_bc, dtype=jnp.float64)
+    jcols, _, _ = res.diff_cell.rowop_structure()
+    j_plan = make_ata_window_plan(np.asarray(jcols), n, bsz)
+    rs = gauss_newton_solve(
+        *args, criterion=crit,
+        ata_window_plan=j_plan,
+        sqrt_ops=[(lam_plan, lam32.vals), (ab_plan, A_b.vals * np.sqrt(1e10))],
+        q_ell=q_ell, q_diag=jnp.asarray(Q_bc.diagonal()),
+        materialize_H=False,
+    )
+    d = float(jnp.linalg.norm(rs.x_k - r64.x_k) / jnp.linalg.norm(r64.x_k))
+    assert d < 1e-6, d
+
+
 def test_srif_padding_identity():
     """Padded tail (n < N*bs) gets unit factor rows; solves stay finite."""
     rng = np.random.default_rng(4)
