@@ -404,6 +404,7 @@ class SRIFConditionFactor(MatFreeConditionFactor):
         self.F32 = srif_packed_qr(
             [(lam_plan, sqrt_op.vals), (a_plan, Av)],
             n, N, bs, dtype=jnp.float32, col_scale=1.0 / self.d,
+            chunk_rows="auto",
         )
 
 
@@ -509,7 +510,8 @@ class SRIFNewtonFactor:
         self.d = jnp.sqrt(diagH)
         ops = list(sqrt_ops) + [(j_plan, Jc.vals * jnp.sqrt(tau))]
         self.F32 = srif_packed_qr(
-            ops, n, N, bs, dtype=jnp.float32, col_scale=1.0 / self.d
+            ops, n, N, bs, dtype=jnp.float32, col_scale=1.0 / self.d,
+            chunk_rows="auto",
         )
 
     def _apply_H(self, t):

@@ -44,14 +44,20 @@ from jax import lax
 from diffeqgmrfs_tpu.ops.packed import PackedBTDCholesky
 
 
-def _window_panel(plan, vals, b, bs, dtype, col_scale=None):
+def _window_panel(plan, vals, b, bs, dtype, col_scale=None, rows_slice=None):
     """Dense [R, 2bs] panel of window b's rows (local scatter, cf.
     ata_windows.window_G). `col_scale`: optional per-global-column scaling
-    (equilibration), padded to N*bs."""
+    (equilibration), padded to N*bs. `rows_slice`: optional static (k0, k1)
+    sub-range of the window's row slots (chunked QR)."""
     rows = jnp.asarray(plan.rows)
     mask = jnp.asarray(plan.mask, dtype=dtype)
     lcols = jnp.asarray(plan.local_cols)
-    R = plan.rows.shape[1]
+    if rows_slice is not None:
+        k0, k1 = rows_slice
+        rows = rows[:, k0:k1]
+        mask = mask[:, k0:k1]
+        lcols = lcols[:, k0:k1]
+    R = rows.shape[1]
     v = (vals[rows[b]] * mask[b][:, None]).astype(dtype)
     if col_scale is not None:
         gcols = b * bs + lcols[b]
@@ -67,6 +73,7 @@ def srif_packed_qr(
     bs: int,
     dtype=jnp.float32,
     col_scale=None,
+    chunk_rows: int | None = None,
 ) -> PackedBTDCholesky:
     """QR-factor the stacked banded system into a packed Cholesky factor.
 
@@ -75,10 +82,21 @@ def srif_packed_qr(
     col_scale: optional [n]-vector; columns of S are scaled by it
     (symmetric equilibration of H = S^T S). Returns R^T as a
     `PackedBTDCholesky` (positive diagonal, padding rows set to identity).
+
+    chunk_rows: when set, each window's tall stack is triangularized by
+    SEQUENTIAL row-block QRs of at most (2bs + chunk_rows) rows —
+    mathematically identical (R is unique up to row signs), but peak QR
+    workspace is bounded by the chunk instead of the full window row count.
+    At Darcy N_xy=300 the one-shot (22k x 7424) window QR plus the resident
+    packed factor exceeds v5e HBM; chunking trades ~1.5x QR flops for
+    fitting. Default (None) keeps the single full-stack QR per window.
     """
     for plan, _ in operands:
         if (plan.N, plan.bs) != (N, bs):
             raise ValueError("operand plan partition mismatch")
+    if isinstance(chunk_rows, str) and chunk_rows == "auto":
+        total_R = sum(plan.rows.shape[1] for plan, _ in operands)
+        chunk_rows = 2 * bs if total_R > 3 * bs else None
     cs = None
     if col_scale is not None:
         cs = jnp.asarray(col_scale)
@@ -86,11 +104,40 @@ def srif_packed_qr(
         if pad:
             cs = jnp.concatenate([cs, jnp.ones((pad,), cs.dtype)])
 
-    def panels(b):
+    def panels(b, rows_slice=None, op_idx=None):
+        sel = operands if op_idx is None else [operands[op_idx]]
         return [
-            _window_panel(plan, jnp.asarray(vals), b, bs, dtype, cs)
-            for plan, vals in operands
+            _window_panel(
+                plan, jnp.asarray(vals), b, bs, dtype, cs, rows_slice
+            )
+            for plan, vals in sel
         ]
+
+    def chunk_plan():
+        """Static (op_idx, k0, k1) chunks covering all operand row slots."""
+        chunks = []
+        for i, (plan, _) in enumerate(operands):
+            R = plan.rows.shape[1]
+            step = chunk_rows if chunk_rows else R
+            for k0 in range(0, R, step):
+                chunks.append((i, k0, min(k0 + step, R)))
+        return chunks
+
+    def reduce_window(b, carry):
+        """Triangularize [carry; window rows] -> R_T [2bs, 2bs]."""
+        if chunk_rows is None:
+            T = jnp.concatenate([carry] + panels(b), axis=0)
+            if T.shape[0] < 2 * bs:
+                T = jnp.pad(T, ((0, 2 * bs - T.shape[0]), (0, 0)))
+            return jnp.linalg.qr(T, mode="r")[: 2 * bs]
+        Rcur = carry
+        for i, k0, k1 in chunk_plan():
+            M = panels(b, rows_slice=(k0, k1), op_idx=i)[0]
+            T = jnp.concatenate([Rcur, M], axis=0)
+            if T.shape[0] < 2 * bs:
+                T = jnp.pad(T, ((0, 2 * bs - T.shape[0]), (0, 0)))
+            Rcur = jnp.linalg.qr(T, mode="r")[: 2 * bs]
+        return Rcur
 
     with jax.default_matmul_precision("float32"):
         if N == 1:
@@ -108,10 +155,7 @@ def srif_packed_qr(
 
         def body(b, state):
             P, carry = state
-            T = jnp.concatenate([carry] + panels(b), axis=0)
-            if T.shape[0] < 2 * bs:
-                T = jnp.pad(T, ((0, 2 * bs - T.shape[0]), (0, 0)))
-            R_T = jnp.linalg.qr(T, mode="r")[: 2 * bs]
+            R_T = reduce_window(b, carry)
             s = jnp.where(jnp.diagonal(R_T) < 0, -1.0, 1.0).astype(dtype)
             R_T = s[:, None] * R_T
             # slot b: L_b = R[b,b]^T (lower-tri); slot b+1: coupling

@@ -242,6 +242,21 @@ def test_srif_gauss_newton_matches_f64():
     assert d < 1e-6, d
 
 
+def test_srif_chunked_matches_unchunked():
+    """Sequential row-block QR (chunk_rows) gives the identical factor."""
+    rng = np.random.default_rng(7)
+    ops, H, N = _setup(rng)
+    n, bs = 50, 16
+    F1 = srif_packed_qr(ops, n, N, bs, dtype=jnp.float64)
+    F2 = srif_packed_qr(ops, n, N, bs, dtype=jnp.float64, chunk_rows=7)
+    np.testing.assert_allclose(
+        np.asarray(F2.P), np.asarray(F1.P), rtol=1e-12, atol=1e-12
+    )
+    b = rng.normal(size=n)
+    assert np.allclose(np.asarray(F2.solve(jnp.asarray(b))),
+                       np.linalg.solve(H, b), rtol=1e-10)
+
+
 def test_srif_padding_identity():
     """Padded tail (n < N*bs) gets unit factor rows; solves stay finite."""
     rng = np.random.default_rng(4)
