@@ -43,6 +43,11 @@ def parse_cmd():
                         "(sampling/std ~10x faster than TRSM scans on TPU)")
     p.add_argument("--pad_block", type=int, default=None,
                    help="pad spatial block to a multiple (e.g. 128)")
+    p.add_argument("--batch", type=int, default=1,
+                   help="vmap batch size: whole posterior pipelines (prior "
+                        "assembly + IC conditioning + Gauss-Newton + "
+                        "sampling/std) per XLA program — the DP "
+                        "chip-saturation axis (SURVEY.md 2.4)")
     return finalize_args(p.parse_args())
 
 
@@ -191,15 +196,9 @@ def main():
     cols = {k: [] for k in (
         "rel_errs", "rmses", "max_errs", "ic_rel_errs", "ic_rmses",
         "ic_max_errs", "std_norms", "N_newton_steps", "optimization_times")}
-    for i in range(N):
-        ic = jnp.asarray(ds.get_initial_condition(i))
+
+    def record(i, pred, ic_pred, std, n_steps, opt_time):
         soln = jnp.asarray(ds.get_solution(i))[1:]
-        cur = PhaseTimers()
-        with cur("Optimization"):
-            pred, ic_pred, std, smp, n_steps = solve_jit(
-                ic, jax.random.fold_in(key, i)
-            )
-            cur.sync(pred)
         cols["rel_errs"].append(float(rel_err(pred[1:], soln)))
         cols["rmses"].append(float(rmse(pred[1:], soln)))
         cols["max_errs"].append(float(max_err(pred[1:], soln)))
@@ -208,11 +207,50 @@ def main():
         cols["ic_max_errs"].append(float(max_err(ic_pred[1:], soln)))
         cols["std_norms"].append(float(jnp.linalg.norm(std)))
         cols["N_newton_steps"].append(int(n_steps))
-        cols["optimization_times"].append(cur.time("Optimization"))
+        cols["optimization_times"].append(opt_time)
         log.info(
             "instance %d: rel_err=%.3e (ic-only %.3e), %d Newton steps",
             i, cols["rel_errs"][-1], cols["ic_rel_errs"][-1], int(n_steps),
         )
+
+    sweep_t0 = None
+    if args.batch > 1:
+        vsolve = jax.jit(jax.vmap(solve_instance, in_axes=(0, 0, None)))
+        import time as _time
+
+        for start in range(0, N, args.batch):
+            idxs = list(range(start, min(start + args.batch, N)))
+            pad = args.batch - len(idxs)
+            ics = jnp.asarray(np.stack(
+                [np.asarray(ds.get_initial_condition(i)) for i in idxs]
+                + [np.asarray(ds.get_initial_condition(idxs[-1]))] * pad))
+            keys = jax.random.split(jax.random.fold_in(key, start), args.batch)
+            cur = PhaseTimers()
+            with cur("Optimization"):
+                pred, ic_pred, std, smp, n_steps = vsolve(ics, keys, gn_pat)
+                cur.sync(pred)
+            if sweep_t0 is None:
+                # first batch includes the vmapped compile; time from here
+                sweep_t0 = _time.perf_counter()
+                n_done_at_t0 = idxs[-1] + 1
+            t_b = cur.time("Optimization") / len(idxs)
+            for j, i in enumerate(idxs):
+                record(i, pred[j], ic_pred[j], std[j], n_steps[j], t_b)
+        if sweep_t0 is not None and N > n_done_at_t0:
+            dt = _time.perf_counter() - sweep_t0
+            thr = (N - n_done_at_t0) / dt if dt > 0 else 0.0
+            log.info("throughput (post-compile): %.2f instances/s", thr)
+            params["throughput_inst_per_s"] = thr
+    else:
+        for i in range(N):
+            ic = jnp.asarray(ds.get_initial_condition(i))
+            cur = PhaseTimers()
+            with cur("Optimization"):
+                pred, ic_pred, std, smp, n_steps = solve_jit(
+                    ic, jax.random.fold_in(key, i)
+                )
+                cur.sync(pred)
+            record(i, pred, ic_pred, std, n_steps, cur.time("Optimization"))
 
     out = dict(**cols, timers=to.as_dict(), **params)
     path = tagsave(
