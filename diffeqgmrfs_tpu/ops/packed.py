@@ -277,6 +277,163 @@ class PackedBTDCholesky:
         return int(self.P.size)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class PackedBTDRFactor:
+    """Packed UPPER (R-form) factor of H = R^T R: slot b = triu(R_bb) +
+    strict-tril(R_{b,b+1}).
+
+    The SRIF windowed QR (ops/srif.py) emits R block row b — R[b,b]
+    (upper-tri) and R[b,b+1] (strictly lower-shifted when bw < bs) — in one
+    piece at step b. Packing them in R-form lets the sweep write each slot
+    with a SINGLE dynamic_update_slice and no transpose: storing L = R^T
+    instead forced per-step big-buffer transposes, which made XLA hold
+    three layout copies of the [N, bs, bs] factor (observed 17 GB of a
+    25 GB peak at Darcy N_xy=300 — the difference between OOM and fitting).
+
+    Semantics match PackedBTDCholesky with L = R^T: `forward_solve` solves
+    R^T y = b, `backward_solve` solves R x = b.
+    """
+
+    P: jnp.ndarray  # [N, bs, bs]
+    n: int
+
+    def tree_flatten(self):
+        return (self.P,), (self.n,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0])
+
+    @property
+    def N(self):
+        return self.P.shape[0]
+
+    @property
+    def bs(self):
+        return self.P.shape[1]
+
+    @property
+    def dtype(self):
+        return self.P.dtype
+
+    _to_blocks = PackedBTDCholesky._to_blocks
+    _from_blocks = PackedBTDCholesky._from_blocks
+
+    def forward_solve(self, b):
+        """R^T y = b (forward sweep; step b reads R[b-1,b] from slot b-1)."""
+        with jax.default_matmul_precision("float32"):
+            bs = self.bs
+            P = self.P
+            bb, batch_shape = self._to_blocks(b)
+            y0 = lax.linalg.triangular_solve(
+                jnp.triu(P[0]), bb[0],
+                left_side=True, lower=False, transpose_a=True,
+            )
+
+            def step(y_prev, inp):
+                i, b_i = inp
+                P_im1 = lax.dynamic_slice(P, (i - 1, 0, 0), (1, bs, bs))[0]
+                P_i = lax.dynamic_slice(P, (i, 0, 0), (1, bs, bs))[0]
+                # tril(P)^T @ y as a dim-0 contraction: an explicit .T on a
+                # P slice makes XLA pick a transposed layout for the WHOLE
+                # packed buffer (observed 6.6 GB layout copy at N_xy=300)
+                t = b_i - lax.dot_general(
+                    jnp.tril(P_im1, -1), y_prev, (((0,), (0,)), ((), ()))
+                )
+                y_i = lax.linalg.triangular_solve(
+                    jnp.triu(P_i), t,
+                    left_side=True, lower=False, transpose_a=True,
+                )
+                return y_i, y_i
+
+            if self.N > 1:
+                _, ys = lax.scan(step, y0, (jnp.arange(1, self.N), bb[1:]))
+                yb = jnp.concatenate([y0[None], ys], axis=0)
+            else:
+                yb = y0[None]
+            return self._from_blocks(yb, batch_shape)
+
+    def backward_solve(self, b):
+        """R x = b (reverse sweep; slot b holds both R_bb and R[b,b+1])."""
+        with jax.default_matmul_precision("float32"):
+            bs = self.bs
+            P = self.P
+            bb, batch_shape = self._to_blocks(b)
+            xN = lax.linalg.triangular_solve(
+                jnp.triu(P[-1]), bb[-1], left_side=True, lower=False
+            )
+
+            def step(x_next, inp):
+                i, b_i = inp
+                P_i = lax.dynamic_slice(P, (i, 0, 0), (1, bs, bs))[0]
+                t = b_i - jnp.tril(P_i, -1) @ x_next
+                x_i = lax.linalg.triangular_solve(
+                    jnp.triu(P_i), t, left_side=True, lower=False
+                )
+                return x_i, x_i
+
+            if self.N > 1:
+                _, xs = lax.scan(
+                    step, xN, (jnp.arange(self.N - 1), bb[:-1]), reverse=True
+                )
+                xb = jnp.concatenate([xs, xN[None]], axis=0)
+            else:
+                xb = xN[None]
+            return self._from_blocks(xb, batch_shape)
+
+    def solve(self, b):
+        return self.backward_solve(self.forward_solve(b))
+
+    def log_det(self):
+        d = jnp.diagonal(self.P, axis1=-2, axis2=-1)
+        return 2.0 * jnp.sum(jnp.log(d))
+
+    def sample_zero_mean(self, key, n_samples: int = 1):
+        z = jax.random.normal(key, (n_samples, self.n), dtype=self.dtype)
+        return self.backward_solve(z)
+
+    def variance_diag(self):
+        """Takahashi selected inversion in R-form: with L = R^T,
+        W_i = L_i^{-1} = (R_ii^{-1})^T and C_{i+1} = R[i,i+1]^T (slot i)."""
+        with jax.default_matmul_precision("float32"):
+            bs = self.bs
+            eye = jnp.eye(bs, dtype=self.dtype)
+
+            def inv_upper(P_i):
+                return lax.linalg.triangular_solve(
+                    jnp.triu(P_i), eye, left_side=True, lower=False
+                )
+
+            P = self.P
+            V_N = inv_upper(P[-1])  # R_NN^{-1}
+            Sigma_N = V_N @ V_N.T
+
+            def step(Sigma_next, i):
+                P_i = lax.dynamic_slice(P, (i, 0, 0), (1, bs, bs))[0]
+                V = inv_upper(P_i)  # R_ii^{-1}; W = L_i^{-1} = V^T
+                # G = C_{i+1} W = (V tril(P_i,-1))^T; with W2 = V tril(P_i,-1)
+                # the recursion G^T Sigma G = W2 Sigma W2^T needs no
+                # materialized transpose of P slices
+                W2 = V @ jnp.tril(P_i, -1)
+                Sigma_i = V @ V.T + W2 @ (Sigma_next @ W2.T)
+                return Sigma_i, jnp.diagonal(Sigma_i)
+
+            if self.N > 1:
+                _, diags = lax.scan(
+                    step, Sigma_N, jnp.arange(self.N - 1), reverse=True
+                )
+                all_diag = jnp.concatenate(
+                    [diags, jnp.diagonal(Sigma_N)[None]], axis=0
+                )
+            else:
+                all_diag = jnp.diagonal(Sigma_N)[None]
+            return all_diag.reshape(-1)[: self.n]
+
+    def nnz(self) -> int:
+        return int(self.P.size)
+
+
 def packed_cholesky(H: PackedBTD) -> PackedBTDCholesky:
     """Blocked Cholesky sweep on packed storage, IN PLACE.
 

@@ -13,9 +13,10 @@ R = R_exact (I + F), ||F|| ~ eps * cond(S) = eps * sqrt(cond(H)), so the
 factor stays VALID in f32 at cond(H) up to ~1/eps_f32^2 ~ 1e14, and f64
 iterative refinement against the operator form of H contracts at rate
 ~eps_f32 * sqrt(cond(H)) per step. R^T is exactly the Cholesky factor of H
-(up to row signs), so the result drops straight into `PackedBTDCholesky`
-and every downstream consumer (solves, sampling, Takahashi variances,
-log-det) works unchanged.
+(up to row signs), so the result drops straight into packed banded-block
+storage (`PackedBTDRFactor`, the upper/R-form sibling of
+`PackedBTDCholesky`) and every downstream consumer (solves, sampling,
+Takahashi variances, log-det) works unchanged.
 
 Structure: all operands are banded with row support <= bs, so rows group
 into the same two-block windows as the A^T A Gram path
@@ -41,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from diffeqgmrfs_tpu.ops.packed import PackedBTDCholesky
+from diffeqgmrfs_tpu.ops.packed import PackedBTDCholesky, PackedBTDRFactor
 
 
 def _window_panel(plan, vals, b, bs, dtype, col_scale=None, rows_slice=None):
@@ -74,14 +75,14 @@ def srif_packed_qr(
     dtype=jnp.float32,
     col_scale=None,
     chunk_rows: int | None = None,
-) -> PackedBTDCholesky:
-    """QR-factor the stacked banded system into a packed Cholesky factor.
+) -> PackedBTDRFactor:
+    """QR-factor the stacked banded system into a packed R-form factor.
 
     operands: list of (plan: ATAWindowPlan, vals [n_rows, K]) — the stacked
     S is the union of all operands' rows. Every plan must share (n, N, bs).
     col_scale: optional [n]-vector; columns of S are scaled by it
-    (symmetric equilibration of H = S^T S). Returns R^T as a
-    `PackedBTDCholesky` (positive diagonal, padding rows set to identity).
+    (symmetric equilibration of H = S^T S). Returns R as a
+    `PackedBTDRFactor` (positive diagonal, padding rows set to identity).
 
     chunk_rows: when set, each window's tall stack is triangularized by
     SEQUENTIAL row-block QRs of at most (2bs + chunk_rows) rows —
@@ -146,28 +147,24 @@ def srif_packed_qr(
                 T = jnp.pad(T, ((0, bs - T.shape[0]), (0, 0)))
             R_T = jnp.linalg.qr(T, mode="r")[:bs]
             s = jnp.where(jnp.diag(R_T) < 0, -1.0, 1.0).astype(dtype)
-            L = jnp.tril((s[:, None] * R_T).T)
-            return _fix_padding(PackedBTDCholesky(L[None], n))
+            R = jnp.triu(s[:, None] * R_T)
+            return _fix_padding(PackedBTDRFactor(R[None], n))
 
         Nw = N - 1
         P0 = jnp.zeros((N, bs, bs), dtype=dtype)
         carry0 = jnp.zeros((bs, 2 * bs), dtype=dtype)
 
         def body(b, state):
+            # R-form packing: slot b = triu(R[b,b]) + strict-tril(R[b,b+1]),
+            # BOTH produced at step b — ONE untransposed write per slot (the
+            # L-form's per-step big-buffer transposes + read-modify-writes
+            # made XLA hold three layout copies of P; see PackedBTDRFactor)
             P, carry = state
             R_T = reduce_window(b, carry)
             s = jnp.where(jnp.diagonal(R_T) < 0, -1.0, 1.0).astype(dtype)
             R_T = s[:, None] * R_T
-            # slot b: L_b = R[b,b]^T (lower-tri); slot b+1: coupling
-            # C_{b+1} = R[b,b+1]^T, strictly upper-shifted when bw < bs
-            Pb = lax.dynamic_slice(P, (b, 0, 0), (1, bs, bs))
-            P = lax.dynamic_update_slice(
-                P, Pb + jnp.tril(R_T[:bs, :bs].T)[None], (b, 0, 0)
-            )
-            Pb1 = lax.dynamic_slice(P, (b + 1, 0, 0), (1, bs, bs))
-            P = lax.dynamic_update_slice(
-                P, Pb1 + jnp.triu(R_T[:bs, bs:].T, 1)[None], (b + 1, 0, 0)
-            )
+            slot = jnp.triu(R_T[:bs, :bs]) + jnp.tril(R_T[:bs, bs:], -1)
+            P = lax.dynamic_update_slice(P, slot[None], (b, 0, 0))
             # carry covers block col b+1 only; right half (col b+2) starts
             # empty for the next window
             return P, jnp.pad(R_T[bs:, bs:], ((0, 0), (0, bs)))
@@ -176,13 +173,12 @@ def srif_packed_qr(
         # final block: carry's left half is R[N-1, N-1] (upper-tri; right
         # half is structurally zero — no operand column reaches past n_pad)
         s = jnp.where(jnp.diagonal(carry[:, :bs]) < 0, -1.0, 1.0).astype(dtype)
-        Llast = jnp.tril((s[:, None] * carry[:, :bs]).T)
-        PN = lax.dynamic_slice(P, (N - 1, 0, 0), (1, bs, bs))
-        P = lax.dynamic_update_slice(P, PN + Llast[None], (N - 1, 0, 0))
-        return _fix_padding(PackedBTDCholesky(P, n))
+        Rlast = jnp.triu(s[:, None] * carry[:, :bs])
+        P = lax.dynamic_update_slice(P, Rlast[None], (N - 1, 0, 0))
+        return _fix_padding(PackedBTDRFactor(P, n))
 
 
-def _fix_padding(F: PackedBTDCholesky) -> PackedBTDCholesky:
+def _fix_padding(F: PackedBTDRFactor) -> PackedBTDRFactor:
     """Unit diagonal on padding rows (cols >= n) so triangular solves stay
     finite; padded rhs entries are zero so the unit block is inert."""
     N, bs, n = F.N, F.bs, F.n
@@ -192,7 +188,7 @@ def _fix_padding(F: PackedBTDCholesky) -> PackedBTDCholesky:
     is_pad = jnp.arange(N * bs) >= n
     newd = jnp.where(is_pad & (jnp.abs(d) < 1e-30), 1.0, d).reshape(N, bs)
     r = jnp.arange(bs)
-    return PackedBTDCholesky(F.P.at[:, r, r].set(newd), n)
+    return type(F)(F.P.at[:, r, r].set(newd), n)
 
 
 def rowop_window_plan(A, n: int, bs: int, zero_slots="auto"):
