@@ -281,29 +281,34 @@ class PackedBTDCholesky:
 @dataclass
 class PackedBTDRFactor:
     """Packed UPPER (R-form) factor of H = R^T R: slot b = triu(R_bb) +
-    strict-tril(R_{b,b+1}).
+    strict-tril(R_{b,b+1}), stored FLAT as [N, bs*bs].
 
-    The SRIF windowed QR (ops/srif.py) emits R block row b — R[b,b]
-    (upper-tri) and R[b,b+1] (strictly lower-shifted when bw < bs) — in one
-    piece at step b. Packing them in R-form lets the sweep write each slot
-    with a SINGLE dynamic_update_slice and no transpose: storing L = R^T
-    instead forced per-step big-buffer transposes, which made XLA hold
-    three layout copies of the [N, bs, bs] factor (observed 17 GB of a
-    25 GB peak at Darcy N_xy=300 — the difference between OOM and fitting).
+    The SRIF windowed QR (ops/srif.py) emits R block row b -- R[b,b]
+    (upper-tri) and R[b,b+1] (strictly lower-shifted when bw < bs) -- in
+    one piece at step b, written with a SINGLE dynamic_update_slice.
+
+    Flat 2D storage is deliberate: with a 3D [N, bs, bs] buffer, XLA's
+    layout assignment reconciled the QR-output producer and the
+    triangular-solve consumers by giving the whole factor a transposed
+    {0,2,1} layout and inserting full-size layout copies of the loop carry
+    (2x 6.6 GB at Darcy N_xy=300 -- the OOM). The reshape at each slot
+    boundary pins the buffer to a plain row-major 2D layout on both sides
+    for ~52 MB/step of slice-local reshape traffic.
 
     Semantics match PackedBTDCholesky with L = R^T: `forward_solve` solves
     R^T y = b, `backward_solve` solves R x = b.
     """
 
-    P: jnp.ndarray  # [N, bs, bs]
+    P: jnp.ndarray  # [N, bs*bs] flat slots
     n: int
+    block: int
 
     def tree_flatten(self):
-        return (self.P,), (self.n,)
+        return (self.P,), (self.n, self.block)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], aux[0])
+        return cls(children[0], aux[0], aux[1])
 
     @property
     def N(self):
@@ -311,7 +316,7 @@ class PackedBTDRFactor:
 
     @property
     def bs(self):
-        return self.P.shape[1]
+        return self.block
 
     @property
     def dtype(self):
@@ -320,24 +325,26 @@ class PackedBTDRFactor:
     _to_blocks = PackedBTDCholesky._to_blocks
     _from_blocks = PackedBTDCholesky._from_blocks
 
+    def _slot(self, i):
+        bs = self.block
+        return lax.dynamic_slice(self.P, (i, 0), (1, bs * bs)).reshape(bs, bs)
+
     def forward_solve(self, b):
         """R^T y = b (forward sweep; step b reads R[b-1,b] from slot b-1)."""
         with jax.default_matmul_precision("float32"):
-            bs = self.bs
-            P = self.P
+            bs = self.block
             bb, batch_shape = self._to_blocks(b)
             y0 = lax.linalg.triangular_solve(
-                jnp.triu(P[0]), bb[0],
+                jnp.triu(self.P[0].reshape(bs, bs)), bb[0],
                 left_side=True, lower=False, transpose_a=True,
             )
 
             def step(y_prev, inp):
                 i, b_i = inp
-                P_im1 = lax.dynamic_slice(P, (i - 1, 0, 0), (1, bs, bs))[0]
-                P_i = lax.dynamic_slice(P, (i, 0, 0), (1, bs, bs))[0]
-                # tril(P)^T @ y as a dim-0 contraction: an explicit .T on a
-                # P slice makes XLA pick a transposed layout for the WHOLE
-                # packed buffer (observed 6.6 GB layout copy at N_xy=300)
+                P_im1 = self._slot(i - 1)
+                P_i = self._slot(i)
+                # tril(P)^T @ y as a dim-0 contraction (no materialized
+                # transpose of factor slices)
                 t = b_i - lax.dot_general(
                     jnp.tril(P_im1, -1), y_prev, (((0,), (0,)), ((), ()))
                 )
@@ -357,16 +364,16 @@ class PackedBTDRFactor:
     def backward_solve(self, b):
         """R x = b (reverse sweep; slot b holds both R_bb and R[b,b+1])."""
         with jax.default_matmul_precision("float32"):
-            bs = self.bs
-            P = self.P
+            bs = self.block
             bb, batch_shape = self._to_blocks(b)
             xN = lax.linalg.triangular_solve(
-                jnp.triu(P[-1]), bb[-1], left_side=True, lower=False
+                jnp.triu(self.P[-1].reshape(bs, bs)), bb[-1],
+                left_side=True, lower=False,
             )
 
             def step(x_next, inp):
                 i, b_i = inp
-                P_i = lax.dynamic_slice(P, (i, 0, 0), (1, bs, bs))[0]
+                P_i = self._slot(i)
                 t = b_i - jnp.tril(P_i, -1) @ x_next
                 x_i = lax.linalg.triangular_solve(
                     jnp.triu(P_i), t, left_side=True, lower=False
@@ -386,7 +393,8 @@ class PackedBTDRFactor:
         return self.backward_solve(self.forward_solve(b))
 
     def log_det(self):
-        d = jnp.diagonal(self.P, axis1=-2, axis2=-1)
+        bs = self.block
+        d = self.P[:, jnp.arange(bs) * (bs + 1)]
         return 2.0 * jnp.sum(jnp.log(d))
 
     def sample_zero_mean(self, key, n_samples: int = 1):
@@ -397,7 +405,7 @@ class PackedBTDRFactor:
         """Takahashi selected inversion in R-form: with L = R^T,
         W_i = L_i^{-1} = (R_ii^{-1})^T and C_{i+1} = R[i,i+1]^T (slot i)."""
         with jax.default_matmul_precision("float32"):
-            bs = self.bs
+            bs = self.block
             eye = jnp.eye(bs, dtype=self.dtype)
 
             def inv_upper(P_i):
@@ -405,16 +413,15 @@ class PackedBTDRFactor:
                     jnp.triu(P_i), eye, left_side=True, lower=False
                 )
 
-            P = self.P
-            V_N = inv_upper(P[-1])  # R_NN^{-1}
+            V_N = inv_upper(self.P[-1].reshape(bs, bs))  # R_NN^{-1}
             Sigma_N = V_N @ V_N.T
 
             def step(Sigma_next, i):
-                P_i = lax.dynamic_slice(P, (i, 0, 0), (1, bs, bs))[0]
+                P_i = self._slot(i)
                 V = inv_upper(P_i)  # R_ii^{-1}; W = L_i^{-1} = V^T
                 # G = C_{i+1} W = (V tril(P_i,-1))^T; with W2 = V tril(P_i,-1)
                 # the recursion G^T Sigma G = W2 Sigma W2^T needs no
-                # materialized transpose of P slices
+                # materialized transpose of factor slices
                 W2 = V @ jnp.tril(P_i, -1)
                 Sigma_i = V @ V.T + W2 @ (Sigma_next @ W2.T)
                 return Sigma_i, jnp.diagonal(Sigma_i)

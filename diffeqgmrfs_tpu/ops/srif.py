@@ -148,23 +148,26 @@ def srif_packed_qr(
             R_T = jnp.linalg.qr(T, mode="r")[:bs]
             s = jnp.where(jnp.diag(R_T) < 0, -1.0, 1.0).astype(dtype)
             R = jnp.triu(s[:, None] * R_T)
-            return _fix_padding(PackedBTDRFactor(R[None], n))
+            return _fix_padding(PackedBTDRFactor(R.reshape(1, -1), n, bs))
 
         Nw = N - 1
-        P0 = jnp.zeros((N, bs, bs), dtype=dtype)
+        # FLAT [N, bs*bs] slots: the reshape at the slot boundary pins the
+        # factor to a plain 2D row-major layout — with 3D storage, XLA
+        # reconciled QR-producer and triangular-solve-consumer preferences
+        # by transposing the whole buffer's layout and double-copying the
+        # 5 GB loop carry (see PackedBTDRFactor docstring)
+        P0 = jnp.zeros((N, bs * bs), dtype=dtype)
         carry0 = jnp.zeros((bs, 2 * bs), dtype=dtype)
 
         def body(b, state):
             # R-form packing: slot b = triu(R[b,b]) + strict-tril(R[b,b+1]),
-            # BOTH produced at step b — ONE untransposed write per slot (the
-            # L-form's per-step big-buffer transposes + read-modify-writes
-            # made XLA hold three layout copies of P; see PackedBTDRFactor)
+            # BOTH produced at step b — ONE untransposed write per slot
             P, carry = state
             R_T = reduce_window(b, carry)
             s = jnp.where(jnp.diagonal(R_T) < 0, -1.0, 1.0).astype(dtype)
             R_T = s[:, None] * R_T
             slot = jnp.triu(R_T[:bs, :bs]) + jnp.tril(R_T[:bs, bs:], -1)
-            P = lax.dynamic_update_slice(P, slot[None], (b, 0, 0))
+            P = lax.dynamic_update_slice(P, slot.reshape(1, -1), (b, 0))
             # carry covers block col b+1 only; right half (col b+2) starts
             # empty for the next window
             return P, jnp.pad(R_T[bs:, bs:], ((0, 0), (0, bs)))
@@ -174,8 +177,8 @@ def srif_packed_qr(
         # half is structurally zero — no operand column reaches past n_pad)
         s = jnp.where(jnp.diagonal(carry[:, :bs]) < 0, -1.0, 1.0).astype(dtype)
         Rlast = jnp.triu(s[:, None] * carry[:, :bs])
-        P = lax.dynamic_update_slice(P, Rlast[None], (N - 1, 0, 0))
-        return _fix_padding(PackedBTDRFactor(P, n))
+        P = lax.dynamic_update_slice(P, Rlast.reshape(1, -1), (N - 1, 0))
+        return _fix_padding(PackedBTDRFactor(P, n, bs))
 
 
 def _fix_padding(F: PackedBTDRFactor) -> PackedBTDRFactor:
@@ -184,11 +187,11 @@ def _fix_padding(F: PackedBTDRFactor) -> PackedBTDRFactor:
     N, bs, n = F.N, F.bs, F.n
     if N * bs == n:
         return F
-    d = jnp.diagonal(F.P, axis1=-2, axis2=-1).reshape(-1)
+    didx = jnp.arange(bs) * (bs + 1)
+    d = F.P[:, didx].reshape(-1)
     is_pad = jnp.arange(N * bs) >= n
     newd = jnp.where(is_pad & (jnp.abs(d) < 1e-30), 1.0, d).reshape(N, bs)
-    r = jnp.arange(bs)
-    return type(F)(F.P.at[:, r, r].set(newd), n)
+    return type(F)(F.P.at[:, didx].set(newd), n, bs)
 
 
 def rowop_window_plan(A, n: int, bs: int, zero_slots="auto"):

@@ -58,6 +58,9 @@ def parse_cmd():
     p.add_argument("--gemm_solves", action="store_true",
                    help="GEMM-only solve form (W_i = L_i^{-1} precomputed; "
                         "sampling/variance/refinement ride pure matmuls)")
+    p.add_argument("--mean_only", action="store_true",
+                   help="skip posterior std/sampling (memory bisection / "
+                        "mean-benchmark mode)")
     p.add_argument("--sqrt", action="store_true",
                    help="SRIF square-root factorization: windowed QR of the "
                         "stacked [Lambda_Q; sqrt(tau) A] (implies --packed); "
@@ -223,8 +226,12 @@ def main():
             prior_arg, A, Q_eps, ys, solver_blueprint=bp, pattern=pattern
         )
         pred = E.matvec(post.mean()).reshape(ny, nx)
-        std = post.std()
-        smp = post.sample(key, 1)
+        if args.mean_only:
+            std = jnp.zeros(())
+            smp = jnp.zeros(())
+        else:
+            std = post.std()
+            smp = post.sample(key, 1)
         if args.nll:
             x_soln = condition_on_observations(
                 prior_arg, E, 1e12, soln_flat, pattern=pattern_E
