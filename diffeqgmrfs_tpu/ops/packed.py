@@ -393,9 +393,18 @@ class PackedBTDRFactor:
         return self.backward_solve(self.forward_solve(b))
 
     def log_det(self):
+        # per-slot diagonal gather in a loop: a whole-buffer [:, didx]
+        # gather wants a dim0-minor layout and forces a full layout copy
+        # of the factor (see class docstring)
         bs = self.block
-        d = self.P[:, jnp.arange(bs) * (bs + 1)]
-        return 2.0 * jnp.sum(jnp.log(d))
+        didx = jnp.arange(bs) * (bs + 1)
+
+        def body(i, acc):
+            slot = lax.dynamic_slice(self.P, (i, 0), (1, bs * bs))[0]
+            return acc + jnp.sum(jnp.log(slot[didx]))
+
+        acc = lax.fori_loop(0, self.N, body, jnp.zeros((), self.dtype))
+        return 2.0 * acc
 
     def sample_zero_mean(self, key, n_samples: int = 1):
         z = jax.random.normal(key, (n_samples, self.n), dtype=self.dtype)

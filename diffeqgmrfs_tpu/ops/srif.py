@@ -187,11 +187,17 @@ def _fix_padding(F: PackedBTDRFactor) -> PackedBTDRFactor:
     N, bs, n = F.N, F.bs, F.n
     if N * bs == n:
         return F
+    # padding rows (N*bs - n < bs) all live in the LAST slot; fixing only
+    # that slot avoids a whole-buffer indexed scatter, which would make XLA
+    # keep a second (dim0-minor) layout copy of the 5 GB factor at N_xy=300
     didx = jnp.arange(bs) * (bs + 1)
-    d = F.P[:, didx].reshape(-1)
-    is_pad = jnp.arange(N * bs) >= n
-    newd = jnp.where(is_pad & (jnp.abs(d) < 1e-30), 1.0, d).reshape(N, bs)
-    return type(F)(F.P.at[:, didx].set(newd), n, bs)
+    last = F.P[N - 1]
+    d = last[didx]
+    row_global = (N - 1) * bs + jnp.arange(bs)
+    newd = jnp.where((row_global >= n) & (jnp.abs(d) < 1e-30), 1.0, d)
+    last = last.at[didx].set(newd)
+    P = lax.dynamic_update_slice(F.P, last[None], (N - 1, 0))
+    return type(F)(P, n, bs)
 
 
 def rowop_window_plan(A, n: int, bs: int, zero_slots="auto"):
