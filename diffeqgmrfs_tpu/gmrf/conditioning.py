@@ -121,6 +121,7 @@ def condition_on_observations(
             factor = SRIFConditionFactor(
                 H_op, pat, x.sqrt32, x.sqrt_plan,
                 x.precision.n, x.precision.N, x.precision.bs,
+                chunk=getattr(bp, "srif_chunk", "auto"),
             )
             rhs = x.precision64.matvec(x.mu) + tau64 * A.rmatvec(
                 jnp.asarray(y, dtype=tau64.dtype)

@@ -389,7 +389,7 @@ class SRIFConditionFactor(MatFreeConditionFactor):
     """
 
     def __init__(self, H_op: SymSumOp, a_plan, sqrt_op, lam_plan, n, N, bs,
-                 refine_iters: int = 4):
+                 refine_iters: int = 4, chunk="auto"):
         from diffeqgmrfs_tpu.ops.srif import srif_packed_qr
 
         self.H_op = H_op
@@ -404,7 +404,7 @@ class SRIFConditionFactor(MatFreeConditionFactor):
         self.F32 = srif_packed_qr(
             [(lam_plan, sqrt_op.vals), (a_plan, Av)],
             n, N, bs, dtype=jnp.float32, col_scale=1.0 / self.d,
-            chunk_rows="auto",
+            chunk_rows=None if chunk == "off" else chunk,
         )
 
 
@@ -496,7 +496,7 @@ class SRIFNewtonFactor:
     """
 
     def __init__(self, q_ell, q_diag, sqrt_ops, j_plan, Jc, tau,
-                 n, N, bs, refine_iters: int = 4):
+                 n, N, bs, refine_iters: int = 4, chunk="auto"):
         from diffeqgmrfs_tpu.ops.srif import srif_packed_qr
 
         self.q_ell = q_ell
@@ -511,7 +511,7 @@ class SRIFNewtonFactor:
         ops = list(sqrt_ops) + [(j_plan, Jc.vals * jnp.sqrt(tau))]
         self.F32 = srif_packed_qr(
             ops, n, N, bs, dtype=jnp.float32, col_scale=1.0 / self.d,
-            chunk_rows="auto",
+            chunk_rows=None if chunk == "off" else chunk,
         )
 
     def _apply_H(self, t):

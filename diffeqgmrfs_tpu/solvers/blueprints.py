@@ -72,6 +72,11 @@ class CholeskySolverBlueprint:
     # f32 valid at cond(H) up to ~1e14 — the production answer to the
     # f64-factor regime above. Requires a prior discretized with sqrt=True.
     sqrt_factor: bool = False
+    # SRIF window-QR chunking: "auto" (chunk to 2bs rows when the stacked
+    # window exceeds 3bs — bounded workspace, ~1.7x QR flops), "off"
+    # (single full-stack QR per window — fastest when it fits), or an int
+    # chunk row count.
+    srif_chunk: object = "auto"
 
 
 @dataclass(frozen=True)

@@ -58,6 +58,8 @@ def parse_cmd():
     p.add_argument("--gemm_solves", action="store_true",
                    help="GEMM-only solve form (W_i = L_i^{-1} precomputed; "
                         "sampling/variance/refinement ride pure matmuls)")
+    p.add_argument("--srif_chunk", type=str, default="auto",
+                   help="SRIF window-QR chunk policy: auto | off | <int>")
     p.add_argument("--mean_only", action="store_true",
                    help="skip posterior std/sampling (memory bisection / "
                         "mean-benchmark mode)")
@@ -194,6 +196,10 @@ def main():
         gemm_solves=args.gemm_solves,
         factor_dtype="f64" if args.f64_factor else "f32",
         sqrt_factor=args.sqrt,
+        srif_chunk=(
+            args.srif_chunk if args.srif_chunk in ("auto", "off")
+            else int(args.srif_chunk)
+        ),
     )
 
     # Calibration target: true solution interpolated into dof space by
