@@ -214,6 +214,7 @@ def main():
         )
 
     sweep_t0 = None
+    throughput = None
     if args.batch > 1:
         vsolve = jax.jit(jax.vmap(solve_instance, in_axes=(0, 0, None)))
         import time as _time
@@ -240,7 +241,7 @@ def main():
             dt = _time.perf_counter() - sweep_t0
             thr = (N - n_done_at_t0) / dt if dt > 0 else 0.0
             log.info("throughput (post-compile): %.2f instances/s", thr)
-            params["throughput_inst_per_s"] = thr
+            throughput = thr
     else:
         for i in range(N):
             ic = jnp.asarray(ds.get_initial_condition(i))
@@ -252,7 +253,8 @@ def main():
                 cur.sync(pred)
             record(i, pred, ic_pred, std, n_steps, cur.time("Optimization"))
 
-    out = dict(**cols, timers=to.as_dict(), **params)
+    out = dict(throughput_inst_per_s=throughput, **cols,
+               timers=to.as_dict(), **params)
     path = tagsave(
         os.path.join(datadir("sims", "burgers", "gmrf-fem"), savename(params)), out
     )

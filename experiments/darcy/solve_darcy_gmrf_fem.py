@@ -269,12 +269,17 @@ def main():
     mat_nnz = prior.precision_map().nnz() if hasattr(prior, "precision_map") else 0
 
     N = 3 if args.dry_run else len(ds)
+    throughput = None
     rel_errs, rmses, max_errs, std_norms = [], [], [], []
     sqmahals, nlls = [], []
     cond_times = []
     if args.batch > 1:
         # DP: vmap the whole posterior pipeline over instance batches — the
         # chip-saturation axis (SURVEY.md §2.4); replaces the serial loop.
+        import time as _time
+
+        sweep_t0 = None
+        n_done_at_t0 = 0
         vsolve = jax.jit(
             jax.vmap(solve_instance, in_axes=(None, None, None, None, None, 0, 0, 0))
         )
@@ -307,6 +312,15 @@ def main():
                     nlls.append(float(nll[j]))
                 log.info("instance %d: rel_err=%.3e", i, rel_errs[-1])
             cond_times.append(cur.time("Conditioning"))
+            if sweep_t0 is None:
+                # first batch includes the vmapped compile; time from here
+                sweep_t0 = _time.perf_counter()
+                n_done_at_t0 = idxs[-1] + 1
+        if sweep_t0 is not None and N > n_done_at_t0:
+            dt = _time.perf_counter() - sweep_t0
+            thr = (N - n_done_at_t0) / dt if dt > 0 else 0.0
+            log.info("throughput (post-compile): %.2f instances/s", thr)
+            throughput = thr
     else:
         for i in range(N):
             soln, coeff = ds.get_problem(i)
@@ -330,6 +344,7 @@ def main():
                 log.info("Finished %d / %d", i + 1, N)
 
     out = dict(
+        throughput_inst_per_s=throughput,
         rel_errs=rel_errs,
         rmses=rmses,
         max_errs=max_errs,
