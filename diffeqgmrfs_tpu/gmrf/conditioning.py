@@ -122,6 +122,7 @@ def condition_on_observations(
                 H_op, pat, x.sqrt32, x.sqrt_plan,
                 x.precision.n, x.precision.N, x.precision.bs,
                 chunk=getattr(bp, "srif_chunk", "auto"),
+                matmul_precision=getattr(bp, "srif_precision", "float32"),
             )
             rhs = x.precision64.matvec(x.mu) + tau64 * A.rmatvec(
                 jnp.asarray(y, dtype=tau64.dtype)

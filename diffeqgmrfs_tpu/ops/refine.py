@@ -389,7 +389,8 @@ class SRIFConditionFactor(MatFreeConditionFactor):
     """
 
     def __init__(self, H_op: SymSumOp, a_plan, sqrt_op, lam_plan, n, N, bs,
-                 refine_iters: int = 4, chunk="auto"):
+                 refine_iters: int = 4, chunk="auto",
+                 matmul_precision: str = "float32"):
         from diffeqgmrfs_tpu.ops.srif import srif_packed_qr
 
         self.H_op = H_op
@@ -405,6 +406,7 @@ class SRIFConditionFactor(MatFreeConditionFactor):
             [(lam_plan, sqrt_op.vals), (a_plan, Av)],
             n, N, bs, dtype=jnp.float32, col_scale=1.0 / self.d,
             chunk_rows=None if chunk == "off" else chunk,
+            matmul_precision=matmul_precision,
         )
 
 

@@ -77,6 +77,10 @@ class CholeskySolverBlueprint:
     # (single full-stack QR per window — fastest when it fits), or an int
     # chunk row count.
     srif_chunk: object = "auto"
+    # MXU matmul precision inside the SRIF QR: "float32" (default) or
+    # "tensorfloat32" (faster trailing updates; refinement absorbs the
+    # reduced factor accuracy while 2e-6 * sqrt(cond H) < 1)
+    srif_precision: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -60,6 +60,9 @@ def parse_cmd():
                         "sampling/variance/refinement ride pure matmuls)")
     p.add_argument("--srif_chunk", type=str, default="auto",
                    help="SRIF window-QR chunk policy: auto | off | <int>")
+    p.add_argument("--srif_precision", type=str, default="float32",
+                   help="MXU precision inside the SRIF QR: float32 | "
+                        "tensorfloat32")
     p.add_argument("--mean_only", action="store_true",
                    help="skip posterior std/sampling (memory bisection / "
                         "mean-benchmark mode)")
@@ -200,6 +203,7 @@ def main():
             args.srif_chunk if args.srif_chunk in ("auto", "off")
             else int(args.srif_chunk)
         ),
+        srif_precision=args.srif_precision,
     )
 
     # Calibration target: true solution interpolated into dof space by
