@@ -179,6 +179,101 @@ class BTD:
 
 
 @jax.tree_util.register_pytree_node_class
+@dataclass
+class ToeplitzBTD:
+    """Constant-mesh ST precision in DISTINCT-BLOCK form: the joint
+    implicit-Euler precision over a uniform time grid has only four
+    distinct blocks — diag[0] (IC/conditioned), diag[1..N-2] (interior,
+    identical), diag[N-1] (terminal), and one coupling block
+    (`models/advection_diffusion.joint_ssm`; reference analog
+    `/root/reference/src/spdes/shallow_water.jl:219-231`). Storing the
+    full [N_t, bs, bs] BTD wastes N_t/4 x the memory — at Burgers N_x=800
+    x 100 steps the f64 stack of while-loop copies reached 43 GB; these
+    four blocks are ~85 MB.
+
+    Exposes the operator surface Gauss-Newton needs (matvec, diagonal,
+    dtype, shapes) plus `scaled_btd` to materialize the equilibrated f32
+    BTD that feeds the factorization. Requires n == N * bs (ST layouts are
+    exact; use pad_block for MXU alignment) and N >= 3.
+    """
+
+    d_first: jnp.ndarray  # [bs, bs]
+    d_mid: jnp.ndarray
+    d_last: jnp.ndarray
+    off: jnp.ndarray  # block (t+1, t), constant over t
+    N: int
+    n: int
+
+    def tree_flatten(self):
+        return (self.d_first, self.d_mid, self.d_last, self.off), (
+            self.N, self.n,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux[0], aux[1])
+
+    @classmethod
+    def from_btd(cls, Q) -> "ToeplitzBTD":
+        """Slice the distinct blocks out of a uniform BTD (structure is the
+        CALLER's contract: diag[1] == diag[2..N-2], lower constant)."""
+        return cls(Q.diag[0], Q.diag[1], Q.diag[-1], Q.lower[0], Q.N, Q.n)
+
+    @property
+    def bs(self):
+        return self.d_mid.shape[0]
+
+    @property
+    def dtype(self):
+        return self.d_mid.dtype
+
+    def _check(self):
+        if self.n != self.N * self.bs or self.N < 3:
+            raise ValueError("ToeplitzBTD requires n == N*bs and N >= 3")
+
+    def matvec(self, x):
+        self._check()
+        bs, N = self.bs, self.N
+        xb = jnp.asarray(x).reshape(N, bs)
+        y = jnp.einsum("ij,Nj->Ni", self.d_mid, xb)
+        y = y.at[0].add((self.d_first - self.d_mid) @ xb[0])
+        y = y.at[N - 1].add((self.d_last - self.d_mid) @ xb[N - 1])
+        y = y.at[1:].add(jnp.einsum("ij,Nj->Ni", self.off, xb[:-1]))
+        y = y.at[:-1].add(jnp.einsum("ji,Nj->Ni", self.off, xb[1:]))
+        return y.reshape(-1)
+
+    def diagonal(self):
+        self._check()
+        d = jnp.broadcast_to(
+            jnp.diagonal(self.d_mid), (self.N, self.bs)
+        )
+        d = d.at[0].set(jnp.diagonal(self.d_first))
+        d = d.at[self.N - 1].set(jnp.diagonal(self.d_last))
+        return d.reshape(-1)
+
+    def scaled_btd(self, dinv, dtype=jnp.float32) -> BTD:
+        """Materialize D^{-1/2} Q D^{-1/2} as a full BTD in `dtype` — the
+        per-block scaling varies along time, so this is the one place the
+        [N, bs, bs] buffer exists (it is the factorization input)."""
+        self._check()
+        bs, N = self.bs, self.N
+        db = jnp.asarray(dinv).reshape(N, bs).astype(dtype)
+        mid = self.d_mid.astype(dtype)
+        diag = mid[None] * db[:, :, None] * db[:, None, :]
+        diag = diag.at[0].set(
+            self.d_first.astype(dtype) * db[0][:, None] * db[0][None, :]
+        )
+        diag = diag.at[N - 1].set(
+            self.d_last.astype(dtype) * db[N - 1][:, None] * db[N - 1][None, :]
+        )
+        lower = self.off.astype(dtype)[None] * db[1:, :, None] * db[:-1, None, :]
+        return BTD(diag, lower, self.n)
+
+    def nnz(self) -> int:
+        return int(4 * self.d_mid.size)
+
+
+@jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class BTDPattern:
     """Precomputed scatter of a fixed COO sparsity into BTD storage.

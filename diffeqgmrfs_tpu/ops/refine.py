@@ -539,6 +539,61 @@ class SRIFNewtonFactor:
         return y / self.d
 
 
+class ToeplitzMatFreeFactor:
+    """Mixed-precision Newton-system factor for constant-mesh ST priors
+    held in DISTINCT-BLOCK (Toeplitz) form (ops/btd.ToeplitzBTD).
+
+    The GN while-loop body then carries only ~4 spatial blocks of the f64
+    prior instead of the full [N_t, bs, bs] BTD — at Burgers N_x=800 x 100
+    steps the f64 BTD path ballooned to 43 GB of loop copies (XLA x64
+    hi/lo pair emulation x while-loop copy insertion); here the resident
+    f64 state is ~85 MB and the only [N_t, bs, bs] buffers are the f32
+    scaled system and its factor.
+
+        diag(H) = diag_toeplitz(Q) + tau * colsumsq(J)       (f64 vectors)
+        H32     = Q.scaled_btd(1/d, f32) + scatter32(scaled J products)
+        refinement residuals: H t = Q.matvec(t) + tau J^T (J t)
+                              (Toeplitz matvec: 4 shared-block GEMMs)
+    """
+
+    def __init__(self, q_top, Jc, tau, jtj_scaled32, refine_iters: int = 5):
+        self.q_top = q_top
+        self.Jc = Jc
+        self.tau = tau
+        self.refine_iters = refine_iters
+        diagH = q_top.diagonal() + tau * rowop_col_sumsq(Jc, q_top.n)
+        self.d = jnp.sqrt(diagH)
+        dinv = 1.0 / self.d
+        Qs32 = q_top.scaled_btd(dinv, dtype=jnp.float32)
+        Jv32 = (Jc.vals * dinv[jnp.asarray(Jc.cols)] * jnp.sqrt(tau)).astype(
+            jnp.float32
+        )
+        H32 = jtj_scaled32(Jv32, init=Qs32)
+        self.F32 = btd_cholesky(H32)
+
+    def _apply_H(self, t):
+        return self.q_top.matvec(t) + self.tau * self.Jc.rmatvec(
+            self.Jc.matvec(t)
+        )
+
+    def matvec_H(self, x):
+        return self._apply_H(x)
+
+    def _apply_Hs(self, y):
+        return self._apply_H(y / self.d) / self.d
+
+    def _solve32(self, b):
+        return self.F32.solve(b.astype(jnp.float32)).astype(b.dtype)
+
+    def solve(self, b):
+        b = jnp.asarray(b)
+        bs_ = b / self.d
+        y = self._solve32(bs_)
+        for _ in range(self.refine_iters):
+            y = y + self._solve32(bs_ - self._apply_Hs(y))
+        return y / self.d
+
+
 class EllMatFreeFactor:
     """Mixed-precision Newton-system factor with the prior precision held
     ONLY as a compact f64 ELL operator (RowOp) — no f64 BTD is resident.

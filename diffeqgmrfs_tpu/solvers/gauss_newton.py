@@ -210,6 +210,7 @@ def gauss_newton_solve(
     q_pattern=None,
     q_coo=None,
     sqrt_ops=None,
+    q_toeplitz=None,
 ) -> GaussNewtonResult:
     """Functional Gauss-Newton loop (jit/vmap-friendly).
 
@@ -232,6 +233,15 @@ def gauss_newton_solve(
     emulated as f32 hi/lo pairs and copied around while-loop boundaries —
     a 3.4 GB f64 prior BTD ballooned to 31.5 GB peak at chen24 Burgers
     N_x=1000; this path runs the same config in a few GB.
+
+    q_toeplitz: constant-mesh ST prior precision in distinct-block form
+    (ops/btd.ToeplitzBTD — 4 spatial blocks instead of the full [N_t, bs,
+    bs] BTD). With mixed_precision, the Newton loop then never holds ANY
+    full-size f64 buffer: the f32 scaled system is materialized from the
+    shared blocks and refinement residuals ride 4 shared-block GEMMs
+    (ops/refine.ToeplitzMatFreeFactor). The memory answer for production
+    ST configs (Burgers N_x=800 x 100 steps: 43 GB of f64 loop copies ->
+    ~2 GB resident f32).
 
     sqrt_ops: list of (ATAWindowPlan, values) whose stacked rows S_Q satisfy
     S_Q^T S_Q = Q. With q_ell + ata_window_plan, each Newton system is then
@@ -304,7 +314,12 @@ def gauss_newton_solve(
             v = vals[:, :, None] * vals[:, None, :]
             return pat.scatter(v.reshape(-1))
 
-    Qmu = q_ell.matvec(mu_prior) if use_ell else Q.matvec(mu_prior)
+    if q_toeplitz is not None:
+        Qmu = q_toeplitz.matvec(mu_prior)
+    elif use_ell:
+        Qmu = q_ell.matvec(mu_prior)
+    else:
+        Qmu = Q.matvec(mu_prior)
 
     def jtj_scaled32(vals, init):
         """Scaled J^T J accumulated in the init buffer's (f32) dtype."""
@@ -321,7 +336,14 @@ def gauss_newton_solve(
         r_norm = jnp.linalg.norm(f - y)
         hist = hist.at[step].set(r_norm)
         rhs = Qmu + tau * Jc.rmatvec(Jc.matvec(x) - (f - y))
-        if sqrt_ops is not None:
+        if q_toeplitz is not None and mixed_precision:
+            from diffeqgmrfs_tpu.ops.refine import ToeplitzMatFreeFactor
+
+            F = ToeplitzMatFreeFactor(q_toeplitz, Jc, tau, jtj_scaled32)
+            x_new = F.solve(rhs)
+            dx = x_new - x
+            Hdx = F.matvec_H(dx)
+        elif sqrt_ops is not None:
             # SRIF path: QR of [S_Q; sqrt(tau) J], never forming H
             from diffeqgmrfs_tpu.ops.refine import SRIFNewtonFactor
 

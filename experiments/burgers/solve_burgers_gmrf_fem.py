@@ -43,6 +43,11 @@ def parse_cmd():
                         "(sampling/std ~10x faster than TRSM scans on TPU)")
     p.add_argument("--pad_block", type=int, default=None,
                    help="pad spatial block to a multiple (e.g. 128)")
+    p.add_argument("--toeplitz", action="store_true",
+                   help="hold the ST prior in distinct-block (Toeplitz) "
+                        "form inside the Gauss-Newton loop — no full-size "
+                        "f64 BTD in the loop body (required for N_x >= "
+                        "~400 x 100 steps on a 16 GB chip)")
     p.add_argument("--batch", type=int, default=1,
                    help="vmap batch size: whole posterior pipelines (prior "
                         "assembly + IC conditioning + Gauss-Newton + "
@@ -164,6 +169,13 @@ def main():
             x, A_ic, noise_ic, ic, solver_blueprint=bp_cond
         )
         ic_pred = E_st.matvec(x_ic.mean()).reshape(N_t, len(x_coords))
+        gn_kw = {}
+        if args.toeplitz:
+            from diffeqgmrfs_tpu.ops.btd import ToeplitzBTD
+
+            gn_kw["q_toeplitz"] = ToeplitzBTD.from_btd(
+                x_ic.inner_gmrf.precision
+            )
         result = gauss_newton_solve(
             x_ic.inner_gmrf.mean(),
             x_ic.inner_gmrf.precision,
@@ -175,6 +187,7 @@ def main():
             affine=x_ic.affine,
             mixed_precision=args.mixed_precision,
             ata_pattern=ata_pattern,
+            **gn_kw,
         )
         post = result.posterior(affine=x_ic.affine, blueprint=bp)
         pred = E_st.matvec(post.mean()).reshape(N_t, len(x_coords))

@@ -171,3 +171,78 @@ def test_gauss_newton_ell_path_matches_btd():
     np.testing.assert_allclose(
         np.asarray(res_ell.x_k), np.asarray(res_btd.x_k), rtol=1e-6, atol=1e-8
     )
+
+
+def test_gauss_newton_toeplitz_path_matches_btd():
+    """GN with the ST prior in distinct-block (Toeplitz) form matches the
+    BTD mixed-precision path — the production-memory route for large
+    constant-mesh ST systems (Burgers N_x=800 x 100 steps)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from diffeqgmrfs_tpu.fem import (
+        periodic_unit_interval_discretization,
+        evaluation_matrix,
+        spatial_to_spatiotemporal,
+    )
+    from diffeqgmrfs_tpu.models import (
+        MaternSPDE, AdvectionDiffusionSPDE, discretize_advection_diffusion,
+    )
+    from diffeqgmrfs_tpu.gmrf import condition_on_observations
+    from diffeqgmrfs_tpu.problems import BurgersFEMResidual
+    from diffeqgmrfs_tpu.solvers import gauss_newton_solve, StepNumberCriterion
+    from diffeqgmrfs_tpu.ops.btd import ToeplitzBTD
+
+    N_x, N_t, nu = 12, 6, 0.05
+    disc = periodic_unit_interval_discretization(N_x, element_order=2)
+    ts = np.linspace(0.0, 0.25, N_t)
+    xs = np.linspace(0.0, 1.0, 2 * N_x + 1)
+    ic = jnp.asarray(0.6 + 0.25 * np.sin(2 * np.pi * xs))
+    A_ic = spatial_to_spatiotemporal(evaluation_matrix(disc, xs), 0, N_t)
+    res = BurgersFEMResidual(disc, ts, nu)
+    kappa = float(np.sqrt(8 * 1.5) / np.sqrt(1 / N_x))
+    c = 1.0 / nu
+    spde = AdvectionDiffusionSPDE(
+        d=1, kappa=0.0, alpha=1, gamma=jnp.asarray([-c * 0.6]), c=c,
+        tau=0.1 * np.sqrt(c),
+        spatial_spde=MaternSPDE(d=1, kappa=kappa, nu=1.5),
+        initial_spde=MaternSPDE(d=1, kappa=kappa, nu=1.5),
+    )
+    x = discretize_advection_diffusion(spde, disc, ts, mean_offset=0.6)
+    x_ic = condition_on_observations(x, A_ic, 1e8, ic)
+    mu, Q = x_ic.inner_gmrf.mean(), x_ic.inner_gmrf.precision
+    # structural precondition of the Toeplitz slicing: uniform interior
+    np.testing.assert_allclose(
+        np.asarray(Q.diag[2]), np.asarray(Q.diag[1]), rtol=0, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(Q.lower[2]), np.asarray(Q.lower[0]), rtol=0, atol=1e-12
+    )
+    q_top = ToeplitzBTD.from_btd(Q)
+    # operator equivalence
+    v = jnp.asarray(np.random.default_rng(0).normal(size=Q.n))
+    np.testing.assert_allclose(
+        np.asarray(q_top.matvec(v)), np.asarray(Q.matvec(v)),
+        rtol=1e-12, atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(q_top.diagonal()), np.asarray(Q.diagonal()), rtol=1e-13
+    )
+    d = jnp.asarray(np.random.default_rng(1).uniform(1.0, 2.0, Q.n))
+    S1 = q_top.scaled_btd(1.0 / d, dtype=jnp.float64)
+    db = Q.pad_vec(1.0 / d)
+    np.testing.assert_allclose(
+        np.asarray(S1.diag),
+        np.asarray(Q.diag * db[:, :, None] * db[:, None, :]), rtol=1e-12,
+    )
+
+    args = (mu, Q, res.f_and_J, 1e10, jnp.zeros(res.n_rows), mu)
+    kw = dict(criterion=StepNumberCriterion(4), affine=x_ic.affine,
+              materialize_H=False)
+    r_btd = gauss_newton_solve(*args, mixed_precision=True, **kw)
+    r_top = gauss_newton_solve(
+        *args, mixed_precision=True, q_toeplitz=q_top, **kw
+    )
+    diff = float(
+        jnp.linalg.norm(r_top.x_k - r_btd.x_k) / jnp.linalg.norm(r_btd.x_k)
+    )
+    assert diff < 1e-8, diff
