@@ -564,7 +564,13 @@ class ToeplitzMatFreeFactor:
         diagH = q_top.diagonal() + tau * rowop_col_sumsq(Jc, q_top.n)
         self.d = jnp.sqrt(diagH)
         dinv = 1.0 / self.d
-        Qs32 = q_top.scaled_btd(dinv, dtype=jnp.float32)
+        # scale in f64, cast to f32 (f32 accumulation loses PD-ness to
+        # cancellation — observed NaN factors at Burgers N_x>=200 x 100;
+        # the f64 buffer is a TRANSIENT, not carried across the loop)
+        Qs = q_top.scaled_btd(dinv, dtype=q_top.dtype)
+        Qs32 = BTD(
+            Qs.diag.astype(jnp.float32), Qs.lower.astype(jnp.float32), Qs.n
+        )
         Jv32 = (Jc.vals * dinv[jnp.asarray(Jc.cols)] * jnp.sqrt(tau)).astype(
             jnp.float32
         )

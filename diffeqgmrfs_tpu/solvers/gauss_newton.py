@@ -211,6 +211,7 @@ def gauss_newton_solve(
     q_coo=None,
     sqrt_ops=None,
     q_toeplitz=None,
+    damping: bool = False,
 ) -> GaussNewtonResult:
     """Functional Gauss-Newton loop (jit/vmap-friendly).
 
@@ -233,6 +234,15 @@ def gauss_newton_solve(
     emulated as f32 hi/lo pairs and copied around while-loop boundaries —
     a 3.4 GB f64 prior BTD ballooned to 31.5 GB peak at chen24 Burgers
     N_x=1000; this path runs the same config in a few GB.
+
+    damping: backtracking step control — evaluate the true MAP objective
+    phi(x) = tau ||f(x) - y||^2 + (x - mu)^T Q (x - mu) at step fractions
+    {1, 1/2, 1/4, 1/8} and take the best (jit-friendly: all candidates
+    evaluated, argmin select). Plain GN diverges on shocky Burgers
+    trajectories over long horizons (N_t=100 at nu=0.01: iterates end up
+    WORSE than the IC-conditioned prior, or overflow to NaN); the
+    reference caps steps instead (`_research/burgers_chen24.jl:147-150`),
+    which works only from good initializations.
 
     q_toeplitz: constant-mesh ST prior precision in distinct-block form
     (ops/btd.ToeplitzBTD — 4 spatial blocks instead of the full [N_t, bs,
@@ -379,6 +389,32 @@ def gauss_newton_solve(
             x_new = btd_cholesky(H).solve(rhs)
             dx = x_new - x
             Hdx = H.matvec(dx)
+        if damping:
+            # backtracking on the true MAP objective (all candidates
+            # evaluated, argmin select — jit/while_loop friendly)
+            def q_matvec(t):
+                if q_toeplitz is not None:
+                    return q_toeplitz.matvec(t)
+                if use_ell:
+                    return q_ell.matvec(t)
+                return Q.matvec(t)
+
+            def phi(xc):
+                f_c, _ = f_and_J(full(xc))  # J is dead -> DCE'd
+                dmu = xc - mu_prior
+                return tau * jnp.sum((f_c - y) ** 2) + jnp.dot(
+                    dmu, q_matvec(dmu)
+                )
+
+            alphas = (1.0, 0.5, 0.25, 0.125)
+            cands = jnp.stack([x + a * dx for a in alphas])
+            phis = jnp.stack([phi(c) for c in cands])
+            phis = jnp.where(jnp.isnan(phis), jnp.inf, phis)
+            k = jnp.argmin(phis)
+            x_new = cands[k]
+            scale = jnp.asarray(alphas)[k]
+            dx = dx * scale
+            Hdx = Hdx * scale
         decrement = jnp.sqrt(jnp.abs(jnp.dot(dx, Hdx)))
         return (x_new, decrement, step + 1, hist, r_norm)
 

@@ -43,6 +43,11 @@ def parse_cmd():
                         "(sampling/std ~10x faster than TRSM scans on TPU)")
     p.add_argument("--pad_block", type=int, default=None,
                    help="pad spatial block to a multiple (e.g. 128)")
+    p.add_argument("--damping", action="store_true",
+                   help="backtracking Gauss-Newton (step fractions "
+                        "{1,1/2,1/4,1/8} on the MAP objective) — needed on "
+                        "shocky long-horizon trajectories where plain GN "
+                        "diverges")
     p.add_argument("--toeplitz", action="store_true",
                    help="hold the ST prior in distinct-block (Toeplitz) "
                         "form inside the Gauss-Newton loop — no full-size "
@@ -187,6 +192,7 @@ def main():
             affine=x_ic.affine,
             mixed_precision=args.mixed_precision,
             ata_pattern=ata_pattern,
+            damping=args.damping,
             **gn_kw,
         )
         post = result.posterior(affine=x_ic.affine, blueprint=bp)
