@@ -268,13 +268,27 @@ def _fix_padding(F: PackedBTDRFactor) -> PackedBTDRFactor:
     # padding rows (N*bs - n < bs) all live in the LAST slot; fixing only
     # that slot avoids a whole-buffer indexed scatter, which would make XLA
     # keep a second (dim0-minor) layout copy of the 5 GB factor at N_xy=300
+    # detect padding purely by row/col index: structurally-zero columns
+    # from the Householder path leave exact zeros, but the bcgs engine's
+    # shifted CholeskyQR leaves ~sqrt(shift)-level values on padding slots
+    # that a magnitude test would miss (ADVICE r1) — zero every padding
+    # entry, then unit diagonal. Padding columns live in the LAST slot's
+    # triu (R[N-1,N-1]) and the SECOND-TO-LAST slot's strict-tril
+    # (R[N-2,N-1]); fixing only those slots keeps every write slot-local
+    # (whole-buffer scatters force a second layout copy of the factor).
+    pad_row = (N - 1) * bs + jnp.arange(bs) >= n  # [bs] bool
     didx = jnp.arange(bs) * (bs + 1)
-    last = F.P[N - 1]
-    d = last[didx]
-    row_global = (N - 1) * bs + jnp.arange(bs)
-    newd = jnp.where((row_global >= n) & (jnp.abs(d) < 1e-30), 1.0, d)
-    last = last.at[didx].set(newd)
+    upper = jnp.triu(jnp.ones((bs, bs), dtype=bool))
+    last = F.P[N - 1].reshape(bs, bs)
+    keep = jnp.where(pad_row[:, None] | (upper & pad_row[None, :]), 0.0, 1.0)
+    last = (last * keep.astype(last.dtype)).reshape(-1)
+    last = last.at[didx].set(jnp.where(pad_row, 1.0, last[didx]))
     P = lax.dynamic_update_slice(F.P, last[None], (N - 1, 0))
+    if N >= 2:
+        prev = F.P[N - 2].reshape(bs, bs)
+        keep2 = jnp.where(~upper & pad_row[None, :], 0.0, 1.0)
+        prev = prev * keep2.astype(prev.dtype)
+        P = lax.dynamic_update_slice(P, prev.reshape(1, -1), (N - 2, 0))
     return type(F)(P, n, bs)
 
 

@@ -26,13 +26,16 @@ def batched_solver(solve_fn, mesh=None, donate: bool = False):
     if mesh is None:
         return jax.jit(vf)
     shard = NamedSharding(mesh, P("dp"))
+    # jit ONCE here: re-invoking jax.jit(vf) per call would create a fresh
+    # wrapper (and compile cache) per batch and recompile every time
+    jf = jax.jit(vf)
 
     def run(*batch_args):
         batch_args = tuple(
             jax.device_put(jnp.asarray(a), shard) for a in batch_args
         )
         with mesh:
-            return jax.jit(vf)(*batch_args)
+            return jf(*batch_args)
 
     return run
 

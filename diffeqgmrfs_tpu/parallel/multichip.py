@@ -61,9 +61,24 @@ def shard_btd(Q, mesh: Mesh):
         spec = P("dp", "time", None, None)
         rep = P("dp", None, None, None)
     t = mesh.shape["time"]
-    # lower has N-1 blocks; an uneven count stays unsharded on the time
-    # axis (eager constraints require exact divisibility)
-    lower_spec = spec if Q.lower.shape[-3] % t == 0 else rep
+    # lower has N-1 blocks; an uneven count cannot shard on the time axis
+    # (NamedSharding requires exact divisibility, and jit-level uneven
+    # constraints are silently normalized to replicated). Warn loudly —
+    # replicating lower costs t x its memory. For a truly distributed
+    # layout use the explicitly-chunked halo-exchange path
+    # (ops/dist_btd.py), which assigns lower rows per device chunk.
+    if Q.lower.shape[-3] % t == 0:
+        lower_spec = spec
+    else:
+        import warnings
+
+        warnings.warn(
+            f"shard_btd: lower has {Q.lower.shape[-3]} blocks, not divisible "
+            f"by time axis {t} — replicating lower across the time axis "
+            f"({t}x its memory). Use dist_btd for an exact distributed layout.",
+            stacklevel=2,
+        )
+        lower_spec = rep
     return BTD(constrain(Q.diag, spec), constrain(Q.lower, lower_spec), Q.n)
 
 

@@ -412,9 +412,9 @@ def gauss_newton_solve(
             phis = jnp.where(jnp.isnan(phis), jnp.inf, phis)
             k = jnp.argmin(phis)
             x_new = cands[k]
-            scale = jnp.asarray(alphas)[k]
-            dx = dx * scale
-            Hdx = Hdx * scale
+        # decrement from the UNSCALED dx/Hdx: it measures proximity of the
+        # full Newton model — scaling by the damping fraction would shrink
+        # it 8x per 1/8 backtrack and stop while phi still decreases
         decrement = jnp.sqrt(jnp.abs(jnp.dot(dx, Hdx)))
         return (x_new, decrement, step + 1, hist, r_norm)
 

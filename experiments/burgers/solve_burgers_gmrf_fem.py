@@ -116,6 +116,14 @@ def main():
     log.info("%s", ds)
     x_coords, ts = ds.x_coords, ds.ts
     N_t = len(ts)
+    if args.toeplitz:
+        # ToeplitzBTD.from_btd slices diag[1] as THE interior block — valid
+        # only for uniform time grids (else interior blocks vary and the
+        # sliced factor is silently wrong)
+        dts = np.diff(np.asarray(ts))
+        assert np.allclose(dts, dts[0], rtol=1e-8), (
+            "--toeplitz requires a uniform time grid"
+        )
 
     with to("Mesh generation"):
         disc = periodic_unit_interval_discretization(args.N_x, element_order=2)

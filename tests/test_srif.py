@@ -95,10 +95,8 @@ def test_srif_f32_survives_where_cholesky_breaks():
     Hs = H / d[:, None] / d[None, :]
     assert np.linalg.cond(Hs) > 3e8
 
-    # plain f32 cholesky of the equilibrated H fails (or is useless)
-    Ls = np.linalg.cholesky(Hs.astype(np.float32).astype(np.float64)
-                            + 0.0) if True else None
-    # (numpy may or may not throw; the meaningful check is solve quality)
+    # plain f32 cholesky of the equilibrated H fails (or is useless) —
+    # the meaningful check is solve quality (scipy path below)
     b = rng.normal(size=n)
     bs_rhs = b / d
     try:
