@@ -41,6 +41,7 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from diffeqgmrfs_tpu.fem.discretization import FEMDiscretization
@@ -264,6 +265,214 @@ def _pad_st_blocks(Q: BTD, n: int, bs_pad: int) -> BTD:
 def _dense_to_btd(A: jnp.ndarray) -> BTD:
     n = A.shape[0]
     return BTD(A[None], jnp.zeros((0, n, n), dtype=A.dtype), n)
+
+
+# ---------------------------------------------------------------------------
+# ST-SRIF: sparse square root of the implicit-Euler joint precision
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class STSqrtOps:
+    """Host-precomputed square-root operands of the spatiotemporal prior:
+    stacked rows S with S^T S = Q_joint, for the SRIF windowed QR
+    (ops/srif.py).
+
+    The implicit-Euler joint precision (module docstring / `joint_ssm`) has
+    a natural FILL-FREE sparse square root:
+
+        S = [ Λ_0  on block 0 ]                      (Λ_0^T Λ_0 = Q_0)
+            [ P^{1/2} (−M~ | T)  per step t ]        (blocks t, t+1)
+
+    with P^{1/2} = sqrt(c/(dt τ²)) Λ_s M~^{-1} (Q_s = Λ_s^T Λ_s, lumped
+    M~ diagonal) — so P^{1/2} M~ = sqrt(c/(dt τ²)) Λ_s exactly, and with
+    T = M~ + dt K, K = (κ² M~ + G_H + γ B)/c, the per-step row block is
+
+        left  (block t):   −s Λ_s                       s = sqrt(c/(dt τ²))
+        right (block t+1):  s (1 + dt κ²/c) Λ_s + s (dt/c) Λ_s M~^{-1} G_H
+                          + γ · s (dt/c) Λ_s M~^{-1} B
+
+    The advection speed γ enters LINEARLY, so the step values are a static
+    two-template combination `base + γ·gamma` evaluated in-trace — the f32
+    windowed QR then covers the ST Gauss–Newton systems exactly as plain
+    SRIF covers Darcy/elliptic, closing the fine-dt mixed-precision gap
+    (Burgers sweep N_x>=200 x N_t=100, RESULTS.md). Uniform dt makes one
+    template serve all steps. Reference semantics:
+    `/root/reference/src/spdes/shallow_water.jl:210-231` (joint SSM),
+    `scripts/burgers/solve_burgers_gmrf-fem.jl:95-107` (prior config).
+    """
+
+    lam0_plan: object  # ATAWindowPlan for the Λ_0 rows (window 0)
+    lam0_vals: jnp.ndarray  # [r_0, K_0]
+    step_plan: object  # ATAWindowPlan for all (N_t-1)*r_s step rows
+    base_vals: jnp.ndarray  # [r_s, K] per-step template
+    gamma_vals: jnp.ndarray  # [r_s, K] per-step template (γ coefficient)
+    pad_plan: object = None  # identity rows on per-block padding slots
+    pad_vals: jnp.ndarray = None
+    n_steps: int = 0  # N_t - 1
+
+    def tree_flatten(self):
+        return (
+            self.lam0_plan,
+            self.lam0_vals,
+            self.step_plan,
+            self.base_vals,
+            self.gamma_vals,
+            self.pad_plan,
+            self.pad_vals,
+        ), (self.n_steps,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux[0])
+
+    def sqrt_ops(self, gamma):
+        """SRIF operand list [(plan, vals), ...] at traced advection speed
+        `gamma` (the per-instance bulk speed) — feed to `gauss_newton_solve
+        (sqrt_ops=...)` together with the IC-observation operand."""
+        g = jnp.asarray(gamma).reshape(-1)[0].astype(self.base_vals.dtype)
+        v = self.base_vals + g * self.gamma_vals
+        step_vals = jnp.tile(v, (self.n_steps, 1))
+        ops = [(self.lam0_plan, self.lam0_vals), (self.step_plan, step_vals)]
+        if self.pad_plan is not None:
+            ops.append((self.pad_plan, self.pad_vals))
+        return ops
+
+
+def st_sqrt_ops(
+    spde: AdvectionDiffusionSPDE,
+    disc: FEMDiscretization,
+    ts,
+    pad_block: int | None = None,
+    dtype=jnp.float32,
+) -> STSqrtOps:
+    """Build the ST square-root operands (see STSqrtOps). Host-side; uses
+    only the STATIC fields of `spde` (gamma is ignored — it enters through
+    `STSqrtOps.sqrt_ops(gamma)` in-trace)."""
+    from diffeqgmrfs_tpu.models.matern import matern_sqrt_host
+    from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan
+
+    ts = np.asarray(ts, dtype=np.float64)
+    dts = np.diff(ts)
+    if not np.allclose(dts, dts[0], rtol=1e-8):
+        raise NotImplementedError("st_sqrt_ops requires a uniform time grid")
+    if int(spde.alpha) != 1:
+        raise NotImplementedError(
+            "st_sqrt_ops requires alpha == 1 (gamma enters nonlinearly "
+            "through K^alpha otherwise)"
+        )
+    if disc.mesh.dim != 1:
+        raise NotImplementedError("st_sqrt_ops: 1D spatial meshes only")
+    dt = float(dts[0])
+    N_t = len(ts)
+    affine = AffineMap.from_constraint_handler(disc.constraint_handler)
+    am = affine if len(affine.prescribed_dofs) > 0 else None
+
+    m, G = host_mass_stiffness(disc)
+    B = host_advection_matrix(disc)
+    if am is not None:
+        G = condense_matrix(G, am)
+        B = condense_matrix(B, am)
+        m = condense_diag(m, am)
+    n = len(m)
+    bs = n
+    if pad_block is not None and n % pad_block:
+        bs = -(-n // pad_block) * pad_block
+    H = np.asarray(spde.H) if spde.H is not None else np.eye(1)
+    h = float(H.reshape(-1)[0])
+    c, tau, kappa = float(spde.c), float(spde.tau), float(spde.kappa)
+    s = np.sqrt(c / (dt * tau**2))
+
+    Lam_s = matern_sqrt_host(spde.spatial_spde, disc, am)  # [r_s, n]
+    Lam_0 = matern_sqrt_host(spde.initial_spde, disc, am)
+    Minv = sp.diags(1.0 / m)
+    LMG = (Lam_s @ Minv @ (h * G)).tocsr()
+    LMB = (Lam_s @ Minv @ B).tocsr()
+
+    W = 2 * bs
+
+    def at_width(M, off):
+        M = M.tocsr()
+        return sp.csr_matrix(
+            (M.data, M.indices + off, M.indptr), shape=(M.shape[0], W)
+        )
+
+    S_base = (
+        at_width((-s) * Lam_s, 0)
+        + at_width(s * (1.0 + dt * kappa**2 / c) * Lam_s + s * (dt / c) * LMG, bs)
+    ).tocsr()
+    S_gam = at_width(s * (dt / c) * LMB, bs).tocsr()
+    S_base.sort_indices()
+    S_gam.sort_indices()
+
+    # union ELL structure with ALIGNED base/gamma value slots (scipy's add
+    # prunes cancellations, so align by explicit (row, col) key lookup)
+    U = (abs(S_base) + abs(S_gam)).tocsr()
+    U.sort_indices()
+    r_s = U.shape[0]
+    counts = np.diff(U.indptr)
+    K = int(counts.max())
+    rr = np.repeat(np.arange(r_s, dtype=np.int64), counts)
+    keys_U = rr * W + U.indices.astype(np.int64)
+
+    def aligned(M):
+        M = M.tocsr()
+        M.sort_indices()
+        mr = np.repeat(np.arange(r_s, dtype=np.int64), np.diff(M.indptr))
+        keys_M = mr * W + M.indices.astype(np.int64)
+        pos = np.searchsorted(keys_U, keys_M)
+        assert np.array_equal(keys_U[pos], keys_M)
+        out = np.zeros(U.nnz)
+        out[pos] = M.data
+        return out
+
+    base_data = aligned(S_base)
+    gam_data = aligned(S_gam)
+    cols_tpl = np.zeros((r_s, K), dtype=np.int64)
+    base_tpl = np.zeros((r_s, K))
+    gam_tpl = np.zeros((r_s, K))
+    valid = np.arange(K)[None, :] < counts[:, None]
+    kk = np.arange(U.nnz) - np.repeat(U.indptr[:-1], counts)
+    cols_tpl[rr, kk] = U.indices
+    base_tpl[rr, kk] = base_data
+    gam_tpl[rr, kk] = gam_data
+    # padding slots: park on the row's first column (stays in-window)
+    first = cols_tpl[:, 0]
+    cols_tpl = np.where(valid, cols_tpl, first[:, None])
+
+    n_total = N_t * bs
+    t_off = (np.arange(N_t - 1, dtype=np.int64) * bs)[:, None, None]
+    gcols = (cols_tpl[None] + t_off).reshape(-1, K)
+    zero_slots = np.tile(~valid, (N_t - 1, 1))
+    step_plan = make_ata_window_plan(gcols, n_total, bs, zero_slots=zero_slots)
+
+    from diffeqgmrfs_tpu.fem.operators import RowOp
+    from diffeqgmrfs_tpu.ops.srif import rowop_window_plan
+
+    lam0 = RowOp.from_csr(Lam_0, dtype=dtype)
+    lam0_plan = rowop_window_plan(lam0, n_total, bs)
+
+    pad_plan = pad_vals = None
+    if bs != n:
+        pad = bs - n
+        pj = np.arange(n, bs, dtype=np.int64)
+        pcols = (
+            (np.arange(N_t, dtype=np.int64) * bs)[:, None] + pj[None, :]
+        ).reshape(-1, 1)
+        pad_plan = make_ata_window_plan(pcols, n_total, bs)
+        pad_vals = jnp.ones((N_t * pad, 1), dtype=dtype)
+
+    return STSqrtOps(
+        lam0_plan,
+        lam0.vals,
+        step_plan,
+        jnp.asarray(base_tpl, dtype=dtype),
+        jnp.asarray(gam_tpl, dtype=dtype),
+        pad_plan,
+        pad_vals,
+        N_t - 1,
+    )
 
 
 def host_advection_matrix(disc: FEMDiscretization) -> sp.csr_matrix:

@@ -49,6 +49,10 @@ class ATAWindowPlan:
     colsq_inv: np.ndarray | None = None  # [n_rows*K] slot -> merged entry
     colsq_col: np.ndarray | None = None  # [n_uniq] merged entry -> column
     n_uniq: int = 0
+    max_span: int = -1  # max (cmax - cmin) over rows; the factor of S^T S is
+    # strictly-lower-packable (PackedBTDRFactor) only while max_span < bs
+    # for EVERY operand — else R[b, b+1] is not strictly-lower-shaped and
+    # the SRIF sweep must emit the full off-diagonal block. -1 = unknown.
 
     def tree_flatten(self):
         return (
@@ -57,13 +61,14 @@ class ATAWindowPlan:
             self.local_cols,
             self.colsq_inv,
             self.colsq_col,
-        ), (self.n, self.N, self.bs, self.n_uniq)
+        ), (self.n, self.N, self.bs, self.n_uniq, self.max_span)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(
             children[0], children[1], children[2],
             aux[0], aux[1], aux[2], children[3], children[4], aux[3],
+            aux[4] if len(aux) > 4 else -1,
         )
 
     @property
@@ -137,9 +142,10 @@ def make_ata_window_plan(
     )
     uniq, inv = np.unique(keys, return_inverse=True)
     colsq_col = (uniq % n).astype(np.int32)
+    max_span = int((cmax - cmin).max(initial=0))
     return ATAWindowPlan(
         rows, mask, local, n, N, bs,
-        inv.astype(np.int32), colsq_col, len(uniq),
+        inv.astype(np.int32), colsq_col, len(uniq), max_span,
     )
 
 

@@ -450,6 +450,160 @@ class PackedBTDRFactor:
         return int(self.P.size)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class PackedBTDRFullFactor:
+    """Upper (R-form) factor of H = R^T R with a FULL off-diagonal block:
+    P[b] = triu(R_bb) flat, U[b] = R[b, b+1] flat (dense).
+
+    The strictly-lower slot packing of `PackedBTDRFactor` is valid only
+    while every SRIF operand row spans < bs columns (banded spatial
+    systems). Spatiotemporal joint precisions have DENSE time-coupling
+    blocks (T'PM~, `models/advection_diffusion.joint_ssm`), so R[b, b+1]
+    is a full block — this variant stores it separately (2x the factor
+    memory of the packed form, same as a BTD Cholesky's diag+lower).
+    Semantics match PackedBTDCholesky with L = R^T. Cf. the reference
+    sweep `/root/reference/src/tridiagonal_cholesky.jl:65-82` whose C_i
+    blocks are likewise full.
+    """
+
+    P: jnp.ndarray  # [N, bs*bs] flat triu(R_bb) slots
+    U: jnp.ndarray  # [max(N-1, 0), bs*bs] flat R[b, b+1] blocks
+    n: int
+    block: int
+
+    def tree_flatten(self):
+        return (self.P, self.U), (self.n, self.block)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
+
+    @property
+    def N(self):
+        return self.P.shape[0]
+
+    @property
+    def bs(self):
+        return self.block
+
+    @property
+    def dtype(self):
+        return self.P.dtype
+
+    _to_blocks = PackedBTDCholesky._to_blocks
+    _from_blocks = PackedBTDCholesky._from_blocks
+
+    def _slot(self, i):
+        bs = self.block
+        return lax.dynamic_slice(self.P, (i, 0), (1, bs * bs)).reshape(bs, bs)
+
+    def _uslot(self, i):
+        bs = self.block
+        return lax.dynamic_slice(self.U, (i, 0), (1, bs * bs)).reshape(bs, bs)
+
+    def forward_solve(self, b):
+        """R^T y = b (forward sweep; step i reads R[i-1,i] from U[i-1])."""
+        with jax.default_matmul_precision("float32"):
+            bs = self.block
+            bb, batch_shape = self._to_blocks(b)
+            y0 = lax.linalg.triangular_solve(
+                jnp.triu(self.P[0].reshape(bs, bs)), bb[0],
+                left_side=True, lower=False, transpose_a=True,
+            )
+
+            def step(y_prev, inp):
+                i, b_i = inp
+                U_im1 = self._uslot(i - 1)
+                # U^T @ y as a dim-0 contraction (no materialized transpose)
+                t = b_i - lax.dot_general(
+                    U_im1, y_prev, (((0,), (0,)), ((), ()))
+                )
+                y_i = lax.linalg.triangular_solve(
+                    jnp.triu(self._slot(i)), t,
+                    left_side=True, lower=False, transpose_a=True,
+                )
+                return y_i, y_i
+
+            if self.N > 1:
+                _, ys = lax.scan(step, y0, (jnp.arange(1, self.N), bb[1:]))
+                yb = jnp.concatenate([y0[None], ys], axis=0)
+            else:
+                yb = y0[None]
+            return self._from_blocks(yb, batch_shape)
+
+    def backward_solve(self, b):
+        """R x = b (reverse sweep)."""
+        with jax.default_matmul_precision("float32"):
+            bs = self.block
+            bb, batch_shape = self._to_blocks(b)
+            xN = lax.linalg.triangular_solve(
+                jnp.triu(self.P[-1].reshape(bs, bs)), bb[-1],
+                left_side=True, lower=False,
+            )
+
+            def step(x_next, inp):
+                i, b_i = inp
+                t = b_i - self._uslot(i) @ x_next
+                x_i = lax.linalg.triangular_solve(
+                    jnp.triu(self._slot(i)), t, left_side=True, lower=False
+                )
+                return x_i, x_i
+
+            if self.N > 1:
+                _, xs = lax.scan(
+                    step, xN, (jnp.arange(self.N - 1), bb[:-1]), reverse=True
+                )
+                xb = jnp.concatenate([xs, xN[None]], axis=0)
+            else:
+                xb = xN[None]
+            return self._from_blocks(xb, batch_shape)
+
+    def solve(self, b):
+        return self.backward_solve(self.forward_solve(b))
+
+    log_det = PackedBTDRFactor.log_det
+
+    def sample_zero_mean(self, key, n_samples: int = 1):
+        z = jax.random.normal(key, (n_samples, self.n), dtype=self.dtype)
+        return self.backward_solve(z)
+
+    def variance_diag(self):
+        """Takahashi selected inversion: with L = R^T, W_i = (R_ii^{-1})^T
+        and C_{i+1} = R[i,i+1]^T."""
+        with jax.default_matmul_precision("float32"):
+            bs = self.block
+            eye = jnp.eye(bs, dtype=self.dtype)
+
+            def inv_upper(P_i):
+                return lax.linalg.triangular_solve(
+                    jnp.triu(P_i), eye, left_side=True, lower=False
+                )
+
+            V_N = inv_upper(self.P[-1].reshape(bs, bs))
+            Sigma_N = V_N @ V_N.T
+
+            def step(Sigma_next, i):
+                V = inv_upper(self._slot(i))
+                W2 = V @ self._uslot(i)
+                Sigma_i = V @ V.T + W2 @ (Sigma_next @ W2.T)
+                return Sigma_i, jnp.diagonal(Sigma_i)
+
+            if self.N > 1:
+                _, diags = lax.scan(
+                    step, Sigma_N, jnp.arange(self.N - 1), reverse=True
+                )
+                all_diag = jnp.concatenate(
+                    [diags, jnp.diagonal(Sigma_N)[None]], axis=0
+                )
+            else:
+                all_diag = jnp.diagonal(Sigma_N)[None]
+            return all_diag.reshape(-1)[: self.n]
+
+    def nnz(self) -> int:
+        return int(self.P.size + self.U.size)
+
+
 def packed_cholesky(H: PackedBTD) -> PackedBTDCholesky:
     """Blocked Cholesky sweep on packed storage, IN PLACE.
 

@@ -538,6 +538,72 @@ class SRIFNewtonFactor:
             y = y + self._solve32(bs_ - self._apply_Hs(y))
         return y / self.d
 
+    # -- posterior-factor surface (drop-in for GMRF.factor) ------------------
+    # H = D^{1/2} H~ D^{1/2} => H^{-1} = D^{-1/2} H~^{-1} D^{-1/2},
+    # log det H = log det H~ + sum log d^2; statistical quantities ride the
+    # f32 packed R factor directly (same as MatFreeConditionFactor).
+
+    @property
+    def dtype(self):
+        return self.d.dtype
+
+    def variance_diag(self):
+        return self.F32.variance_diag().astype(self.dtype) / (self.d**2)
+
+    def sample_zero_mean(self, key, n_samples: int = 1):
+        y = self.F32.sample_zero_mean(key, n_samples).astype(self.dtype)
+        return y * (1.0 / self.d)[None, :]
+
+    def log_det(self):
+        return self.F32.log_det().astype(self.dtype) + 2.0 * jnp.sum(
+            jnp.log(self.d)
+        )
+
+    def nnz(self) -> int:
+        return self.F32.nnz()
+
+
+@jax.tree_util.register_pytree_node_class
+class GNPrecisionOp:
+    """Posterior precision H = Q + tau J^T J in pure operator form — the
+    `precision` slot of a Gauss-Newton posterior GMRF when H is never
+    materialized (sqrt/SRIF path). `q_op` is any object with `.matvec`
+    (full f64 BTD, ToeplitzBTD, or ELL RowOp); `diag_h` is the
+    host-or-trace-computed diagonal of H (the SRIF factor's d^2)."""
+
+    def __init__(self, q_op, Jc, tau, diag_h, n):
+        self.q_op = q_op
+        self.Jc = Jc
+        self.tau = tau
+        self.diag_h = diag_h
+        self.n = n
+
+    def tree_flatten(self):
+        return (self.q_op, self.Jc, self.tau, self.diag_h), (self.n,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.q_op, obj.Jc, obj.tau, obj.diag_h = children
+        obj.n = aux[0]
+        return obj
+
+    @property
+    def dtype(self):
+        return self.diag_h.dtype
+
+    def matvec(self, x):
+        return self.q_op.matvec(x) + self.tau * self.Jc.rmatvec(
+            self.Jc.matvec(x)
+        )
+
+    def diagonal(self):
+        return self.diag_h
+
+    def nnz(self) -> int:
+        q_nnz = self.q_op.nnz() if hasattr(self.q_op, "nnz") else 0
+        return int(q_nnz + self.Jc.vals.size)
+
 
 class ToeplitzMatFreeFactor:
     """Mixed-precision Newton-system factor for constant-mesh ST priors

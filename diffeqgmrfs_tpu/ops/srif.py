@@ -42,7 +42,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from diffeqgmrfs_tpu.ops.packed import PackedBTDCholesky, PackedBTDRFactor
+from diffeqgmrfs_tpu.ops.packed import (
+    PackedBTDCholesky,
+    PackedBTDRFactor,
+    PackedBTDRFullFactor,
+)
 
 
 def _window_panel(plan, vals, b, bs, dtype, col_scale=None, rows_slice=None):
@@ -134,6 +138,7 @@ def srif_packed_qr(
     matmul_precision: str = "float32",
     qr_impl: str = "xla",
     panel: int = 512,
+    full_offdiag="auto",
 ) -> PackedBTDRFactor:
     """QR-factor the stacked banded system into a packed R-form factor.
 
@@ -165,6 +170,22 @@ def srif_packed_qr(
     for plan, _ in operands:
         if (plan.N, plan.bs) != (N, bs):
             raise ValueError("operand plan partition mismatch")
+    # strictly-lower slot packing of R[b, b+1] is valid only while the
+    # scalar bandwidth of H = S^T S stays < bs, i.e. every operand row
+    # spans < bs columns. ST joint precisions (dense time-coupling blocks)
+    # violate this -> emit the full off-diagonal block instead
+    # (PackedBTDRFullFactor). max_span == -1 means "unknown": be safe.
+    spans = [plan.max_span for plan, _ in operands]
+    needs_full = any(s < 0 or s >= bs for s in spans)
+    if full_offdiag == "auto":
+        full_offdiag = needs_full
+    elif not full_offdiag and needs_full:
+        raise ValueError(
+            f"banded (strictly-lower) R packing requested but an operand row "
+            f"spans >= bs columns (spans={spans}, bs={bs}); the factor's "
+            f"off-diagonal block would be silently truncated — use "
+            f"full_offdiag=True"
+        )
     if isinstance(chunk_rows, str) and chunk_rows == "auto":
         # with slot-local consumers the unchunked sweep fits at Darcy
         # N_xy=300 (~5.5bs stacked rows) and is ~25% faster than 2bs
@@ -237,6 +258,30 @@ def srif_packed_qr(
         P0 = jnp.zeros((N, bs * bs), dtype=dtype)
         carry0 = jnp.zeros((bs, 2 * bs), dtype=dtype)
 
+        if full_offdiag:
+            U0 = jnp.zeros((Nw, bs * bs), dtype=dtype)
+
+            def body(b, state):
+                P, U, carry = state
+                R_T = reduce_window(b, carry)
+                s = jnp.where(jnp.diagonal(R_T) < 0, -1.0, 1.0).astype(dtype)
+                R_T = s[:, None] * R_T
+                P = lax.dynamic_update_slice(
+                    P, jnp.triu(R_T[:bs, :bs]).reshape(1, -1), (b, 0)
+                )
+                U = lax.dynamic_update_slice(
+                    U, R_T[:bs, bs:].reshape(1, -1), (b, 0)
+                )
+                return P, U, jnp.pad(R_T[bs:, bs:], ((0, 0), (0, bs)))
+
+            P, U, carry = lax.fori_loop(0, Nw, body, (P0, U0, carry0))
+            s = jnp.where(jnp.diagonal(carry[:, :bs]) < 0, -1.0, 1.0).astype(
+                dtype
+            )
+            Rlast = jnp.triu(s[:, None] * carry[:, :bs])
+            P = lax.dynamic_update_slice(P, Rlast.reshape(1, -1), (N - 1, 0))
+            return _fix_padding_full(PackedBTDRFullFactor(P, U, n, bs))
+
         def body(b, state):
             # R-form packing: slot b = triu(R[b,b]) + strict-tril(R[b,b+1]),
             # BOTH produced at step b — ONE untransposed write per slot
@@ -290,6 +335,29 @@ def _fix_padding(F: PackedBTDRFactor) -> PackedBTDRFactor:
         prev = prev * keep2.astype(prev.dtype)
         P = lax.dynamic_update_slice(P, prev.reshape(1, -1), (N - 2, 0))
     return type(F)(P, n, bs)
+
+
+def _fix_padding_full(F: PackedBTDRFullFactor) -> PackedBTDRFullFactor:
+    """Padding fix-up for the full-offdiagonal R factor: unit diagonal on
+    padding rows of the last triu slot, zero on its padding rows/cols and on
+    padding COLUMNS of U[N-2] (which addresses block N-1)."""
+    N, bs, n = F.N, F.bs, F.n
+    if N * bs == n:
+        return F
+    pad_row = (N - 1) * bs + jnp.arange(bs) >= n
+    didx = jnp.arange(bs) * (bs + 1)
+    upper = jnp.triu(jnp.ones((bs, bs), dtype=bool))
+    last = F.P[N - 1].reshape(bs, bs)
+    keep = jnp.where(pad_row[:, None] | (upper & pad_row[None, :]), 0.0, 1.0)
+    last = (last * keep.astype(last.dtype)).reshape(-1)
+    last = last.at[didx].set(jnp.where(pad_row, 1.0, last[didx]))
+    P = lax.dynamic_update_slice(F.P, last[None], (N - 1, 0))
+    U = F.U
+    if N >= 2:
+        u = F.U[N - 2].reshape(bs, bs)
+        u = u * jnp.where(pad_row[None, :], 0.0, 1.0).astype(u.dtype)
+        U = lax.dynamic_update_slice(U, u.reshape(1, -1), (N - 2, 0))
+    return type(F)(P, U, n, bs)
 
 
 def rowop_window_plan(A, n: int, bs: int, zero_slots="auto"):

@@ -105,14 +105,30 @@ class GaussNewtonResult:
     r_obs_norm_history: jnp.ndarray  # [max_steps + 1], NaN-padded
     n_steps: jnp.ndarray  # number of Newton steps taken
     noise: float
+    factor: object = None  # final-iterate factor of H (SRIF path); carries
+    # the full posterior surface (solve/sample/variance_diag/log_det)
+    precision_op: object = None  # operator-form H (GNPrecisionOp) when the
+    # BTD H is never materialized
 
     def posterior(self, blueprint=None, affine=None):
         """GMRF with mean x_k and precision Q + tau J^T J — what the
         reference scripts rebuild by hand
-        (`solve_burgers_gmrf-fem.jl:186-193`)."""
+        (`solve_burgers_gmrf-fem.jl:186-193`). On the SRIF path the
+        precision is operator-form and the factor is the final windowed-QR
+        factor (no BTD H is ever materialized)."""
         from diffeqgmrfs_tpu.gmrf.gmrf import GMRF, ConstrainedGMRF
 
-        g = GMRF(self.x_k, self.H, None, blueprint or GNCholeskySolverBlueprint())
+        if self.factor is not None:
+            g = GMRF(
+                self.x_k,
+                self.precision_op if self.precision_op is not None else self.H,
+                self.factor,
+                blueprint or GNCholeskySolverBlueprint(),
+            )
+        else:
+            g = GMRF(
+                self.x_k, self.H, None, blueprint or GNCholeskySolverBlueprint()
+            )
         if affine is not None:
             return ConstrainedGMRF(g, affine)
         return g
@@ -212,6 +228,7 @@ def gauss_newton_solve(
     sqrt_ops=None,
     q_toeplitz=None,
     damping: bool = False,
+    final_factor: bool = False,
 ) -> GaussNewtonResult:
     """Functional Gauss-Newton loop (jit/vmap-friendly).
 
@@ -440,6 +457,17 @@ def gauss_newton_solve(
     # The posterior precision costs an extra f64 BTD (+ assembly transients);
     # skip it when the caller only needs the MAP mean (materialize_H=False).
     H_fin = (Q + jtj(Jc_fin)) if materialize_H else None
+    fac = prec_op = None
+    if final_factor and sqrt_ops is not None:
+        # final-iterate SRIF factor: the full posterior surface (mean solves,
+        # sampling, Takahashi variances, log-det) without ever forming H
+        from diffeqgmrfs_tpu.ops.refine import SRIFNewtonFactor, GNPrecisionOp
+
+        fac = SRIFNewtonFactor(
+            q_ell, q_diag, sqrt_ops, ata_window_plan, Jc_fin, tau,
+            Q.n, Q.N, Q.bs,
+        )
+        prec_op = GNPrecisionOp(q_ell, Jc_fin, tau, fac.d**2, Q.n)
     return GaussNewtonResult(
         x_k=x_fin,
         J_k=Jc_fin,
@@ -448,4 +476,6 @@ def gauss_newton_solve(
         r_obs_norm_history=hist,
         n_steps=n_steps,
         noise=noise,
+        factor=fac,
+        precision_op=prec_op,
     )

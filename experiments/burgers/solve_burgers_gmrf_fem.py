@@ -53,6 +53,13 @@ def parse_cmd():
                         "form inside the Gauss-Newton loop — no full-size "
                         "f64 BTD in the loop body (required for N_x >= "
                         "~400 x 100 steps on a 16 GB chip)")
+    p.add_argument("--sqrt", action="store_true",
+                   help="ST-SRIF square-root Gauss-Newton: windowed QR of "
+                        "the stacked [Λ_0; P^{1/2}(−M~|T) per step; "
+                        "sqrt(τ_ic) A_ic; sqrt(τ) J] — f32-valid where "
+                        "mixed-precision Cholesky NaNs (fine-dt sweeps, "
+                        "N_x >= 200 x N_t = 100); implies Toeplitz-form "
+                        "prior in the loop and never materializes H")
     p.add_argument("--batch", type=int, default=1,
                    help="vmap batch size: whole posterior pipelines (prior "
                         "assembly + IC conditioning + Gauss-Newton + "
@@ -116,7 +123,7 @@ def main():
     log.info("%s", ds)
     x_coords, ts = ds.x_coords, ds.ts
     N_t = len(ts)
-    if args.toeplitz:
+    if args.toeplitz or args.sqrt:
         # ToeplitzBTD.from_btd slices diag[1] as THE interior block — valid
         # only for uniform time grids (else interior blocks vary and the
         # sliced factor is silently wrong)
@@ -164,16 +171,42 @@ def main():
         Jc0 = affine_st.condense_rowop(J0)
     n_free_st = affine_st.n_free
     bs_blk = stride if stride else disc.n_free
-    gn_pat = ata_pattern_cached(Jc0, affine_st.n_free_padded, bs_blk).to_device()
 
-    def solve_instance(ic, key, ata_pattern):
+    spde_static = dict(
+        d=1, kappa=0.0, alpha=1, c=c, tau=0.1 * np.sqrt(c),
+        spatial_spde=MaternSPDE(d=1, kappa=kappa, nu=nu_matern),
+        initial_spde=MaternSPDE(d=1, kappa=kappa, nu=nu_matern),
+    )
+    if args.sqrt:
+        # ST-SRIF operands (host-built structure; gamma enters in-trace)
+        from diffeqgmrfs_tpu.models.advection_diffusion import st_sqrt_ops
+        from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan
+        from diffeqgmrfs_tpu.ops.srif import rowop_window_plan
+
+        st_ops = st_sqrt_ops(
+            AdvectionDiffusionSPDE(gamma=0.0, **spde_static), disc, ts,
+            pad_block=args.pad_block,
+        )
+        A_ic_c = affine_st.condense_rowop(A_ic)
+        ic_plan = rowop_window_plan(
+            A_ic_c, affine_st.n_free_padded, bs_blk
+        ).to_device()
+        j_plan = make_ata_window_plan(
+            np.asarray(Jc0.cols), affine_st.n_free_padded, bs_blk
+        ).to_device()
+        gn_aux = jax.device_put(dict(
+            st=st_ops, ic_plan=ic_plan, ic_vals=A_ic_c.vals, j_plan=j_plan,
+        ))
+    else:
+        gn_aux = ata_pattern_cached(
+            Jc0, affine_st.n_free_padded, bs_blk
+        ).to_device()
+
+    def solve_instance(ic, key, aux):
         bulk = jnp.mean(ic)
+        gamma = -c * bulk
         spde = AdvectionDiffusionSPDE(
-            d=1, kappa=0.0, alpha=1,
-            gamma=jnp.asarray([-c * bulk]),
-            c=c, tau=0.1 * np.sqrt(c),
-            spatial_spde=MaternSPDE(d=1, kappa=kappa, nu=nu_matern),
-            initial_spde=MaternSPDE(d=1, kappa=kappa, nu=nu_matern),
+            gamma=jnp.asarray([gamma]), **spde_static
         )
         x = discretize_advection_diffusion(
             spde, disc, ts, mean_offset=bulk, pad_block=args.pad_block
@@ -183,12 +216,28 @@ def main():
         )
         ic_pred = E_st.matvec(x_ic.mean()).reshape(N_t, len(x_coords))
         gn_kw = {}
-        if args.toeplitz:
+        if args.sqrt:
             from diffeqgmrfs_tpu.ops.btd import ToeplitzBTD
 
-            gn_kw["q_toeplitz"] = ToeplitzBTD.from_btd(
-                x_ic.inner_gmrf.precision
+            q_top = ToeplitzBTD.from_btd(x_ic.inner_gmrf.precision)
+            gn_kw = dict(
+                sqrt_ops=aux["st"].sqrt_ops(gamma)
+                + [(aux["ic_plan"], aux["ic_vals"] * np.sqrt(noise_ic))],
+                ata_window_plan=aux["j_plan"],
+                q_ell=q_top,
+                q_diag=q_top.diagonal(),
+                materialize_H=False,
+                final_factor=True,
             )
+        else:
+            gn_kw["ata_pattern"] = aux
+            gn_kw["mixed_precision"] = args.mixed_precision
+            if args.toeplitz:
+                from diffeqgmrfs_tpu.ops.btd import ToeplitzBTD
+
+                gn_kw["q_toeplitz"] = ToeplitzBTD.from_btd(
+                    x_ic.inner_gmrf.precision
+                )
         result = gauss_newton_solve(
             x_ic.inner_gmrf.mean(),
             x_ic.inner_gmrf.precision,
@@ -198,8 +247,6 @@ def main():
             x_ic.inner_gmrf.mean(),
             criterion=criterion,
             affine=x_ic.affine,
-            mixed_precision=args.mixed_precision,
-            ata_pattern=ata_pattern,
             damping=args.damping,
             **gn_kw,
         )
@@ -212,7 +259,7 @@ def main():
     _solve = jax.jit(solve_instance)
 
     def solve_jit(ic, key):
-        return _solve(ic, key, gn_pat)
+        return _solve(ic, key, gn_aux)
 
     key = jax.random.PRNGKey(345903459)
     with to("Prior construction + first solve (compile)"):
@@ -255,7 +302,7 @@ def main():
             keys = jax.random.split(jax.random.fold_in(key, start), args.batch)
             cur = PhaseTimers()
             with cur("Optimization"):
-                pred, ic_pred, std, smp, n_steps = vsolve(ics, keys, gn_pat)
+                pred, ic_pred, std, smp, n_steps = vsolve(ics, keys, gn_aux)
                 cur.sync(pred)
             if sweep_t0 is None:
                 # first batch includes the vmapped compile; time from here

@@ -1,0 +1,187 @@
+"""ST-SRIF: sparse square root of the implicit-Euler joint precision.
+
+Validates (1) the square-root identity S^T S = Q_joint against the dense
+joint precision from `discretize_advection_diffusion` (with and without
+MXU block padding), and (2) the full square-root Gauss-Newton path on a
+mini Burgers problem against the exact-f64 path, including the final-factor
+posterior surface (variance/log-det vs dense). Reference semantics:
+`/root/reference/src/spdes/shallow_water.jl:210-231`,
+`scripts/burgers/solve_burgers_gmrf-fem.jl:86-193`.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffeqgmrfs_tpu.fem import (
+    periodic_unit_interval_discretization,
+    evaluation_matrix,
+    spatial_to_spatiotemporal,
+)
+from diffeqgmrfs_tpu.gmrf import condition_on_observations
+from diffeqgmrfs_tpu.gmrf.affine import AffineMap
+from diffeqgmrfs_tpu.models import (
+    MaternSPDE,
+    AdvectionDiffusionSPDE,
+    discretize_advection_diffusion,
+)
+from diffeqgmrfs_tpu.models.advection_diffusion import st_sqrt_ops
+from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan
+from diffeqgmrfs_tpu.problems import BurgersFEMResidual
+from diffeqgmrfs_tpu.solvers import (
+    gauss_newton_solve,
+    NewtonDecrementCriterion,
+    StepNumberCriterion,
+    OrCriterion,
+)
+
+
+def dense_from_op(plan, vals, n_total):
+    """Materialize an SRIF operand (window plan + values) as a dense matrix."""
+    vals = np.asarray(vals)
+    A = np.zeros((vals.shape[0], n_total))
+    rows = np.asarray(plan.rows)
+    mask = np.asarray(plan.mask)
+    lc = np.asarray(plan.local_cols)
+    for b in range(plan.Nw):
+        for r in range(rows.shape[1]):
+            if mask[b, r]:
+                i = rows[b, r]
+                for k in range(lc.shape[2]):
+                    A[i, b * plan.bs + lc[b, r, k]] += vals[i, k]
+    return A
+
+
+def _spde(N_x, nu=0.05, gamma=-3.0):
+    nu_m = 1.5
+    kappa = np.sqrt(8 * nu_m) / np.sqrt(1 / N_x)
+    c = 1.0 / nu
+    return AdvectionDiffusionSPDE(
+        d=1,
+        kappa=0.7,
+        alpha=1,
+        gamma=jnp.asarray([gamma]),
+        c=c,
+        tau=0.1 * np.sqrt(c),
+        spatial_spde=MaternSPDE(d=1, kappa=kappa, nu=nu_m),
+        initial_spde=MaternSPDE(d=1, kappa=kappa, nu=nu_m),
+    )
+
+
+def _check_sqrt_identity(pad_block):
+    N_x, N_t = 14, 5
+    gamma = -2.5
+    disc = periodic_unit_interval_discretization(N_x, element_order=2)
+    ts = np.linspace(0.0, 0.4, N_t)
+    spde = _spde(N_x, gamma=gamma)
+    x = discretize_advection_diffusion(spde, disc, ts, pad_block=pad_block)
+    Q_dense = np.asarray(x.inner_gmrf.precision.to_dense())
+
+    st = st_sqrt_ops(spde, disc, ts, pad_block=pad_block)
+    ops = st.sqrt_ops(gamma)
+    n_total = Q_dense.shape[0]
+    S = np.concatenate(
+        [dense_from_op(p, v, n_total) for p, v in ops], axis=0
+    )
+    QtQ = S.T @ S
+    scale = np.abs(Q_dense).max()
+    # f32 operand values -> ~1e-7 relative agreement
+    assert np.max(np.abs(QtQ - Q_dense)) / scale < 5e-6, (
+        np.max(np.abs(QtQ - Q_dense)) / scale
+    )
+
+
+def test_st_sqrt_identity():
+    _check_sqrt_identity(pad_block=None)
+
+
+def test_st_sqrt_identity_padded():
+    _check_sqrt_identity(pad_block=8)
+
+
+def test_st_srif_gauss_newton_matches_f64():
+    """Mini Burgers sweep config: square-root GN (f32 windowed QR +
+    refinement) vs exact f64 GN — final iterates and posterior stats."""
+    N_x, N_t, nu = 24, 8, 0.05
+    disc = periodic_unit_interval_discretization(N_x, element_order=2)
+    ts = np.linspace(0.0, 0.5, N_t)
+    xs = np.linspace(0, 1, 33)
+    ic = 0.8 + 0.4 * np.sin(2 * np.pi * xs)
+    bulk = float(np.mean(ic))
+    c = 1.0 / nu
+    gamma = -c * bulk
+    spde = _spde(N_x, nu=nu, gamma=gamma)
+    noise_ic, noise_fem = 1e8, 1e12
+
+    x = discretize_advection_diffusion(spde, disc, ts, mean_offset=bulk)
+    A_ic = spatial_to_spatiotemporal(evaluation_matrix(disc, xs), 0, N_t)
+    x_ic = condition_on_observations(x, A_ic, noise_ic, jnp.asarray(ic))
+    res = BurgersFEMResidual(disc, ts, nu, scheme="implicit_euler")
+    criterion = OrCriterion(
+        [NewtonDecrementCriterion(1e-6), StepNumberCriterion(12)]
+    )
+    common = dict(
+        criterion=criterion,
+        affine=x_ic.affine,
+    )
+    args = (
+        x_ic.inner_gmrf.mean(),
+        x_ic.inner_gmrf.precision,
+        res.f_and_J,
+        noise_fem,
+        jnp.zeros(res.n_rows),
+        x_ic.inner_gmrf.mean(),
+    )
+
+    # exact f64 reference
+    r64 = gauss_newton_solve(*args, **common)
+    H64 = np.asarray(r64.H.to_dense())
+
+    # square-root path: ST sqrt operands + IC observation operand
+    st = st_sqrt_ops(spde, disc, ts)
+    A_ic_c = x_ic.affine.condense_rowop(A_ic)
+    n_free = x_ic.affine.n_free
+    bs = x_ic.inner_gmrf.precision.bs
+    from diffeqgmrfs_tpu.ops.srif import rowop_window_plan
+    from diffeqgmrfs_tpu.ops.btd import ToeplitzBTD
+
+    ic_plan = rowop_window_plan(A_ic_c, n_free, bs)
+    sqrt_ops = st.sqrt_ops(gamma) + [
+        (ic_plan, A_ic_c.vals * np.sqrt(noise_ic))
+    ]
+    # structure of the condensed ST Jacobian for the SRIF row plan
+    _, J0 = res.f_and_J(jnp.zeros(N_t * disc.ndofs))
+    Jc0 = x_ic.affine.condense_rowop(J0)
+    j_plan = make_ata_window_plan(np.asarray(Jc0.cols), n_free, bs)
+    q_top = ToeplitzBTD.from_btd(x_ic.inner_gmrf.precision)
+
+    r_sq = gauss_newton_solve(
+        *args,
+        **common,
+        sqrt_ops=sqrt_ops,
+        ata_window_plan=j_plan,
+        q_ell=q_top,
+        q_diag=q_top.diagonal(),
+        materialize_H=False,
+        final_factor=True,
+    )
+    assert int(r_sq.n_steps) == int(r64.n_steps)
+    x64, xsq = np.asarray(r64.x_k), np.asarray(r_sq.x_k)
+    rel = np.linalg.norm(xsq - x64) / np.linalg.norm(x64)
+    assert rel < 1e-6, rel
+
+    # posterior surface through the final SRIF factor
+    post = r_sq.posterior(affine=x_ic.affine)
+    var = np.asarray(post.inner_gmrf.variance())
+    var_dense = np.diag(np.linalg.inv(H64))
+    assert np.allclose(var, var_dense, rtol=5e-3), (
+        np.max(np.abs(var - var_dense) / var_dense)
+    )
+    ld = float(post.inner_gmrf.log_det_precision())
+    sign, ld_dense = np.linalg.slogdet(H64)
+    assert sign > 0
+    assert abs(ld - ld_dense) / abs(ld_dense) < 1e-5, (ld, ld_dense)
+    # sampling runs and has the right shape
+    smp = post.sample(jax.random.PRNGKey(0), 2)
+    assert smp.shape == (2, N_t * disc.ndofs)
+    assert np.all(np.isfinite(np.asarray(smp)))
