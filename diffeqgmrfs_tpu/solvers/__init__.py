@@ -9,7 +9,9 @@ from diffeqgmrfs_tpu.solvers.blueprints import (
 from diffeqgmrfs_tpu.solvers.gauss_newton import (
     GaussNewtonOptimizer,
     GaussNewtonResult,
+    gauss_newton,
     gauss_newton_solve,
+    blueprint_gn_kwargs,
     NewtonDecrementCriterion,
     StepNumberCriterion,
     OrCriterion,

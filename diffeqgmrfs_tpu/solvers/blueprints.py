@@ -86,15 +86,45 @@ class CholeskySolverBlueprint:
 @dataclass(frozen=True)
 class GNCholeskySolverBlueprint(CholeskySolverBlueprint):
     """Cholesky blueprint for Gauss-Newton inner solves
-    (`GNCholeskySolverBlueprint(p)`): no variance machinery needed."""
+    (`GNCholeskySolverBlueprint(p)`): no variance machinery needed.
+
+    Carries the FULL Gauss-Newton factorization-path selection (the analog
+    of the reference's blueprint dispatch,
+    `/root/reference/scripts/burgers/solve_burgers_gmrf-fem.jl:170-181`):
+
+    * `mixed_precision` (inherited): f32 factor + f64 refinement
+    * `sqrt_factor` (inherited): SRIF windowed QR of the stacked
+      square-root system — never forms H (spatial via CompactGMRF sqrt
+      operands; spatiotemporal via `st_sqrt_ops` aux)
+    * `toeplitz`: hold a constant-mesh ST prior in distinct-block form
+      inside the Newton loop (no full-size f64 BTD in the loop body)
+    * `damping`: backtracking on the MAP objective over step fractions
+      {1, 1/2, 1/4, 1/8}
+    * `materialize_H`: build the posterior-precision BTD at the solution
+      (skip for MAP-mean-only or sqrt-factored posteriors)
+    """
 
     compute_variance: bool = False
+    toeplitz: bool = False
+    damping: bool = False
+    materialize_H: bool = True
 
     def __init__(self, perm=None, **kw):
+        import dataclasses as _dc
+
         object.__setattr__(self, "perm", perm)
-        object.__setattr__(
-            self, "var_strategy", kw.get("var_strategy", TakahashiStrategy())
-        )
+        for f_ in _dc.fields(GNCholeskySolverBlueprint):
+            if f_.name == "perm":
+                continue
+            if f_.name in kw:
+                v = kw.pop(f_.name)
+            elif f_.default is not _dc.MISSING:
+                v = f_.default
+            else:
+                v = f_.default_factory()
+            object.__setattr__(self, f_.name, v)
+        if kw:
+            raise TypeError(f"unknown blueprint options: {sorted(kw)}")
         object.__setattr__(self, "compute_variance", False)
 
 

@@ -134,10 +134,82 @@ class GaussNewtonResult:
         return g
 
 
+def blueprint_gn_kwargs(bp, Q, aux=None) -> dict:
+    """Derive the `gauss_newton_solve` factorization-path arguments from a
+    blueprint (the analog of the reference's blueprint dispatch,
+    `/root/reference/scripts/burgers/solve_burgers_gmrf-fem.jl:170-181`).
+
+    `aux`: prebuilt structures the paths need — drivers build these
+    host-side once per config and thread them through the jit signature:
+      - "ata_pattern" / "ata_window_plan": J^T J scatter/window structure
+      - "sqrt_ops": SRIF square-root operands [(plan, vals), ...]
+      - "q_ell"/"q_diag"/"q_pattern"/"q_coo": compact prior forms
+      - "final_factor": return the final-iterate SRIF factor (default True
+        on the sqrt path)
+    """
+    aux = dict(aux or {})
+    kw = {
+        "damping": getattr(bp, "damping", False),
+        "materialize_H": getattr(bp, "materialize_H", True),
+    }
+    for k in ("ata_pattern", "ata_window_plan", "q_ell", "q_diag",
+              "q_pattern", "q_coo"):
+        if aux.get(k) is not None:
+            kw[k] = aux[k]
+    if getattr(bp, "sqrt_factor", False):
+        if "sqrt_ops" not in aux:
+            raise ValueError(
+                "sqrt_factor blueprint requires aux['sqrt_ops'] (and a "
+                "window plan for J in aux['ata_window_plan'])"
+            )
+        kw["sqrt_ops"] = aux["sqrt_ops"]
+        if kw.get("q_ell") is None and getattr(bp, "toeplitz", False):
+            from diffeqgmrfs_tpu.ops.btd import ToeplitzBTD
+
+            q_op = ToeplitzBTD.from_btd(Q)
+            kw["q_ell"] = q_op
+            kw["q_diag"] = q_op.diagonal()
+        kw["final_factor"] = aux.get("final_factor", True)
+        kw["materialize_H"] = False
+    else:
+        kw["mixed_precision"] = getattr(bp, "mixed_precision", False)
+        if getattr(bp, "toeplitz", False):
+            from diffeqgmrfs_tpu.ops.btd import ToeplitzBTD
+
+            kw["q_toeplitz"] = ToeplitzBTD.from_btd(Q)
+    return kw
+
+
+def gauss_newton(
+    mu_prior,
+    Q,
+    f_and_J,
+    noise,
+    y,
+    x0,
+    blueprint=None,
+    aux=None,
+    criterion=None,
+    affine=None,
+) -> "GaussNewtonResult":
+    """Blueprint-dispatched Gauss-Newton solve: path selection (mixed
+    precision / Toeplitz / SRIF / damping) lives on the blueprint, prebuilt
+    structures in `aux` (see `blueprint_gn_kwargs`)."""
+    bp = blueprint or GNCholeskySolverBlueprint()
+    return gauss_newton_solve(
+        mu_prior, Q, f_and_J, noise, y, x0,
+        criterion=criterion, affine=affine,
+        **blueprint_gn_kwargs(bp, Q, aux),
+    )
+
+
 class GaussNewtonOptimizer:
     """See module docstring. `f_and_J(w_full) -> (f, J: RowOp)` must return a
     Jacobian with static column structure; w_full is in the FULL dof space
-    (the optimizer maps through the prior's affine constraints)."""
+    (the optimizer maps through the prior's affine constraints). The
+    `solver_bp` blueprint selects the factorization path (mixed precision /
+    Toeplitz / SRIF / damping); `aux` carries the prebuilt structures those
+    paths need (see `blueprint_gn_kwargs`)."""
 
     def __init__(
         self,
@@ -150,6 +222,7 @@ class GaussNewtonOptimizer:
         solver_bp=None,
         stopping_criterion=None,
         affine=None,
+        aux=None,
     ):
         # Accept a GMRF/ConstrainedGMRF in place of (mu, Q) pieces
         self.affine = affine
@@ -164,6 +237,7 @@ class GaussNewtonOptimizer:
         self.x0 = jnp.asarray(x0)
         self.solver_bp = solver_bp or GNCholeskySolverBlueprint()
         self.criterion = stopping_criterion or DEFAULT_CRITERION
+        self.aux = aux
         self.result: GaussNewtonResult | None = None
 
     # reference-style accessors
@@ -195,13 +269,15 @@ class GaussNewtonOptimizer:
         return self.affine.condense_rowop(J)
 
     def optimize(self) -> GaussNewtonResult:
-        self.result = gauss_newton_solve(
+        self.result = gauss_newton(
             self.mu_prior,
             self.Q,
             self.f_and_J,
             self.noise,
             self.y,
             self.x0,
+            blueprint=self.solver_bp,
+            aux=self.aux,
             criterion=self.criterion,
             affine=self.affine,
         )

@@ -90,7 +90,7 @@ def main():
     from diffeqgmrfs_tpu.gmrf import condition_on_observations
     from diffeqgmrfs_tpu.problems import BurgersFEMResidual
     from diffeqgmrfs_tpu.solvers import (
-        gauss_newton_solve,
+        gauss_newton,
         NewtonDecrementCriterion,
         StepNumberCriterion,
         OrCriterion,
@@ -160,6 +160,14 @@ def main():
     bp = CholeskySolverBlueprint(
         mixed_precision=args.mixed_precision, gemm_solves=args.gemm_solves
     )
+    from diffeqgmrfs_tpu.solvers import GNCholeskySolverBlueprint
+
+    bp_gn = GNCholeskySolverBlueprint(
+        mixed_precision=args.mixed_precision,
+        toeplitz=args.toeplitz or args.sqrt,
+        sqrt_factor=args.sqrt,
+        damping=args.damping,
+    )
     stride = None
     if args.pad_block and disc.n_free % args.pad_block:
         stride = -(-disc.n_free // args.pad_block) * args.pad_block
@@ -215,40 +223,25 @@ def main():
             x, A_ic, noise_ic, ic, solver_blueprint=bp_cond
         )
         ic_pred = E_st.matvec(x_ic.mean()).reshape(N_t, len(x_coords))
-        gn_kw = {}
         if args.sqrt:
-            from diffeqgmrfs_tpu.ops.btd import ToeplitzBTD
-
-            q_top = ToeplitzBTD.from_btd(x_ic.inner_gmrf.precision)
-            gn_kw = dict(
+            gn_aux_t = dict(
                 sqrt_ops=aux["st"].sqrt_ops(gamma)
                 + [(aux["ic_plan"], aux["ic_vals"] * np.sqrt(noise_ic))],
                 ata_window_plan=aux["j_plan"],
-                q_ell=q_top,
-                q_diag=q_top.diagonal(),
-                materialize_H=False,
-                final_factor=True,
             )
         else:
-            gn_kw["ata_pattern"] = aux
-            gn_kw["mixed_precision"] = args.mixed_precision
-            if args.toeplitz:
-                from diffeqgmrfs_tpu.ops.btd import ToeplitzBTD
-
-                gn_kw["q_toeplitz"] = ToeplitzBTD.from_btd(
-                    x_ic.inner_gmrf.precision
-                )
-        result = gauss_newton_solve(
+            gn_aux_t = dict(ata_pattern=aux)
+        result = gauss_newton(
             x_ic.inner_gmrf.mean(),
             x_ic.inner_gmrf.precision,
             res.f_and_J,
             noise_fem,
             jnp.zeros(res.n_rows),
             x_ic.inner_gmrf.mean(),
+            blueprint=bp_gn,
+            aux=gn_aux_t,
             criterion=criterion,
             affine=x_ic.affine,
-            damping=args.damping,
-            **gn_kw,
         )
         post = result.posterior(affine=x_ic.affine, blueprint=bp)
         pred = E_st.matvec(post.mean()).reshape(N_t, len(x_coords))

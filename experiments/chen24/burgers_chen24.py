@@ -53,6 +53,12 @@ def parse_cmd():
     p.add_argument("--dt", type=float, default=0.02)
     p.add_argument("--pad_block", type=int, default=None,
                    help="pad spatial block to a multiple (e.g. 128 for MXU tiles)")
+    p.add_argument("--sqrt", action="store_true",
+                   help="ST-SRIF square-root Gauss-Newton (f32 windowed QR "
+                        "of the stacked sqrt system; no f64 BTD anywhere — "
+                        "smallest-memory TPU path and a structurally "
+                        "different program from the chol/scatter one that "
+                        "faults the relay at N_x=1000)")
     return finalize_args(p.parse_args())
 
 
@@ -167,7 +173,7 @@ def main():
         from diffeqgmrfs_tpu.ops.packed import ShapeOnly
         import numpy as np_
 
-        if not args.mixed_precision:
+        if not (args.mixed_precision or args.sqrt):
             # f64 reference path keeps the BTD (host/CPU runs)
             tpu0 = jax.devices()[0]
             gn_pat = jax.device_put(gn_pat, tpu0)
@@ -187,6 +193,71 @@ def main():
 
             f64_fn = jax.jit(solve_f64)
             return lambda: f64_fn(mu_dev, Q_dev, gn_pat)
+
+        if args.sqrt:
+            # ST-SRIF: no f64 BTD anywhere. The refinement operator is the
+            # 4-distinct-block Toeplitz form of the IC-conditioned prior
+            # (~4 bs^2 f64 instead of N_t bs^2); the factor is the f32
+            # windowed-QR R (P + U flat slots). gamma is static here (one
+            # instance), so the sqrt operands are fully host-precomputed.
+            from diffeqgmrfs_tpu.models.advection_diffusion import st_sqrt_ops
+            from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan
+            from diffeqgmrfs_tpu.ops.srif import rowop_window_plan
+            from diffeqgmrfs_tpu.ops.btd import ToeplitzBTD
+            from diffeqgmrfs_tpu.solvers import (
+                gauss_newton,
+                GNCholeskySolverBlueprint,
+            )
+
+            st_ops = st_sqrt_ops(spde, disc, ts, pad_block=args.pad_block)
+            A_ic_c = affine.condense_rowop(A_ic)
+            ic_plan = rowop_window_plan(A_ic_c, Q_ic.n, Q_ic.bs)
+            sqrt_ops = st_ops.sqrt_ops(float(np.asarray(spde.gamma)[0])) + [
+                (ic_plan, A_ic_c.vals * np.sqrt(args.noise_ic))
+            ]
+            j_plan = make_ata_window_plan(
+                np_.asarray(Jc0.cols), Q_ic.n, Q_ic.bs
+            )
+            q_top = ToeplitzBTD.from_btd(Q_ic)
+            del Q_ic, u_ic
+            gc.collect()
+            tpu0 = jax.devices()[0]
+            aux_dev = jax.device_put(
+                dict(
+                    sqrt_ops=sqrt_ops,
+                    ata_window_plan=j_plan,
+                    q_ell=q_top,
+                    q_diag=q_top.diagonal(),
+                ),
+                tpu0,
+            )
+            mu_dev = jax.device_put(mu_ic, tpu0)
+            q_shape = ShapeOnly(q_top.n, q_top.N, q_top.bs)
+            bp_gn = GNCholeskySolverBlueprint(sqrt_factor=True)
+
+            def solve_sqrt(mu_arg, aux):
+                # only the final time slice is evaluated -> skip the
+                # final-iterate factor (config flag, not traced data)
+                aux = dict(aux, final_factor=False)
+                result = gauss_newton(
+                    mu_arg,
+                    q_shape,
+                    res.f_and_J,
+                    args.noise_fem,
+                    jnp.zeros(res.n_rows),
+                    mu_arg,
+                    blueprint=bp_gn,
+                    aux=aux,
+                    criterion=OrCriterion(
+                        [NewtonDecrementCriterion(1e-5), StepNumberCriterion(30)]
+                    ),
+                    affine=affine,
+                )
+                x_full = affine.free_to_full(result.x_k)
+                return A_eval.matvec(x_full), result.n_steps
+
+            f_sq = jax.jit(solve_sqrt)
+            return lambda: f_sq(mu_dev, aux_dev)
 
         Q_csr = Q_ic.to_csr_host()
         q_ell = RowOp.from_csr(Q_csr, dtype=jnp.float64)

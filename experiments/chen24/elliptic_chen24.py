@@ -85,7 +85,8 @@ def main():
     from diffeqgmrfs_tpu.gmrf import condition_on_observations
     from diffeqgmrfs_tpu.problems import EllipticCubicResidual
     from diffeqgmrfs_tpu.solvers import (
-        gauss_newton_solve,
+        gauss_newton,
+        GNCholeskySolverBlueprint,
         NewtonDecrementCriterion,
         StepNumberCriterion,
         OrCriterion,
@@ -169,31 +170,35 @@ def main():
             sqrt_arrays = None
             pat = j_struct.ata_pattern(bs=x_bc.precision.bs).to_device()
 
+        bp_gn = GNCholeskySolverBlueprint(
+            mixed_precision=args.mixed_precision, sqrt_factor=args.sqrt
+        )
+
         # the conditioned prior (Q is hundreds of MB at production size) and
         # the scatter pattern enter through the jit SIGNATURE, not closures
         def solve(x_bc_arg, ata_pattern, sa):
-            kw = {}
             if sa is not None:
-                kw = dict(
+                aux = dict(
                     ata_window_plan=sa["j_plan"],
                     sqrt_ops=sa["sqrt_ops"],
                     q_ell=sa["q_ell"],
                     q_diag=sa["q_diag"],
-                    materialize_H=False,
+                    final_factor=False,  # only the MAP mean is needed
                 )
-            result = gauss_newton_solve(
+            else:
+                aux = dict(ata_pattern=ata_pattern)
+            result = gauss_newton(
                 x_bc_arg.mean(),
                 x_bc_arg.precision,
                 res.f_and_J,
                 3e13,
                 jnp.zeros(res.n_rows),
                 x_bc_arg.mean(),
+                blueprint=bp_gn,
+                aux=aux,
                 criterion=OrCriterion(
                     [NewtonDecrementCriterion(1e-5), StepNumberCriterion(10)]
                 ),
-                mixed_precision=args.mixed_precision,
-                ata_pattern=ata_pattern,
-                **kw,
             )
             post = result.posterior()
             return A_eval.matvec(post.mean()), result.n_steps
