@@ -114,32 +114,46 @@ def _as_dense(A, n, dtype):
 def joint_ssm(ssm: ImplicitEulerSSM, dtype=jnp.float64) -> BTD:
     """Assemble the joint (all-timestep) block-tridiagonal precision.
 
-    Analog of the reference `joint_ssm` (`src/spdes/shallow_water.jl:230`).
-    Requires a uniform time grid (all reference workloads use `range(...)`).
+    Analog of the reference `joint_ssm` (`src/spdes/shallow_water.jl:230`),
+    which takes arbitrary `ts` with per-step G(dt)/beta(dt)
+    (`src/spdes/shallow_water.jl:210-230`). Uniform grids take a
+    broadcast fast path (one set of distinct blocks — the Toeplitz
+    structure `ops/btd.ToeplitzBTD` exploits); non-uniform grids build
+    per-step (T_t, P_t) blocks:
+
+        diag[0]     = Q_0 + M~ P_0 M~
+        diag[t]     = T'_{t-1} P_{t-1} T_{t-1} + M~ P_t M~
+        diag[Nt-1]  = T'_{Nt-2} P_{Nt-2} T_{Nt-2}
+        lower[t]    = -T'_t P_t M~
     """
     ts = np.asarray(ssm.ts, dtype=np.float64)
     dts = np.diff(ts)
-    if not np.allclose(dts, dts[0], rtol=1e-8):
-        raise NotImplementedError("non-uniform time grids not supported yet")
-    dt = float(dts[0])
     N_t = len(ts)
     n = ssm.x0.n
-    T = _as_dense(ssm.G_fn(dt), n, dtype)
-    M = _as_dense(ssm.M_fn(dt), n, dtype)
-    P = _as_dense(ssm.beta_inv_fn(dt), n, dtype)
     Q0 = ssm.x0.precision.to_dense().astype(dtype)
 
-    PT = P @ T
-    TPT = T.T @ PT
-    PM = P @ M
-    MPM = M.T @ PM
-    off = -(T.T @ PM)  # block (t+1, t)
+    def step_blocks(dt):
+        T = _as_dense(ssm.G_fn(dt), n, dtype)
+        M = _as_dense(ssm.M_fn(dt), n, dtype)
+        P = _as_dense(ssm.beta_inv_fn(dt), n, dtype)
+        PT = P @ T
+        PM = P @ M
+        return T.T @ PT, M.T @ PM, -(T.T @ PM)
 
-    diag = jnp.broadcast_to(TPT + MPM, (N_t, n, n))
-    diag = diag.at[0].set(Q0 + MPM)
-    diag = diag.at[N_t - 1].set(TPT)
-    lower = jnp.broadcast_to(off, (N_t - 1, n, n))
-    return BTD(diag, lower, N_t * n)
+    if np.allclose(dts, dts[0], rtol=1e-8):
+        TPT, MPM, off = step_blocks(float(dts[0]))
+        diag = jnp.broadcast_to(TPT + MPM, (N_t, n, n))
+        diag = diag.at[0].set(Q0 + MPM)
+        diag = diag.at[N_t - 1].set(TPT)
+        lower = jnp.broadcast_to(off, (N_t - 1, n, n))
+        return BTD(diag, lower, N_t * n)
+
+    TPTs, MPMs, offs = zip(*(step_blocks(float(dt)) for dt in dts))
+    diag = [Q0 + MPMs[0]]
+    for t in range(1, N_t - 1):
+        diag.append(TPTs[t - 1] + MPMs[t])
+    diag.append(TPTs[-1])
+    return BTD(jnp.stack(diag), jnp.stack(offs), N_t * n)
 
 
 def discretize_advection_diffusion(
@@ -168,23 +182,26 @@ def discretize_advection_diffusion(
     has_constraints = len(affine.prescribed_dofs) > 0
     am = affine if has_constraints else None
 
+    dim = disc.mesh.dim
     m, G = host_mass_stiffness(disc)
-    B = host_advection_matrix(disc)
+    H = np.asarray(spde.H) if spde.H is not None else np.eye(dim)
+    if dim == 1:
+        G_H_host = float(H.reshape(-1)[0]) * G
+    else:
+        # anisotropic diffusion term int grad(phi_i) . H grad(phi_j)
+        # (declared library surface: `AdvectionDiffusionSPDE{D}` carries an
+        # H tensor, `scripts/burgers/solve_burgers_gmrf-fem.jl:95-104`)
+        G_H_host = host_anisotropic_stiffness(disc, H)
+    Bs = [host_advection_matrix(disc, direction=d_) for d_ in range(dim)]
     if am is not None:
-        G = condense_matrix(G, am)
-        B = condense_matrix(B, am)
+        G_H_host = condense_matrix(G_H_host, am)
+        Bs = [condense_matrix(B_, am) for B_ in Bs]
         m = condense_diag(m, am)
     n = len(m)
-    H = np.asarray(spde.H) if spde.H is not None else np.eye(disc.mesh.dim)
-    if disc.mesh.dim == 1:
-        G_H = float(H.reshape(-1)[0]) * jnp.asarray(G.toarray(), dtype=dtype)
-    else:
-        raise NotImplementedError(
-            "anisotropic 2D advection-diffusion priors not needed by reference"
-        )
-    B_d = jnp.asarray(B.toarray(), dtype=dtype)
+    G_H = jnp.asarray(G_H_host.toarray(), dtype=dtype)
+    B_dense = [jnp.asarray(B_.toarray(), dtype=dtype) for B_ in Bs]
     m = jnp.asarray(m, dtype=dtype)
-    gamma = jnp.asarray(spde.gamma, dtype=dtype).reshape(-1)[0]
+    gamma = jnp.asarray(spde.gamma, dtype=dtype).reshape(-1)
 
     Q_s = matern_spatial_dense(spde.spatial_spde, disc, am).astype(dtype)
     Q_0 = matern_spatial_dense(spde.initial_spde, disc, am).astype(dtype)
@@ -192,7 +209,10 @@ def discretize_advection_diffusion(
     c, tau, kappa = float(spde.c), float(spde.tau), float(spde.kappa)
     diag_idx = jnp.arange(n)
 
-    K = (G_H + gamma * B_d) / c
+    K = G_H
+    for d_ in range(dim):
+        K = K + gamma[d_] * B_dense[d_]
+    K = K / c
     K = K.at[diag_idx, diag_idx].add((kappa**2) * m / c)
     if spde.alpha != 1:
         # K_diff^alpha via M~^{-1} lifting (not exercised by reference configs)
@@ -475,13 +495,29 @@ def st_sqrt_ops(
     )
 
 
-def host_advection_matrix(disc: FEMDiscretization) -> sp.csr_matrix:
-    """Unit-speed advection matrix B[i,j] = ∫ φ_i ∂x φ_j dΩ (1D), host-side."""
+def host_advection_matrix(
+    disc: FEMDiscretization, direction: int = 0
+) -> sp.csr_matrix:
+    """Unit-speed advection matrix B[i,j] = ∫ φ_i ∂_{x_d} φ_j dΩ, host-side."""
     g = disc.geometry
-    Be = np.einsum("cq,qi,cqj->cij", g.w_detJ, g.phi, g.grad[..., 0])
+    Be = np.einsum("cq,qi,cqj->cij", g.w_detJ, g.phi, g.grad[..., direction])
+    return _scatter_cell_matrix(disc, Be)
+
+
+def host_anisotropic_stiffness(
+    disc: FEMDiscretization, H: np.ndarray
+) -> sp.csr_matrix:
+    """G_H[i,j] = ∫ ∇φ_i · H ∇φ_j dΩ for a constant SPD tensor H."""
+    g = disc.geometry
+    H = np.asarray(H, dtype=np.float64)
+    Ge = np.einsum("cq,cqid,de,cqje->cij", g.w_detJ, g.grad, H, g.grad)
+    return _scatter_cell_matrix(disc, Ge)
+
+
+def _scatter_cell_matrix(disc: FEMDiscretization, Ae: np.ndarray) -> sp.csr_matrix:
     cd = disc.dof_handler.cell_dofs_field(disc.dof_handler.field_names[0])
     n = disc.ndofs
     nd = cd.shape[1]
     r = np.repeat(cd[:, :, None], nd, axis=2).reshape(-1)
     c = np.repeat(cd[:, None, :], nd, axis=1).reshape(-1)
-    return sp.coo_matrix((Be.reshape(-1), (r, c)), shape=(n, n)).tocsr()
+    return sp.coo_matrix((Ae.reshape(-1), (r, c)), shape=(n, n)).tocsr()
