@@ -2,6 +2,7 @@ from diffeqgmrfs_tpu.fem.mesh import (
     Mesh,
     IntervalMesh,
     TriangleMesh,
+    UnstructuredTriangleMesh,
     create_inflated_rectangle,
 )
 from diffeqgmrfs_tpu.fem.reference_elements import (

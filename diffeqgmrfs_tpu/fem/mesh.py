@@ -216,6 +216,166 @@ class TriangleMesh(Mesh):
         return cell.astype(np.int32), np.stack([xi, eta], axis=-1)
 
 
+class UnstructuredTriangleMesh(Mesh):
+    """Arbitrary triangulation from externally supplied arrays — the
+    Ferrite-generality parity path (the reference inherits any Gmsh/
+    triangulation through Ferrite, `/root/reference/src/utils.jl:20-40`):
+    here topology is DATA, not code.
+
+    Accepts P1 vertex cells [nc, 3] (midpoint nodes are generated when
+    `order=2`, local order [v0, v1, v2, m01, m12, m20] matching the
+    structured reference elements) or ready P2 cells [nc, 6]. The
+    "boundary" node set is derived from edges incident to one cell when
+    not supplied. Node numbering is RCM-reordered by default so assembled
+    operators stay banded — the BTD solver's structural analog of the
+    reference's fill-reducing CHOLMOD ordering
+    (`scripts/darcy/solve_darcy_gmrf-fem.jl:169`). Point location uses a
+    centroid KD-tree + barycentric membership test (host-side NumPy,
+    like every other structure computation)."""
+
+    def __init__(
+        self,
+        coords: np.ndarray,
+        cells: np.ndarray,
+        order: int = 2,
+        node_sets: dict | None = None,
+        reorder: bool = True,
+    ):
+        coords = np.asarray(coords, dtype=np.float64)
+        cells = np.asarray(cells, dtype=np.int64)
+        if coords.ndim != 2 or coords.shape[1] != 2:
+            raise ValueError("coords must be [n_nodes, 2]")
+        ns = {k: np.asarray(v, dtype=np.int64) for k, v in (node_sets or {}).items()}
+        edge_mid = None
+        if order == 2:
+            if cells.shape[1] == 3:
+                coords, cells, edge_mid = _p2_from_p1(coords, cells)
+            elif cells.shape[1] != 6:
+                raise ValueError("order-2 cells must have 3 or 6 nodes")
+        elif order == 1:
+            if cells.shape[1] != 3:
+                raise ValueError("order-1 cells must have 3 nodes")
+        else:
+            raise ValueError("order must be 1 or 2")
+        if "boundary" not in ns:
+            ns["boundary"] = _boundary_nodes(cells, order, edge_mid)
+        if reorder:
+            perm = _rcm_node_order(coords.shape[0], cells)
+            iperm = np.empty_like(perm)
+            iperm[perm] = np.arange(len(perm))
+            coords = coords[perm]
+            cells = iperm[cells]
+            ns = {k: np.sort(iperm[v]) for k, v in ns.items()}
+        super().__init__(
+            2, order, coords, cells.astype(np.int32),
+            {k: v.astype(np.int32) for k, v in ns.items()},
+        )
+        verts = self.cell_vertex_coords()  # [nc, 3, 2]
+        self._centroids = verts.mean(axis=1)
+        self._tree = None
+
+    def locate(self, points: np.ndarray):
+        from scipy.spatial import cKDTree
+
+        if self._tree is None:
+            self._tree = cKDTree(self._centroids)
+        pts = np.asarray(points, dtype=np.float64).reshape(-1, 2)
+        verts = self.cell_vertex_coords()
+        A = verts[:, 0]
+        E = np.stack([verts[:, 1] - A, verts[:, 2] - A], axis=-1)  # [nc,2,2]
+        Einv = np.linalg.inv(E)
+        k = min(16, self.n_cells)
+        _, cand = self._tree.query(pts, k=k)
+        cand = cand.reshape(len(pts), -1)
+        tol = 1e-10
+        cell = np.full(len(pts), -1, dtype=np.int64)
+        ref = np.zeros((len(pts), 2))
+        best_viol = np.full(len(pts), np.inf)
+        for j in range(cand.shape[1]):
+            c = cand[:, j]
+            xi = np.einsum("ped,pd->pe", Einv[c], pts - A[c])
+            viol = np.maximum(
+                np.maximum(-xi[:, 0], -xi[:, 1]), xi.sum(axis=1) - 1.0
+            )
+            take = (cell < 0) & (viol <= tol)
+            cell[take] = c[take]
+            ref[take] = xi[take]
+            better = viol < best_viol
+            best_viol = np.where(better, viol, best_viol)
+            # remember the least-violating candidate as fallback
+            fb = better & (cell < 0)
+            ref[fb] = xi[fb]
+            cell = np.where(fb, -c - 2, cell)
+        miss = cell < 0
+        if miss.any():
+            # accept the nearest cell with clipped reference coords
+            cell[miss] = -cell[miss] - 2
+            r = np.clip(ref[miss], 0.0, 1.0)
+            s = r.sum(axis=1)
+            over = s > 1.0
+            r[over] /= s[over][:, None]
+            ref[miss] = r
+        return cell.astype(np.int32), ref
+
+
+def _p2_from_p1(coords, cells):
+    """Insert edge-midpoint nodes; returns (coords, p2_cells, edge->mid)."""
+    edges = {}
+    n = coords.shape[0]
+    new_pts = []
+    mids = np.zeros((cells.shape[0], 3), dtype=np.int64)
+    pairs = [(0, 1), (1, 2), (2, 0)]
+    for c in range(cells.shape[0]):
+        for e, (i, j) in enumerate(pairs):
+            key = (min(cells[c, i], cells[c, j]), max(cells[c, i], cells[c, j]))
+            m = edges.get(key)
+            if m is None:
+                m = n + len(new_pts)
+                edges[key] = m
+                new_pts.append(0.5 * (coords[key[0]] + coords[key[1]]))
+            mids[c, e] = m
+    coords = np.concatenate([coords, np.asarray(new_pts)], axis=0)
+    return coords, np.concatenate([cells, mids], axis=1), edges
+
+
+def _boundary_nodes(cells, order, edge_mid=None):
+    """Vertex (+midpoint) nodes of edges incident to exactly one cell."""
+    pairs = [(0, 1), (1, 2), (2, 0)]
+    count = {}
+    for c in range(cells.shape[0]):
+        for e, (i, j) in enumerate(pairs):
+            key = (min(cells[c, i], cells[c, j]), max(cells[c, i], cells[c, j]))
+            count[key] = count.get(key, 0) + 1
+    bnodes = set()
+    for c in range(cells.shape[0]):
+        for e, (i, j) in enumerate(pairs):
+            key = (min(cells[c, i], cells[c, j]), max(cells[c, i], cells[c, j]))
+            if count[key] == 1:
+                bnodes.add(int(cells[c, i]))
+                bnodes.add(int(cells[c, j]))
+                if order == 2:
+                    if edge_mid is not None:
+                        bnodes.add(int(edge_mid[key]))
+                    else:
+                        bnodes.add(int(cells[c, 3 + e]))
+    return np.array(sorted(bnodes), dtype=np.int64)
+
+
+def _rcm_node_order(n_nodes, cells):
+    """RCM permutation of the node-node adjacency induced by the cells."""
+    import scipy.sparse as sp
+    from diffeqgmrfs_tpu.utils.native import rcm_ordering
+
+    nd = cells.shape[1]
+    r = np.repeat(cells[:, :, None], nd, axis=2).reshape(-1)
+    c = np.repeat(cells[:, None, :], nd, axis=1).reshape(-1)
+    A = sp.coo_matrix(
+        (np.ones(len(r)), (r, c)), shape=(n_nodes, n_nodes)
+    ).tocsr()
+    A.sum_duplicates()
+    return rcm_ordering(A.indptr.astype(np.int64), A.indices.astype(np.int64))
+
+
 def create_inflated_rectangle(
     x0: float,
     y0: float,
