@@ -109,6 +109,8 @@ class GaussNewtonResult:
     # the full posterior surface (solve/sample/variance_diag/log_det)
     precision_op: object = None  # operator-form H (GNPrecisionOp) when the
     # BTD H is never materialized
+    newton_decrement: jnp.ndarray = None  # decrement of the LAST step taken
+    # (host-side stopping tests in per-step dispatch mode)
 
     def posterior(self, blueprint=None, affine=None):
         """GMRF with mean x_k and precision Q + tau J^T J — what the
@@ -524,7 +526,7 @@ def gauss_newton_solve(
         hist0,
         jnp.asarray(jnp.inf, dtype=Q.dtype),
     )
-    x_fin, decrement, n_steps, hist, _ = lax.while_loop(cond, body, init)
+    x_fin, decrement_fin, n_steps, hist, _ = lax.while_loop(cond, body, init)
 
     # Final residual/Jacobian at the solution (for posterior precision)
     f_fin, J_fin = f_and_J(full(x_fin))
@@ -554,4 +556,5 @@ def gauss_newton_solve(
         noise=noise,
         factor=fac,
         precision_op=prec_op,
+        newton_decrement=decrement_fin,
     )

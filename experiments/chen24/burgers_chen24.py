@@ -59,6 +59,12 @@ def parse_cmd():
                         "smallest-memory TPU path and a structurally "
                         "different program from the chol/scatter one that "
                         "faults the relay at N_x=1000)")
+    p.add_argument("--stepwise", action="store_true",
+                   help="per-step dispatch: each Newton step is its own "
+                        "jitted XLA program (compiled once, invoked in a "
+                        "host loop) instead of one fused while_loop — the "
+                        "workaround probe for the relay kernel fault at "
+                        "flagship sizes (requires --sqrt)")
     return finalize_args(p.parse_args())
 
 
@@ -234,6 +240,45 @@ def main():
             mu_dev = jax.device_put(mu_ic, tpu0)
             q_shape = ShapeOnly(q_top.n, q_top.N, q_top.bs)
             bp_gn = GNCholeskySolverBlueprint(sqrt_factor=True)
+
+            if args.stepwise:
+                # per-step dispatch: ONE jitted program per Newton step
+                # (identical structure -> compiled once), convergence test
+                # on the host. No while_loop wraps the factorization.
+                def gn_step(mu_arg, x_cur, aux):
+                    aux = dict(aux, final_factor=False)
+                    result = gauss_newton(
+                        mu_arg,
+                        q_shape,
+                        res.f_and_J,
+                        args.noise_fem,
+                        jnp.zeros(res.n_rows),
+                        x_cur,
+                        blueprint=bp_gn,
+                        aux=aux,
+                        criterion=StepNumberCriterion(1),
+                        affine=affine,
+                    )
+                    return result.x_k, result.newton_decrement
+
+                step_f = jax.jit(gn_step)
+                eval_f = jax.jit(
+                    lambda x: A_eval.matvec(affine.free_to_full(x))
+                )
+
+                def run_stepwise():
+                    x = mu_dev
+                    n_steps = 0
+                    for it in range(30):
+                        x, dec = step_f(mu_dev, x, aux_dev)
+                        n_steps += 1
+                        d = float(dec)  # host readback forces completion
+                        log.info("  stepwise GN %d: decrement %.3e", it, d)
+                        if d < 1e-5:
+                            break
+                    return eval_f(x), jnp.asarray(n_steps)
+
+                return run_stepwise
 
             def solve_sqrt(mu_arg, aux):
                 # only the final time slice is evaluated -> skip the
