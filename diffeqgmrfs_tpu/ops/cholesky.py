@@ -152,29 +152,48 @@ class BTDCholesky:
         return int(self.Ls.size + self.Cs.size)
 
 
-def btd_cholesky(A: BTD) -> BTDCholesky:
+def btd_cholesky(A: BTD, panel: int | None = None) -> BTDCholesky:
     """Factor a symmetric positive-definite BTD matrix.
 
     Direct TPU analog of `/root/reference/src/tridiagonal_cholesky.jl:65-82`.
     Matmuls are pinned to true-f32 precision: TPU "default" matmul precision
     is bf16 passes, which would silently degrade the factor (and stall the
     mixed-precision refinement loop).
+
+    `panel`: use blocked-panel POTRF/TRSM (ops/blocked_factor.py) inside the
+    sweep — the slow monolithic chol/TRSM shrink to [panel, panel] while the
+    trailing updates become MXU-rate GEMMs. Defaults to monolithic (None);
+    production factor phases at bs >= ~1024 set it via the blueprint.
     """
+    if panel:
+        from diffeqgmrfs_tpu.ops.blocked_factor import (
+            blocked_cholesky,
+            blocked_tsolve_right_T,
+        )
+
+        chol = lambda X: blocked_cholesky(X, panel)  # noqa: E731
+        tsr = lambda L, B: blocked_tsolve_right_T(L, B, panel)  # noqa: E731
+    else:
+        chol = jnp.linalg.cholesky
+
+        def tsr(L, B):
+            return lax.linalg.triangular_solve(
+                L, B, left_side=False, lower=True, transpose_a=True
+            )
+
     with jax.default_matmul_precision("float32"):
         if A.N == 1:
-            L0 = jnp.linalg.cholesky(A.diag[0])
+            L0 = chol(A.diag[0])
             return BTDCholesky(L0[None], A.lower, A.n)
 
-        L0 = jnp.linalg.cholesky(A.diag[0])
+        L0 = chol(A.diag[0])
 
         def step(L_prev, inp):
             D_i, B_i = inp
             # C_i = B_i L_{i-1}^{-T}:  solve C L_prev^T = B_i
-            C = lax.linalg.triangular_solve(
-                L_prev, B_i, left_side=False, lower=True, transpose_a=True
-            )
+            C = tsr(L_prev, B_i)
             S = D_i - C @ C.T
-            L_i = jnp.linalg.cholesky(S)
+            L_i = chol(S)
             return L_i, (L_i, C)
 
         _, (Ls, Cs) = lax.scan(step, L0, (A.diag[1:], A.lower))
