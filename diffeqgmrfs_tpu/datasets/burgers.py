@@ -137,7 +137,9 @@ def _load(path):
 
         d = loadmat(path)
         return d["input"], d["output"], d["visc"]
-    except NotImplementedError:
+    except (NotImplementedError, ValueError):
+        # v7.3 .mat files are HDF5 (scipy raises NotImplementedError);
+        # header-less HDF5 with .mat suffix raises ValueError
         import h5py
 
         with h5py.File(path, "r") as f:

@@ -88,7 +88,9 @@ def _load_mat(path):
 
         d = loadmat(path)
         return d["sol"], d["coeff"]
-    except NotImplementedError:
+    except (NotImplementedError, ValueError):
+        # v7.3 .mat files are HDF5 (scipy raises NotImplementedError);
+        # header-less HDF5 with .mat suffix raises ValueError
         import h5py
 
         with h5py.File(path, "r") as f:
