@@ -37,6 +37,10 @@ def parse_cmd():
     p.add_argument("--instance", type=int, default=0)
     p.add_argument("--max_newton", type=int, default=10)
     p.add_argument("--outdir", type=str, default="plots")
+    p.add_argument("--interactive", action="store_true",
+                   help="time-slider exploration window (Makie-slider "
+                        "analog, `scripts/solve_burger.jl:4-37`) instead "
+                        "of the static panel figure")
     return finalize_args(p.parse_args())
 
 
@@ -129,23 +133,59 @@ def main():
 
     import matplotlib
 
-    matplotlib.use("Agg")
+    if not args.interactive:
+        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     os.makedirs(args.outdir, exist_ok=True)
-    t_idcs = np.linspace(0, N_t - 1, 6).astype(int)
-    fig, axes = plt.subplots(2, 3, figsize=(11, 5), sharey=True)
-    for ax, ti in zip(axes.ravel(), t_idcs):
-        s = np.interp(x_coords, dof_x[order], std_dof[ti][order])
-        ax.plot(x_coords, mean[ti], label="posterior mean")
-        ax.fill_between(x_coords, mean[ti] - 2 * s, mean[ti] + 2 * s, alpha=0.3)
-        ax.plot(x_coords, soln[ti], "--", color="orange", label="data")
-        ax.set_title(f"t = {ts[ti]:.2f}")
-    axes[0, 0].legend()
-    fig.tight_layout()
-    out = os.path.join(args.outdir, "solve_burger.png")
-    fig.savefig(out, dpi=120)
-    log.info("saved %s", out)
+    if args.interactive:
+        # time-slider exploration — the Makie slider analog
+        # (`/root/reference/scripts/solve_burger.jl:4-37,288`)
+        from matplotlib.widgets import Slider
+
+        fig, ax = plt.subplots(figsize=(8, 5))
+        plt.subplots_adjust(bottom=0.2)
+        s0 = np.interp(x_coords, dof_x[order], std_dof[0][order])
+        (lm,) = ax.plot(x_coords, mean[0], label="posterior mean")
+        band = ax.fill_between(
+            x_coords, mean[0] - 2 * s0, mean[0] + 2 * s0, alpha=0.3
+        )
+        (ld,) = ax.plot(x_coords, soln[0], "--", color="orange", label="data")
+        ax.legend()
+        ax_sl = plt.axes([0.15, 0.05, 0.7, 0.04])
+        sl = Slider(ax_sl, "t index", 0, N_t - 1, valinit=0, valstep=1)
+
+        def update(_):
+            nonlocal band
+            ti = int(sl.val)
+            s = np.interp(x_coords, dof_x[order], std_dof[ti][order])
+            lm.set_ydata(mean[ti])
+            ld.set_ydata(soln[ti])
+            band.remove()
+            band = ax.fill_between(
+                x_coords, mean[ti] - 2 * s, mean[ti] + 2 * s,
+                alpha=0.3, color="C0",
+            )
+            ax.set_title(f"t = {ts[ti]:.3f}")
+            fig.canvas.draw_idle()
+
+        sl.on_changed(update)
+        plt.show()
+        out = None
+    else:
+        t_idcs = np.linspace(0, N_t - 1, 6).astype(int)
+        fig, axes = plt.subplots(2, 3, figsize=(11, 5), sharey=True)
+        for ax, ti in zip(axes.ravel(), t_idcs):
+            s = np.interp(x_coords, dof_x[order], std_dof[ti][order])
+            ax.plot(x_coords, mean[ti], label="posterior mean")
+            ax.fill_between(x_coords, mean[ti] - 2 * s, mean[ti] + 2 * s, alpha=0.3)
+            ax.plot(x_coords, soln[ti], "--", color="orange", label="data")
+            ax.set_title(f"t = {ts[ti]:.2f}")
+        axes[0, 0].legend()
+        fig.tight_layout()
+        out = os.path.join(args.outdir, "solve_burger.png")
+        fig.savefig(out, dpi=120)
+        log.info("saved %s", out)
     err = np.linalg.norm(mean[1:] - soln[1:]) / np.linalg.norm(soln[1:])
     log.info("trajectory rel_err = %.4e", err)
 
