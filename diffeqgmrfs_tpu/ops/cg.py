@@ -5,6 +5,23 @@ The iterative alternative to the BTD Cholesky — analog of the reference's
 The preconditioner inverts the BTD diagonal blocks (one batched dense
 Cholesky), which is exact when the matrix is block-diagonal and captures the
 dominant coupling otherwise. Fully jit/vmap-able.
+
+SCOPE (production guidance): CG is NOT a production path for the
+conditioned-posterior / Gauss-Newton systems of the reference workloads.
+Their condition numbers are set by the observation precisions
+(1e8..1e18 on unit-scale priors, `_research/burgers_chen24.jl:101`):
+block-Jacobi-preconditioned CG needs O(sqrt(cond)) ~ 1e4..1e9 iterations,
+each costing a full operator matvec — while one BTD Cholesky factor +
+two triangular sweeps is exact, O(N bs^3), and its factor is REUSED
+across the mean solve, sampling backsolves, RBMC probes, Takahashi
+variances, and refinement iterations of the same posterior. The direct
+factor is also what the mixed-precision (f32 + refinement) and SRIF
+square-root paths build on. CG remains correct and tested
+(tests/test_models_extra.py::test_cg_matches_cholesky) for the regime the
+reference itself uses it in — well-conditioned PRIOR applications
+(shallow_water.jl's prior construction) — and as a building block for
+future matrix-free preconditioned experiments; it is intentionally not
+wired into any benchmark driver.
 """
 
 from __future__ import annotations
