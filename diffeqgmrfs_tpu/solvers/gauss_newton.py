@@ -172,6 +172,7 @@ def blueprint_gn_kwargs(bp, Q, aux=None) -> dict:
             kw["q_ell"] = q_op
             kw["q_diag"] = q_op.diagonal()
         kw["final_factor"] = aux.get("final_factor", True)
+        kw["final_gemm"] = getattr(bp, "gemm_solves", False)
         kw["materialize_H"] = False
     else:
         kw["mixed_precision"] = getattr(bp, "mixed_precision", False)
@@ -307,6 +308,7 @@ def gauss_newton_solve(
     q_toeplitz=None,
     damping: bool = False,
     final_factor: bool = False,
+    final_gemm: bool = False,
 ) -> GaussNewtonResult:
     """Functional Gauss-Newton loop (jit/vmap-friendly).
 
@@ -545,6 +547,14 @@ def gauss_newton_solve(
             q_ell, q_diag, sqrt_ops, ata_window_plan, Jc_fin, tau,
             Q.n, Q.N, Q.bs,
         )
+        if final_gemm:
+            from diffeqgmrfs_tpu.ops.packed import PackedBTDRFullFactor
+            from diffeqgmrfs_tpu.ops.inverse_solver import RFullInverseSolver
+
+            if isinstance(fac.F32, PackedBTDRFullFactor):
+                # GEMM-only solve form: sampling/std/refinement on the
+                # posterior run ~6x faster than TRSM sweeps on the MXU
+                fac.F32 = RFullInverseSolver.from_factor(fac.F32)
         prec_op = GNPrecisionOp(q_ell, Jc_fin, tau, fac.d**2, Q.n)
     return GaussNewtonResult(
         x_k=x_fin,

@@ -167,6 +167,7 @@ def main():
         toeplitz=args.toeplitz or args.sqrt,
         sqrt_factor=args.sqrt,
         damping=args.damping,
+        gemm_solves=args.gemm_solves,
     )
     stride = None
     if args.pad_block and disc.n_free % args.pad_block:

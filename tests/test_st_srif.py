@@ -185,3 +185,43 @@ def test_st_srif_gauss_newton_matches_f64():
     smp = post.sample(jax.random.PRNGKey(0), 2)
     assert smp.shape == (2, N_t * disc.ndofs)
     assert np.all(np.isfinite(np.asarray(smp)))
+
+
+def test_rfull_gemm_solver_matches():
+    """GEMM-form (RFullInverseSolver) of the ST-SRIF factor: solves,
+    sampling shape, variance, log-det match the TRSM form."""
+    from diffeqgmrfs_tpu.ops.srif import srif_packed_qr, rowop_window_plan
+    from diffeqgmrfs_tpu.ops.inverse_solver import RFullInverseSolver
+    from diffeqgmrfs_tpu.ops.packed import PackedBTDRFullFactor
+    from diffeqgmrfs_tpu.fem.operators import RowOp
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(11)
+    N_b, bs = 5, 12
+    n = N_b * bs
+    # random banded + dense-coupling operator rows -> full-offdiag factor
+    diag = sp.diags(rng.uniform(1, 2, n))
+    ops = []
+    S1 = RowOp.from_csr(sp.csr_matrix(diag), dtype=jnp.float32)
+    ops.append((rowop_window_plan(S1, n, bs), S1.vals))
+    # cross-block rows (span 2 blocks -> forces full offdiag)
+    rows = []
+    for b in range(N_b - 1):
+        for r in range(bs):
+            cols = [b * bs + r, (b + 1) * bs + (r + 3) % bs]
+            rows.append((cols, rng.normal(size=2)))
+    cols = np.array([c for c, _ in rows])
+    vals = jnp.asarray(np.array([v for _, v in rows]), dtype=jnp.float32)
+    S2 = RowOp(cols, vals, n)
+    ops.append((rowop_window_plan(S2, n, bs, zero_slots=None), S2.vals))
+    F = srif_packed_qr(ops, n, N_b, bs, dtype=jnp.float32)
+    assert isinstance(F, PackedBTDRFullFactor)
+    G = RFullInverseSolver.from_factor(F)
+    b = jnp.asarray(rng.normal(size=n), dtype=jnp.float32)
+    assert np.allclose(np.asarray(G.solve(b)), np.asarray(F.solve(b)),
+                       rtol=1e-4, atol=1e-5)
+    assert np.allclose(np.asarray(G.variance_diag()),
+                       np.asarray(F.variance_diag()), rtol=1e-4)
+    assert abs(float(G.log_det()) - float(F.log_det())) < 1e-4
+    s = G.sample_zero_mean(jax.random.PRNGKey(0), 3)
+    assert s.shape == (3, n)
