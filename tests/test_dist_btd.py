@@ -122,3 +122,38 @@ def test_time_sharded_matvec_production_blocks():
         y = run(A, x)
     y0 = np.asarray(A.matvec(x))
     assert np.allclose(np.asarray(y), y0, atol=1e-11)
+
+
+def test_within_block_sharded_factorization():
+    """TP: within-block sharding — blocked-panel Cholesky of one large
+    block with its rows sharded over a "tp" axis; the trailing-update
+    GEMMs (the flop bulk) partition across devices via XLA collectives."""
+    from diffeqgmrfs_tpu.ops.blocked_factor import (
+        blocked_cholesky,
+        blocked_tsolve_left,
+    )
+
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("tp",))
+    n = 256
+    key = jax.random.PRNGKey(10)
+    A = jax.random.normal(key, (n, n), dtype=jnp.float64)
+    A = A @ A.T + n * jnp.eye(n)
+    b = jax.random.normal(jax.random.PRNGKey(11), (n, 4), dtype=jnp.float64)
+
+    @jax.jit
+    def run(A, b):
+        A = jax.lax.with_sharding_constraint(
+            A, NamedSharding(mesh, P("tp", None))
+        )
+        L = blocked_cholesky(A, panel=64)
+        y = blocked_tsolve_left(L, b, panel=64)
+        x = blocked_tsolve_left(L, y, panel=64, transpose=True)
+        return L, x
+
+    with mesh:
+        L, x = run(A, b)
+    L0 = np.asarray(jnp.linalg.cholesky(A))
+    assert np.allclose(np.tril(np.asarray(L)), np.tril(L0), atol=1e-8)
+    x0 = np.linalg.solve(np.asarray(A), np.asarray(b))
+    assert np.allclose(np.asarray(x), x0, atol=1e-8)
