@@ -67,6 +67,53 @@ def add_ata(Q: BTD, A: RowOp, tau, pattern: BTDPattern | None = None) -> BTD:
     return Q + ata
 
 
+def condition_st_sqrt(
+    mu_prior,
+    q_top,
+    prior_sqrt_ops,
+    A_c: RowOp,
+    precision,
+    y,
+    a_plan,
+    refine_iters: int = 4,
+):
+    """IC conditioning of a Toeplitz-form ST prior through the SRIF
+    square-root machinery — no f64 BTD anywhere: -> (mu_ic, q_top_ic).
+
+    The posterior precision H = Q + tau A^T A is factored as the windowed
+    QR of [prior sqrt operands; sqrt(tau) A] (exactly the Gauss-Newton
+    SRIF path with J := A), the mean solved with f64 refinement against
+    the Toeplitz operator, and the conditioned prior returned in Toeplitz
+    form with the observation update folded into the first block
+    (observations must live on time slice 0 — the reference's IC
+    conditioning, `scripts/burgers/solve_burgers_gmrf-fem.jl:161`).
+    """
+    from diffeqgmrfs_tpu.ops.refine import SRIFNewtonFactor
+    from diffeqgmrfs_tpu.ops.btd import ToeplitzBTD
+
+    tau = jnp.asarray(precision, dtype=q_top.dtype)
+    F = SRIFNewtonFactor(
+        q_top, q_top.diagonal(), prior_sqrt_ops, a_plan, A_c, tau,
+        q_top.n, q_top.N, q_top.bs, refine_iters=refine_iters,
+    )
+    rhs = q_top.matvec(mu_prior) + tau * A_c.rmatvec(
+        jnp.asarray(y, dtype=q_top.dtype)
+    )
+    mu_ic = F.solve(rhs)
+    # observation update on the first block: d_first += tau * A_0^T A_0
+    bs = q_top.bs
+    n_rows = A_c.n_rows
+    Ad = jnp.zeros((n_rows, bs), dtype=q_top.dtype)
+    Ad = Ad.at[
+        jnp.arange(n_rows)[:, None], jnp.asarray(A_c.cols)
+    ].add(A_c.vals.astype(q_top.dtype))
+    d_first = q_top.d_first + tau * (Ad.T @ Ad)
+    q_ic = ToeplitzBTD(
+        d_first, q_top.d_mid, q_top.d_last, q_top.off, q_top.N, q_top.n
+    )
+    return mu_ic, q_ic
+
+
 def condition_on_observations(
     x,
     A: RowOp,

@@ -58,7 +58,7 @@ from diffeqgmrfs_tpu.models.matern import (
     condense_matrix,
     condense_diag,
 )
-from diffeqgmrfs_tpu.ops.btd import BTD
+from diffeqgmrfs_tpu.ops.btd import BTD, ToeplitzBTD
 from diffeqgmrfs_tpu.solvers.blueprints import DEFAULT_BLUEPRINT
 
 import scipy.sparse as sp
@@ -285,6 +285,100 @@ def _pad_st_blocks(Q: BTD, n: int, bs_pad: int) -> BTD:
 def _dense_to_btd(A: jnp.ndarray) -> BTD:
     n = A.shape[0]
     return BTD(A[None], jnp.zeros((0, n, n), dtype=A.dtype), n)
+
+
+def st_prior_toeplitz(
+    spde: AdvectionDiffusionSPDE,
+    disc: FEMDiscretization,
+    ts,
+    mean_offset=0.0,
+    pad_block: int | None = None,
+    dtype=jnp.float64,
+):
+    """ST prior in DISTINCT-BLOCK (Toeplitz) form, never materializing the
+    full [N_t, bs, bs] BTD: -> (mu_free, ToeplitzBTD, affine | None).
+
+    The f64-BTD-free companion of `discretize_advection_diffusion` for the
+    SRIF production pipeline: the four distinct blocks (d_first includes
+    Q_0) are all a refinement operator or equilibration diagonal needs,
+    and the square-root operands (`st_sqrt_ops`) carry the factorization.
+    Requires a uniform time grid (the Toeplitz structure).
+    """
+    ts = np.asarray(ts, dtype=np.float64)
+    dts = np.diff(ts)
+    if not np.allclose(dts, dts[0], rtol=1e-8):
+        raise NotImplementedError("Toeplitz form requires a uniform grid")
+    dt = float(dts[0])
+    N_t = len(ts)
+    affine = AffineMap.from_constraint_handler(disc.constraint_handler)
+    has_constraints = len(affine.prescribed_dofs) > 0
+    am = affine if has_constraints else None
+
+    dim = disc.mesh.dim
+    m, G = host_mass_stiffness(disc)
+    H = np.asarray(spde.H) if spde.H is not None else np.eye(dim)
+    if dim == 1:
+        G_H_host = float(H.reshape(-1)[0]) * G
+    else:
+        G_H_host = host_anisotropic_stiffness(disc, H)
+    Bs = [host_advection_matrix(disc, direction=d_) for d_ in range(dim)]
+    if am is not None:
+        G_H_host = condense_matrix(G_H_host, am)
+        Bs = [condense_matrix(B_, am) for B_ in Bs]
+        m = condense_diag(m, am)
+    n = len(m)
+    G_H = jnp.asarray(G_H_host.toarray(), dtype=dtype)
+    B_dense = [jnp.asarray(B_.toarray(), dtype=dtype) for B_ in Bs]
+    m_j = jnp.asarray(m, dtype=dtype)
+    gamma = jnp.asarray(spde.gamma, dtype=dtype).reshape(-1)
+    Q_s = matern_spatial_dense(spde.spatial_spde, disc, am).astype(dtype)
+    Q_0 = matern_spatial_dense(spde.initial_spde, disc, am).astype(dtype)
+    c, tau, kappa = float(spde.c), float(spde.tau), float(spde.kappa)
+    if int(spde.alpha) != 1:
+        raise NotImplementedError("Toeplitz form: alpha == 1 only")
+    diag_idx = jnp.arange(n)
+    K = G_H
+    for d_ in range(dim):
+        K = K + gamma[d_] * B_dense[d_]
+    K = K / c
+    K = K.at[diag_idx, diag_idx].add((kappa**2) * m_j / c)
+    Minv = 1.0 / m_j
+    T = dt * K
+    T = T.at[diag_idx, diag_idx].add(m_j)
+    P = (c / (dt * tau**2)) * (Minv[:, None] * Q_s * Minv[None, :])
+    PT = P @ T
+    TPT = T.T @ PT
+    # M~ is diagonal: M P M and T'PM are row/col scalings
+    MPM = m_j[:, None] * P * m_j[None, :]
+    off = -(T.T @ P) * m_j[None, :]
+
+    bs = n
+    if pad_block is not None and n % pad_block:
+        bs = -(-n // pad_block) * pad_block
+        pad = bs - n
+
+        def padded(Xd, identity):
+            Y = jnp.zeros((bs, bs), dtype=dtype)
+            Y = Y.at[:n, :n].set(Xd)
+            if identity:
+                idx = jnp.arange(n, bs)
+                Y = Y.at[idx, idx].set(1.0)
+            return Y
+
+        d_first = padded(Q_0 + MPM, True)
+        d_mid = padded(TPT + MPM, True)
+        d_last = padded(TPT, True)
+        off_p = padded(off, False)
+        q_top = ToeplitzBTD(d_first, d_mid, d_last, off_p, N_t, N_t * bs)
+        mask = jnp.concatenate(
+            [jnp.ones(n, dtype), jnp.zeros(pad, dtype)]
+        )
+        mu = jnp.tile(jnp.asarray(mean_offset, dtype=dtype) * mask, N_t)
+        return mu, q_top, (affine.replicate(N_t, stride=bs) if has_constraints else None)
+
+    q_top = ToeplitzBTD(Q_0 + MPM, TPT + MPM, TPT, off, N_t, N_t * n)
+    mu = jnp.full((N_t * n,), jnp.asarray(mean_offset, dtype=dtype))
+    return mu, q_top, (affine.replicate(N_t) if has_constraints else None)
 
 
 # ---------------------------------------------------------------------------

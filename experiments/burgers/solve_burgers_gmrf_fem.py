@@ -203,8 +203,11 @@ def main():
         j_plan = make_ata_window_plan(
             np.asarray(Jc0.cols), affine_st.n_free_padded, bs_blk
         ).to_device()
+        y_shift = np.asarray(affine_st.offset_shift(A_ic))
         gn_aux = jax.device_put(dict(
-            st=st_ops, ic_plan=ic_plan, ic_vals=A_ic_c.vals, j_plan=j_plan,
+            st=st_ops, ic_plan=ic_plan, ic_vals=A_ic_c.vals,
+            ic_cols=jnp.asarray(A_ic_c.cols), j_plan=j_plan,
+            y_shift=jnp.asarray(y_shift),
         ))
     else:
         gn_aux = ata_pattern_cached(
@@ -217,6 +220,51 @@ def main():
         spde = AdvectionDiffusionSPDE(
             gamma=jnp.asarray([gamma]), **spde_static
         )
+        if args.sqrt:
+            # fully f64-BTD-free pipeline: Toeplitz-form prior + SRIF
+            # IC conditioning + SRIF Gauss-Newton + final-factor posterior
+            from diffeqgmrfs_tpu.models.advection_diffusion import (
+                st_prior_toeplitz,
+            )
+            from diffeqgmrfs_tpu.gmrf.conditioning import condition_st_sqrt
+            from diffeqgmrfs_tpu.fem.operators import RowOp
+            from diffeqgmrfs_tpu.ops.packed import ShapeOnly
+
+            mu_p, q_top, affine_inst = st_prior_toeplitz(
+                spde, disc, ts, mean_offset=bulk, pad_block=args.pad_block
+            )
+            prior_ops = aux["st"].sqrt_ops(gamma)
+            A_c = RowOp(aux["ic_cols"], aux["ic_vals"], q_top.n)
+            mu_ic, q_ic = condition_st_sqrt(
+                mu_p, q_top, prior_ops, A_c, noise_ic,
+                ic - aux["y_shift"], aux["ic_plan"],
+            )
+            ic_pred = E_st.matvec(
+                affine_inst.free_to_full(mu_ic)
+            ).reshape(N_t, len(x_coords))
+            gn_aux_t = dict(
+                sqrt_ops=prior_ops
+                + [(aux["ic_plan"], aux["ic_vals"] * np.sqrt(noise_ic))],
+                ata_window_plan=aux["j_plan"],
+                q_ell=q_ic,
+                q_diag=q_ic.diagonal(),
+            )
+            result = gauss_newton(
+                mu_ic,
+                ShapeOnly(q_ic.n, q_ic.N, q_ic.bs),
+                res.f_and_J,
+                noise_fem,
+                jnp.zeros(res.n_rows),
+                mu_ic,
+                blueprint=bp_gn,
+                aux=gn_aux_t,
+                criterion=criterion,
+                affine=affine_inst,
+            )
+            post = result.posterior(affine=affine_inst, blueprint=bp)
+            pred = E_st.matvec(post.mean()).reshape(N_t, len(x_coords))
+            return pred, ic_pred, post.std(), post.sample(key, 1), result.n_steps
+
         x = discretize_advection_diffusion(
             spde, disc, ts, mean_offset=bulk, pad_block=args.pad_block
         )
@@ -224,14 +272,7 @@ def main():
             x, A_ic, noise_ic, ic, solver_blueprint=bp_cond
         )
         ic_pred = E_st.matvec(x_ic.mean()).reshape(N_t, len(x_coords))
-        if args.sqrt:
-            gn_aux_t = dict(
-                sqrt_ops=aux["st"].sqrt_ops(gamma)
-                + [(aux["ic_plan"], aux["ic_vals"] * np.sqrt(noise_ic))],
-                ata_window_plan=aux["j_plan"],
-            )
-        else:
-            gn_aux_t = dict(ata_pattern=aux)
+        gn_aux_t = dict(ata_pattern=aux)
         result = gauss_newton(
             x_ic.inner_gmrf.mean(),
             x_ic.inner_gmrf.precision,
