@@ -65,6 +65,12 @@ def parse_cmd():
                         "assembly + IC conditioning + Gauss-Newton + "
                         "sampling/std) per XLA program — the DP "
                         "chip-saturation axis (SURVEY.md 2.4)")
+    p.add_argument("--stepwise", action="store_true",
+                   help="split the per-instance pipeline into separate "
+                        "jitted programs (setup / one GN step / posterior) "
+                        "with a host-side convergence loop — the workaround "
+                        "for the relay kernel fault on large fused "
+                        "while_loop programs (requires --sqrt, batch=1)")
     return finalize_args(p.parse_args())
 
 
@@ -291,10 +297,96 @@ def main():
         smp = post.sample(key, 1)
         return pred, ic_pred, std, smp, result.n_steps
 
-    _solve = jax.jit(solve_instance)
+    if args.stepwise:
+        # split programs + host convergence loop (relay-fault workaround)
+        assert args.sqrt and args.batch == 1, "--stepwise requires --sqrt, batch=1"
+        from diffeqgmrfs_tpu.models.advection_diffusion import (
+            st_prior_toeplitz,
+        )
+        from diffeqgmrfs_tpu.gmrf.conditioning import condition_st_sqrt
+        from diffeqgmrfs_tpu.fem.operators import RowOp
+        from diffeqgmrfs_tpu.ops.packed import ShapeOnly
+        from diffeqgmrfs_tpu.solvers import StepNumberCriterion
 
-    def solve_jit(ic, key):
-        return _solve(ic, key, gn_aux)
+        def _spde(gamma):
+            return AdvectionDiffusionSPDE(
+                gamma=jnp.asarray([gamma]), **spde_static
+            )
+
+        @jax.jit
+        def sw_setup(ic, aux):
+            bulk = jnp.mean(ic)
+            gamma = -c * bulk
+            mu_p, q_top, affine_inst = st_prior_toeplitz(
+                _spde(gamma), disc, ts, mean_offset=bulk,
+                pad_block=args.pad_block,
+            )
+            A_c = RowOp(aux["ic_cols"], aux["ic_vals"], q_top.n)
+            mu_ic, q_ic = condition_st_sqrt(
+                mu_p, q_top, aux["st"].sqrt_ops(gamma), A_c, noise_ic,
+                ic - aux["y_shift"], aux["ic_plan"],
+            )
+            return mu_ic, q_ic, gamma
+
+        def _gn_aux(aux, gamma, q_ic, final_factor):
+            return dict(
+                sqrt_ops=aux["st"].sqrt_ops(gamma)
+                + [(aux["ic_plan"], aux["ic_vals"] * np.sqrt(noise_ic))],
+                ata_window_plan=aux["j_plan"],
+                q_ell=q_ic,
+                q_diag=q_ic.diagonal(),
+                final_factor=final_factor,
+            )
+
+        @jax.jit
+        def sw_step(mu_ic, x_cur, gamma, q_ic, aux):
+            r = gauss_newton(
+                mu_ic, ShapeOnly(q_ic.n, q_ic.N, q_ic.bs), res.f_and_J,
+                noise_fem, jnp.zeros(res.n_rows), x_cur,
+                blueprint=bp_gn, aux=_gn_aux(aux, gamma, q_ic, False),
+                criterion=StepNumberCriterion(1),
+                affine=affine_st,
+            )
+            return r.x_k, r.newton_decrement
+
+        @jax.jit
+        def sw_posterior(mu_ic, x_fin, gamma, q_ic, aux, key):
+            r = gauss_newton(
+                mu_ic, ShapeOnly(q_ic.n, q_ic.N, q_ic.bs), res.f_and_J,
+                noise_fem, jnp.zeros(res.n_rows), x_fin,
+                blueprint=bp_gn, aux=_gn_aux(aux, gamma, q_ic, True),
+                criterion=StepNumberCriterion(0),  # no steps: factor at x_fin
+                affine=affine_st,
+            )
+            post = r.posterior(affine=affine_st, blueprint=bp)
+            pred = E_st.matvec(post.mean()).reshape(N_t, len(x_coords))
+            return pred, post.std(), post.sample(key, 1)
+
+        @jax.jit
+        def sw_icpred(mu_ic):
+            return E_st.matvec(affine_st.free_to_full(mu_ic)).reshape(
+                N_t, len(x_coords)
+            )
+
+        def solve_jit(ic, key):
+            mu_ic, q_ic, gamma = sw_setup(ic, gn_aux)
+            ic_pred = sw_icpred(mu_ic)
+            x = mu_ic
+            n_steps = 0
+            max_steps = getattr(criterion, "bound", 15) or 15
+            for _ in range(max_steps):
+                x, dec = sw_step(mu_ic, x, gamma, q_ic, gn_aux)
+                n_steps += 1
+                if float(dec) < 1e-6:
+                    break
+            pred, std, smp = sw_posterior(mu_ic, x, gamma, q_ic, gn_aux, key)
+            return pred, ic_pred, std, smp, jnp.asarray(n_steps)
+
+    else:
+        _solve = jax.jit(solve_instance)
+
+        def solve_jit(ic, key):
+            return _solve(ic, key, gn_aux)
 
     key = jax.random.PRNGKey(345903459)
     with to("Prior construction + first solve (compile)"):
