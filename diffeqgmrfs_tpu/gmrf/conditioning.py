@@ -170,6 +170,7 @@ def condition_on_observations(
                 x.precision.n, x.precision.N, x.precision.bs,
                 chunk=getattr(bp, "srif_chunk", "auto"),
                 matmul_precision=getattr(bp, "srif_precision", "float32"),
+                qr_impl=getattr(bp, "srif_qr_impl", "xla"),
             )
             rhs = x.precision64.matvec(x.mu) + tau64 * A.rmatvec(
                 jnp.asarray(y, dtype=tau64.dtype)

@@ -390,7 +390,7 @@ class SRIFConditionFactor(MatFreeConditionFactor):
 
     def __init__(self, H_op: SymSumOp, a_plan, sqrt_op, lam_plan, n, N, bs,
                  refine_iters: int = 4, chunk="auto",
-                 matmul_precision: str = "float32"):
+                 matmul_precision: str = "float32", qr_impl: str = "xla"):
         from diffeqgmrfs_tpu.ops.srif import srif_packed_qr
 
         self.H_op = H_op
@@ -407,6 +407,7 @@ class SRIFConditionFactor(MatFreeConditionFactor):
             n, N, bs, dtype=jnp.float32, col_scale=1.0 / self.d,
             chunk_rows=None if chunk == "off" else chunk,
             matmul_precision=matmul_precision,
+            qr_impl=qr_impl,
         )
 
 
@@ -498,7 +499,8 @@ class SRIFNewtonFactor:
     """
 
     def __init__(self, q_ell, q_diag, sqrt_ops, j_plan, Jc, tau,
-                 n, N, bs, refine_iters: int = 4, chunk="auto"):
+                 n, N, bs, refine_iters: int = 4, chunk="auto",
+                 qr_impl: str = "xla"):
         from diffeqgmrfs_tpu.ops.srif import srif_packed_qr
 
         self.q_ell = q_ell
@@ -514,6 +516,7 @@ class SRIFNewtonFactor:
         self.F32 = srif_packed_qr(
             ops, n, N, bs, dtype=jnp.float32, col_scale=1.0 / self.d,
             chunk_rows=None if chunk == "off" else chunk,
+            qr_impl=qr_impl,
         )
 
     def _apply_H(self, t):

@@ -98,6 +98,37 @@ def _shifted_cholqr(P, passes: int = 2):
     return P, R_acc
 
 
+def _bhh_qr_r(T, panel: int = 512, reorth: bool = True):
+    """R factor of T [m, n] by blocked HOUSEHOLDER panels + GEMM trailing
+    updates: each panel is factored by XLA's Householder QR (orthonormal to
+    ~eps), and the trailing block is updated as A - Q (Q^T A) — two
+    MXU-rate GEMMs instead of Householder's serialized reflector
+    applications over the whole width. This is block Gram-Schmidt with
+    Householder-quality panels; `reorth` adds a second projection pass
+    (BCGS2), restoring near-Householder factor quality at the cost of two
+    extra GEMMs per panel (the trailing GEMMs dominate, so the QR rides
+    the MXU at a large fraction of peak instead of XLA qr's ~50%).
+    """
+    m, n = T.shape
+    A = T
+    R = jnp.zeros((n, n), T.dtype)
+    for j in range(0, n, panel):
+        pj = min(panel, n - j)
+        Qp, Rp = jnp.linalg.qr(A[:, j : j + pj], mode="reduced")
+        R = R.at[j : j + pj, j : j + pj].set(Rp[:pj])
+        if j + pj < n:
+            Tr = A[:, j + pj :]
+            S = Qp.T @ Tr
+            Tr = Tr - Qp @ S
+            if reorth:
+                S2 = Qp.T @ Tr
+                Tr = Tr - Qp @ S2
+                S = S + S2
+            A = A.at[:, j + pj :].set(Tr)
+            R = R.at[j : j + pj, j + pj :].set(S[:pj])
+    return R
+
+
 def _bcgs_qr_r(T, panel: int = 512, passes: int = 3):
     """R factor of T [m, n] by right-looking block Gram-Schmidt with
     shifted-CholQR panels — QR built ENTIRELY from GEMM/TRSM (MXU-rate,
@@ -221,6 +252,8 @@ def srif_packed_qr(
     def qr_r(T):
         if qr_impl == "bcgs":
             return _bcgs_qr_r(T, panel=panel)[: 2 * bs]
+        if qr_impl == "bhh":
+            return _bhh_qr_r(T, panel=panel)[: 2 * bs]
         return jnp.linalg.qr(T, mode="r")[: 2 * bs]
 
     def reduce_window(b, carry):

@@ -81,6 +81,10 @@ class CholeskySolverBlueprint:
     # "tensorfloat32" (faster trailing updates; refinement absorbs the
     # reduced factor accuracy while 2e-6 * sqrt(cond H) < 1)
     srif_precision: str = "float32"
+    # SRIF QR engine: "xla" (monolithic Householder), "bhh" (blocked
+    # Householder panels + GEMM trailing updates — MXU-rate bulk), "bcgs"
+    # (experimental all-GEMM Gram-Schmidt)
+    srif_qr_impl: str = "xla"
 
 
 @dataclass(frozen=True)

@@ -173,6 +173,7 @@ def blueprint_gn_kwargs(bp, Q, aux=None) -> dict:
             kw["q_diag"] = q_op.diagonal()
         kw["final_factor"] = aux.get("final_factor", True)
         kw["final_gemm"] = getattr(bp, "gemm_solves", False)
+        kw["srif_qr_impl"] = getattr(bp, "srif_qr_impl", "xla")
         kw["materialize_H"] = False
     else:
         kw["mixed_precision"] = getattr(bp, "mixed_precision", False)
@@ -309,6 +310,7 @@ def gauss_newton_solve(
     damping: bool = False,
     final_factor: bool = False,
     final_gemm: bool = False,
+    srif_qr_impl: str = "xla",
 ) -> GaussNewtonResult:
     """Functional Gauss-Newton loop (jit/vmap-friendly).
 
@@ -456,7 +458,7 @@ def gauss_newton_solve(
 
             F = SRIFNewtonFactor(
                 q_ell, q_diag, sqrt_ops, ata_window_plan, Jc, tau,
-                Q.n, Q.N, Q.bs,
+                Q.n, Q.N, Q.bs, qr_impl=srif_qr_impl,
             )
             x_new = F.solve(rhs)
             dx = x_new - x
@@ -545,7 +547,7 @@ def gauss_newton_solve(
 
         fac = SRIFNewtonFactor(
             q_ell, q_diag, sqrt_ops, ata_window_plan, Jc_fin, tau,
-            Q.n, Q.N, Q.bs,
+            Q.n, Q.N, Q.bs, qr_impl=srif_qr_impl,
         )
         if final_gemm:
             from diffeqgmrfs_tpu.ops.packed import PackedBTDRFullFactor
