@@ -75,10 +75,21 @@ def condition_st_sqrt(
     precision,
     y,
     a_plan,
-    refine_iters: int = 4,
+    refine_iters: int = 1,
 ):
     """IC conditioning of a Toeplitz-form ST prior through the SRIF
-    square-root machinery — no f64 BTD anywhere: -> (mu_ic, q_top_ic).
+    square-root machinery — no f64 BTD anywhere:
+    -> (mu_ic, q_top_ic, eta_ic).
+
+    `eta_ic = Q mu_prior + tau A^T y` is the EXACT (f64, solve-free)
+    information vector of the conditioned prior: downstream Gauss-Newton
+    should consume it via `aux["q_mu"]` so the MAP problem is exact even
+    when `mu_ic` itself is only approximately solvable — at fine-dt
+    production sizes (Burgers N_x >= 800 x N_t = 100) the conditioned
+    prior's equilibrated condition exceeds even the sqrt-factor f32 range
+    and the refinement for mu_ic DIVERGES past the first correction
+    (hence refine_iters=1; mu_ic is report/initial-iterate grade, ~0.5%
+    relative at N_x=800).
 
     The posterior precision H = Q + tau A^T A is factored as the windowed
     QR of [prior sqrt operands; sqrt(tau) A] (exactly the Gauss-Newton
@@ -96,10 +107,10 @@ def condition_st_sqrt(
         q_top, q_top.diagonal(), prior_sqrt_ops, a_plan, A_c, tau,
         q_top.n, q_top.N, q_top.bs, refine_iters=refine_iters,
     )
-    rhs = q_top.matvec(mu_prior) + tau * A_c.rmatvec(
+    eta = q_top.matvec(mu_prior) + tau * A_c.rmatvec(
         jnp.asarray(y, dtype=q_top.dtype)
     )
-    mu_ic = F.solve(rhs)
+    mu_ic = F.solve(eta)
     # observation update on the first block: d_first += tau * A_0^T A_0
     bs = q_top.bs
     n_rows = A_c.n_rows
@@ -111,7 +122,7 @@ def condition_st_sqrt(
     q_ic = ToeplitzBTD(
         d_first, q_top.d_mid, q_top.d_last, q_top.off, q_top.N, q_top.n
     )
-    return mu_ic, q_ic
+    return mu_ic, q_ic, eta
 
 
 def condition_on_observations(

@@ -171,6 +171,8 @@ def blueprint_gn_kwargs(bp, Q, aux=None) -> dict:
             q_op = ToeplitzBTD.from_btd(Q)
             kw["q_ell"] = q_op
             kw["q_diag"] = q_op.diagonal()
+        if aux.get("q_mu") is not None:
+            kw["q_mu"] = aux["q_mu"]
         kw["final_factor"] = aux.get("final_factor", True)
         kw["final_gemm"] = getattr(bp, "gemm_solves", False)
         kw["srif_qr_impl"] = getattr(bp, "srif_qr_impl", "xla")
@@ -311,6 +313,7 @@ def gauss_newton_solve(
     final_factor: bool = False,
     final_gemm: bool = False,
     srif_qr_impl: str = "xla",
+    q_mu=None,
 ) -> GaussNewtonResult:
     """Functional Gauss-Newton loop (jit/vmap-friendly).
 
@@ -423,7 +426,14 @@ def gauss_newton_solve(
             v = vals[:, :, None] * vals[:, None, :]
             return pat.scatter(v.reshape(-1))
 
-    if q_toeplitz is not None:
+    if q_mu is not None:
+        # exact prior INFORMATION vector eta = Q mu (+ tau_b A^T y for a
+        # conditioned prior), supplied directly: the MAP problem is fully
+        # determined by (Q, eta) — no solved conditioned mean needed, which
+        # matters when the conditioned prior alone is beyond factorable
+        # range (fine-dt ST priors at N_x >= 800; RESULTS.md round 2)
+        Qmu = jnp.asarray(q_mu)
+    elif q_toeplitz is not None:
         Qmu = q_toeplitz.matvec(mu_prior)
     elif use_ell:
         Qmu = q_ell.matvec(mu_prior)
@@ -500,10 +510,13 @@ def gauss_newton_solve(
 
             def phi(xc):
                 f_c, _ = f_and_J(full(xc))  # J is dead -> DCE'd
-                dmu = xc - mu_prior
-                return tau * jnp.sum((f_c - y) ** 2) + jnp.dot(
-                    dmu, q_matvec(dmu)
-                )
+                if q_mu is not None:
+                    # (x-mu)'Q(x-mu) = x'Qx - 2 x'eta + const(mu)
+                    quad = jnp.dot(xc, q_matvec(xc)) - 2.0 * jnp.dot(xc, Qmu)
+                else:
+                    dmu = xc - mu_prior
+                    quad = jnp.dot(dmu, q_matvec(dmu))
+                return tau * jnp.sum((f_c - y) ** 2) + quad
 
             alphas = (1.0, 0.5, 0.25, 0.125)
             cands = jnp.stack([x + a * dx for a in alphas])

@@ -241,7 +241,7 @@ def main():
             )
             prior_ops = aux["st"].sqrt_ops(gamma)
             A_c = RowOp(aux["ic_cols"], aux["ic_vals"], q_top.n)
-            mu_ic, q_ic = condition_st_sqrt(
+            mu_ic, q_ic, eta_ic = condition_st_sqrt(
                 mu_p, q_top, prior_ops, A_c, noise_ic,
                 ic - aux["y_shift"], aux["ic_plan"],
             )
@@ -254,6 +254,7 @@ def main():
                 ata_window_plan=aux["j_plan"],
                 q_ell=q_ic,
                 q_diag=q_ic.diagonal(),
+                q_mu=eta_ic,  # exact information vector (see condition_st_sqrt)
             )
             result = gauss_newton(
                 mu_ic,
@@ -322,39 +323,40 @@ def main():
                 pad_block=args.pad_block,
             )
             A_c = RowOp(aux["ic_cols"], aux["ic_vals"], q_top.n)
-            mu_ic, q_ic = condition_st_sqrt(
+            mu_ic, q_ic, eta_ic = condition_st_sqrt(
                 mu_p, q_top, aux["st"].sqrt_ops(gamma), A_c, noise_ic,
                 ic - aux["y_shift"], aux["ic_plan"],
             )
-            return mu_ic, q_ic, gamma
+            return mu_ic, q_ic, eta_ic, gamma
 
-        def _gn_aux(aux, gamma, q_ic, final_factor):
+        def _gn_aux(aux, gamma, q_ic, eta_ic, final_factor):
             return dict(
                 sqrt_ops=aux["st"].sqrt_ops(gamma)
                 + [(aux["ic_plan"], aux["ic_vals"] * np.sqrt(noise_ic))],
                 ata_window_plan=aux["j_plan"],
                 q_ell=q_ic,
                 q_diag=q_ic.diagonal(),
+                q_mu=eta_ic,
                 final_factor=final_factor,
             )
 
         @jax.jit
-        def sw_step(mu_ic, x_cur, gamma, q_ic, aux):
+        def sw_step(mu_ic, x_cur, gamma, q_ic, eta_ic, aux):
             r = gauss_newton(
                 mu_ic, ShapeOnly(q_ic.n, q_ic.N, q_ic.bs), res.f_and_J,
                 noise_fem, jnp.zeros(res.n_rows), x_cur,
-                blueprint=bp_gn, aux=_gn_aux(aux, gamma, q_ic, False),
+                blueprint=bp_gn, aux=_gn_aux(aux, gamma, q_ic, eta_ic, False),
                 criterion=StepNumberCriterion(1),
                 affine=affine_st,
             )
             return r.x_k, r.newton_decrement
 
         @jax.jit
-        def sw_posterior(mu_ic, x_fin, gamma, q_ic, aux, key):
+        def sw_posterior(mu_ic, x_fin, gamma, q_ic, eta_ic, aux, key):
             r = gauss_newton(
                 mu_ic, ShapeOnly(q_ic.n, q_ic.N, q_ic.bs), res.f_and_J,
                 noise_fem, jnp.zeros(res.n_rows), x_fin,
-                blueprint=bp_gn, aux=_gn_aux(aux, gamma, q_ic, True),
+                blueprint=bp_gn, aux=_gn_aux(aux, gamma, q_ic, eta_ic, True),
                 criterion=StepNumberCriterion(0),  # no steps: factor at x_fin
                 affine=affine_st,
             )
@@ -369,17 +371,19 @@ def main():
             )
 
         def solve_jit(ic, key):
-            mu_ic, q_ic, gamma = sw_setup(ic, gn_aux)
+            mu_ic, q_ic, eta_ic, gamma = sw_setup(ic, gn_aux)
             ic_pred = sw_icpred(mu_ic)
             x = mu_ic
             n_steps = 0
             max_steps = getattr(criterion, "bound", 15) or 15
             for _ in range(max_steps):
-                x, dec = sw_step(mu_ic, x, gamma, q_ic, gn_aux)
+                x, dec = sw_step(mu_ic, x, gamma, q_ic, eta_ic, gn_aux)
                 n_steps += 1
                 if float(dec) < 1e-6:
                     break
-            pred, std, smp = sw_posterior(mu_ic, x, gamma, q_ic, gn_aux, key)
+            pred, std, smp = sw_posterior(
+                mu_ic, x, gamma, q_ic, eta_ic, gn_aux, key
+            )
             return pred, ic_pred, std, smp, jnp.asarray(n_steps)
 
     else:

@@ -225,3 +225,48 @@ def test_rfull_gemm_solver_matches():
     assert abs(float(G.log_det()) - float(F.log_det())) < 1e-4
     s = G.sample_zero_mean(jax.random.PRNGKey(0), 3)
     assert s.shape == (3, n)
+
+
+def test_condition_st_sqrt_matches_f64():
+    """SRIF IC conditioning (Toeplitz prior, J := A_ic) vs the exact f64
+    conditioning: mean, conditioned-precision action, information vector."""
+    from diffeqgmrfs_tpu.models.advection_diffusion import st_prior_toeplitz
+    from diffeqgmrfs_tpu.gmrf.conditioning import condition_st_sqrt
+
+    N_x, N_t, nu = 20, 6, 0.05
+    disc = periodic_unit_interval_discretization(N_x, element_order=2)
+    ts = np.linspace(0.0, 0.4, N_t)
+    xs = np.linspace(0, 1, 25)
+    ic = 0.7 + 0.3 * np.sin(2 * np.pi * xs)
+    gamma = -4.0
+    spde = _spde(N_x, nu=nu, gamma=gamma)
+
+    # exact f64 reference
+    x = discretize_advection_diffusion(spde, disc, ts)
+    A_ic = spatial_to_spatiotemporal(evaluation_matrix(disc, xs), 0, N_t)
+    x_ic = condition_on_observations(x, A_ic, 1e8, jnp.asarray(ic))
+    mu_ref = np.asarray(x_ic.inner_gmrf.mean())
+    Q_ref = np.asarray(x_ic.inner_gmrf.precision.to_dense())
+
+    # SRIF/Toeplitz path
+    from diffeqgmrfs_tpu.ops.srif import rowop_window_plan
+
+    mu_p, q_top, affine = st_prior_toeplitz(spde, disc, ts)
+    st = st_sqrt_ops(spde, disc, ts)
+    A_c = affine.condense_rowop(A_ic)
+    ic_plan = rowop_window_plan(A_c, q_top.n, q_top.bs)
+    mu_ic, q_ic, eta = condition_st_sqrt(
+        mu_p, q_top, st.sqrt_ops(gamma), A_c, 1e8, jnp.asarray(ic), ic_plan,
+        refine_iters=3,
+    )
+    # information vector is exact: eta = Q_ic mu_ref
+    eta_ref = Q_ref @ mu_ref
+    assert np.allclose(np.asarray(eta), eta_ref, rtol=1e-9, atol=1e-6)
+    # conditioned Toeplitz action matches the f64 conditioned precision
+    v = np.random.default_rng(0).normal(size=q_top.n)
+    assert np.allclose(
+        np.asarray(q_ic.matvec(jnp.asarray(v))), Q_ref @ v, rtol=1e-10
+    )
+    # mean agrees to refinement accuracy at this (well-conditioned) size
+    rel = np.linalg.norm(np.asarray(mu_ic) - mu_ref) / np.linalg.norm(mu_ref)
+    assert rel < 1e-6, rel
