@@ -82,3 +82,47 @@ def collect_results(directory: str) -> list[dict]:
             d["path"] = os.path.join(directory, name)
             out.append(d)
     return out
+
+
+class IncrementalSaver:
+    """Per-instance JSONL checkpointing for long sweeps.
+
+    The reference saves results only at the very end (`@tagsave`,
+    SURVEY.md §5.4) — a crash loses the run. Here the relay environment
+    demonstrably kills workers mid-sweep (RESULTS.md kernel faults), so
+    drivers append each instance's metrics to `<savename>.partial.jsonl`
+    as they complete and SKIP already-recorded instances on restart;
+    `finalize()` folds the rows into the usual tagsave dict and removes
+    the partial file.
+    """
+
+    def __init__(self, path_base: str):
+        self.path = path_base + ".partial.jsonl"
+        self.done: dict[int, dict] = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        row = json.loads(line)
+                        self.done[int(row["i"])] = row
+
+    def has(self, i: int) -> bool:
+        return int(i) in self.done
+
+    def get(self, i: int) -> dict:
+        return self.done[int(i)]
+
+    def record(self, i: int, **metrics):
+        row = {"i": int(i), **metrics}
+        self.done[int(i)] = row
+        with open(self.path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        return row
+
+    def rows(self):
+        return [self.done[i] for i in sorted(self.done)]
+
+    def finalize(self, keep: bool = False):
+        if not keep and os.path.exists(self.path):
+            os.remove(self.path)

@@ -398,24 +398,38 @@ def main():
         to.sync(out[0])
 
     N = 3 if args.dry_run else len(ds)
-    cols = {k: [] for k in (
-        "rel_errs", "rmses", "max_errs", "ic_rel_errs", "ic_rmses",
-        "ic_max_errs", "std_norms", "N_newton_steps", "optimization_times")}
+    KEYS = ("rel_errs", "rmses", "max_errs", "ic_rel_errs", "ic_rmses",
+            "ic_max_errs", "std_norms", "N_newton_steps",
+            "optimization_times")
+    cols = {k: [] for k in KEYS}
+    # mid-sweep checkpointing: per-instance JSONL; restarts after a relay
+    # worker crash skip completed instances (utils/results.IncrementalSaver)
+    from diffeqgmrfs_tpu.utils.results import IncrementalSaver
+
+    saver = IncrementalSaver(
+        os.path.join(datadir("sims", "burgers", "gmrf-fem"), savename(params))
+    )
 
     def record(i, pred, ic_pred, std, n_steps, opt_time):
         soln = jnp.asarray(ds.get_solution(i))[1:]
-        cols["rel_errs"].append(float(rel_err(pred[1:], soln)))
-        cols["rmses"].append(float(rmse(pred[1:], soln)))
-        cols["max_errs"].append(float(max_err(pred[1:], soln)))
-        cols["ic_rel_errs"].append(float(rel_err(ic_pred[1:], soln)))
-        cols["ic_rmses"].append(float(rmse(ic_pred[1:], soln)))
-        cols["ic_max_errs"].append(float(max_err(ic_pred[1:], soln)))
-        cols["std_norms"].append(float(jnp.linalg.norm(std)))
-        cols["N_newton_steps"].append(int(n_steps))
-        cols["optimization_times"].append(opt_time)
+        row = saver.record(
+            i,
+            rel_errs=float(rel_err(pred[1:], soln)),
+            rmses=float(rmse(pred[1:], soln)),
+            max_errs=float(max_err(pred[1:], soln)),
+            ic_rel_errs=float(rel_err(ic_pred[1:], soln)),
+            ic_rmses=float(rmse(ic_pred[1:], soln)),
+            ic_max_errs=float(max_err(ic_pred[1:], soln)),
+            std_norms=float(jnp.linalg.norm(std)),
+            N_newton_steps=int(n_steps),
+            optimization_times=opt_time,
+        )
+        _log_row(i, row)
+
+    def _log_row(i, row):
         log.info(
             "instance %d: rel_err=%.3e (ic-only %.3e), %d Newton steps",
-            i, cols["rel_errs"][-1], cols["ic_rel_errs"][-1], int(n_steps),
+            i, row["rel_errs"], row["ic_rel_errs"], int(row["N_newton_steps"]),
         )
 
     sweep_t0 = None
@@ -449,6 +463,9 @@ def main():
             throughput = thr
     else:
         for i in range(N):
+            if saver.has(i):
+                _log_row(i, saver.get(i))
+                continue
             ic = jnp.asarray(ds.get_initial_condition(i))
             cur = PhaseTimers()
             with cur("Optimization"):
@@ -458,11 +475,15 @@ def main():
                 cur.sync(pred)
             record(i, pred, ic_pred, std, n_steps, cur.time("Optimization"))
 
+    for row in saver.rows():
+        for k in KEYS:
+            cols[k].append(row[k])
     out = dict(throughput_inst_per_s=throughput, **cols,
                timers=to.as_dict(), **params)
     path = tagsave(
         os.path.join(datadir("sims", "burgers", "gmrf-fem"), savename(params)), out
     )
+    saver.finalize()
     log.info("mean rel_err = %.4e", float(np.mean(cols["rel_errs"])))
     log.info("saved %s", path)
 
