@@ -326,23 +326,43 @@ def main():
             log.info("throughput (post-compile): %.2f instances/s", thr)
             throughput = thr
     else:
+        # mid-sweep checkpointing: restarts after an infrastructure fault
+        # resume at the first unrecorded instance
+        from diffeqgmrfs_tpu.utils.results import IncrementalSaver
+
+        saver = IncrementalSaver(
+            os.path.join(datadir("sims", "darcy", "gmrf-fem"), savename(params))
+        )
         for i in range(N):
-            soln, coeff = ds.get_problem(i)
-            cur = PhaseTimers()
-            with cur("Conditioning"):
-                pred, std, smp, sqm, nll = solve_jit(
-                    jnp.asarray(coeff), jax.random.fold_in(key, i),
-                    jnp.asarray(np.asarray(soln).reshape(-1)),
+            if saver.has(i):
+                row = saver.get(i)
+            else:
+                soln, coeff = ds.get_problem(i)
+                cur = PhaseTimers()
+                with cur("Conditioning"):
+                    pred, std, smp, sqm, nll = solve_jit(
+                        jnp.asarray(coeff), jax.random.fold_in(key, i),
+                        jnp.asarray(np.asarray(soln).reshape(-1)),
+                    )
+                    cur.sync(pred, std, smp)
+                row = saver.record(
+                    i,
+                    rel_err=float(rel_err(pred, jnp.asarray(soln))),
+                    rmse=float(rmse(pred, jnp.asarray(soln))),
+                    max_err=float(max_err(pred, jnp.asarray(soln))),
+                    std_norm=float(jnp.linalg.norm(std)),
+                    sqmahal=float(sqm) if args.nll else None,
+                    nll=float(nll) if args.nll else None,
+                    cond_time=cur.time("Conditioning"),
                 )
-                cur.sync(pred, std, smp)
-            rel_errs.append(float(rel_err(pred, jnp.asarray(soln))))
-            rmses.append(float(rmse(pred, jnp.asarray(soln))))
-            max_errs.append(float(max_err(pred, jnp.asarray(soln))))
-            std_norms.append(float(jnp.linalg.norm(std)))
+            rel_errs.append(row["rel_err"])
+            rmses.append(row["rmse"])
+            max_errs.append(row["max_err"])
+            std_norms.append(row["std_norm"])
             if args.nll:
-                sqmahals.append(float(sqm))
-                nlls.append(float(nll))
-            cond_times.append(cur.time("Conditioning"))
+                sqmahals.append(row["sqmahal"])
+                nlls.append(row["nll"])
+            cond_times.append(row["cond_time"])
             log.info("instance %d: rel_err=%.3e", i, rel_errs[-1])
             if (i + 1) % 10 == 0:
                 log.info("Finished %d / %d", i + 1, N)
@@ -363,6 +383,8 @@ def main():
     path = tagsave(
         os.path.join(datadir("sims", "darcy", "gmrf-fem"), savename(params)), out
     )
+    if args.batch <= 1:
+        saver.finalize()
     log.info("mean rel_err = %.4e", float(np.mean(rel_errs)))
     log.info("saved %s", path)
 

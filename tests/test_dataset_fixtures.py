@@ -77,3 +77,22 @@ def test_burgers_pdebench_hdf5_fixture(tmp_path):
     assert ds.nu == 0.001
     assert np.allclose(ds.get_solution(1), tensor[1])
     assert np.allclose(ds.get_initial_condition(0), tensor[0, 0])
+
+
+def test_incremental_saver(tmp_path):
+    from diffeqgmrfs_tpu.utils.results import IncrementalSaver
+
+    base = str(tmp_path / "run.json")
+    s = IncrementalSaver(base)
+    s.record(0, rel_err=0.1)
+    s.record(2, rel_err=0.3)
+    # restart picks up completed instances
+    s2 = IncrementalSaver(base)
+    assert s2.has(0) and s2.has(2) and not s2.has(1)
+    assert s2.get(2)["rel_err"] == 0.3
+    s2.record(1, rel_err=0.2)
+    assert [r["i"] for r in s2.rows()] == [0, 1, 2]
+    s2.finalize()
+    import os as _os
+
+    assert not _os.path.exists(base + ".partial.jsonl")
