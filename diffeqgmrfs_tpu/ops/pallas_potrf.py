@@ -172,6 +172,21 @@ def potrf_winv(A, interpret: bool = False):
     if n % PANEL:
         raise ValueError(f"n={n} must be a multiple of {PANEL}")
     nP = n // PANEL
+    # Mosaic kernels traced under jax_enable_x64=True fail the relay's AOT
+    # compile helper (see ops/pallas_btd._sweep); trace f32 kernels with
+    # x64 locally disabled
+    import contextlib
+
+    ctx = (
+        jax.enable_x64(False)
+        if A.dtype == jnp.float32 and not interpret
+        else contextlib.nullcontext()
+    )
+    with ctx:
+        return _potrf_call(A, n, nP, interpret)
+
+
+def _potrf_call(A, n, nP, interpret):
     kernel = partial(_potrf_kernel, n, nP)
     L, W = pl.pallas_call(
         kernel,
