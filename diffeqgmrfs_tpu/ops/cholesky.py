@@ -152,6 +152,36 @@ class BTDCholesky:
         return int(self.Ls.size + self.Cs.size)
 
 
+def btd_cholesky_pallas(A: BTD, interpret: bool = False) -> BTDCholesky:
+    """BTD factor sweep with the Pallas panel-streamed POTRF
+    (ops/pallas_potrf.py): the per-block chol runs in one VMEM-resident
+    kernel (no per-column HBM sync) and emits panel inverses, so the
+    sweep's TRSM C_i = B_i L^{-T} is a short GEMM chain. f32, block size
+    a multiple of 256."""
+    from diffeqgmrfs_tpu.ops.pallas_potrf import (
+        potrf_winv,
+        tsolve_right_T_winv,
+    )
+
+    with jax.default_matmul_precision("float32"):
+        L0, W0 = potrf_winv(A.diag[0], interpret=interpret)
+        L0 = jnp.tril(L0)
+        if A.N == 1:
+            return BTDCholesky(L0[None], A.lower, A.n)
+
+        def step(carry, inp):
+            L_prev, W_prev = carry
+            D_i, B_i = inp
+            C = tsolve_right_T_winv(L_prev, W_prev, B_i)
+            S = D_i - C @ C.T
+            L_i, W_i = potrf_winv(S, interpret=interpret)
+            L_i = jnp.tril(L_i)
+            return (L_i, W_i), (L_i, C)
+
+        _, (Ls, Cs) = lax.scan(step, (L0, W0), (A.diag[1:], A.lower))
+        return BTDCholesky(jnp.concatenate([L0[None], Ls], axis=0), Cs, A.n)
+
+
 def btd_cholesky(A: BTD, panel: int | None = None) -> BTDCholesky:
     """Factor a symmetric positive-definite BTD matrix.
 

@@ -48,3 +48,21 @@ def test_potrf_kernel_interpret():
     C = np.asarray(tsolve_right_T_winv(jnp.asarray(L), W, jnp.asarray(B)))
     C0 = np.linalg.solve(L0, B.T.astype(np.float64)).T
     assert np.abs(C - C0).max() / np.abs(C0).max() < 1e-5
+
+
+def test_btd_cholesky_pallas_interpret():
+    from diffeqgmrfs_tpu.ops import BTD
+    from diffeqgmrfs_tpu.ops.cholesky import btd_cholesky, btd_cholesky_pallas
+
+    rng = np.random.default_rng(2)
+    N, bs = 4, PANEL
+    diag = np.stack([_spd(rng, bs) for _ in range(N)])
+    lower = (rng.normal(size=(N - 1, bs, bs)) * 0.02).astype(np.float32)
+    A = BTD(jnp.asarray(diag), jnp.asarray(lower), N * bs)
+    F0 = btd_cholesky(A)
+    F = btd_cholesky_pallas(A, interpret=True)
+    assert np.allclose(np.asarray(F.Ls), np.asarray(F0.Ls), atol=2e-3)
+    b = rng.normal(size=(A.n,)).astype(np.float32)
+    x0 = np.asarray(F0.solve(jnp.asarray(b)))
+    x = np.asarray(F.solve(jnp.asarray(b)))
+    assert np.linalg.norm(x - x0) / np.linalg.norm(x0) < 1e-4
