@@ -449,6 +449,37 @@ class PackedBTDRFactor:
     def nnz(self) -> int:
         return int(self.P.size)
 
+    def _with_P(self, P):
+        return type(self)(P, self.n, self.block)
+
+    def clamp_diag(self, rel_floor: float = 2e-7):
+        """Floor |R_ii| at rel_floor * max |R_ii| (slot-local passes).
+
+        An f32 QR of a system beyond the sqrt-factor's range leaves
+        near-zero diagonals in the unresolvable directions; triangular
+        solves through them overflow to Inf/NaN. Flooring bounds the
+        solve there — the perturbation lives where f32 carries no
+        information anyway, and Gauss-Newton/refinement absorb it."""
+        bs = self.bs
+        didx = jnp.arange(bs) * (bs + 1)
+
+        def mx(i, m):
+            slot = lax.dynamic_slice(self.P, (i, 0), (1, bs * bs))[0]
+            return jnp.maximum(m, jnp.max(jnp.abs(slot[didx])))
+
+        dmax = lax.fori_loop(0, self.N, mx, jnp.zeros((), self.dtype))
+        floor = rel_floor * dmax
+
+        def fix(i, P):
+            slot = lax.dynamic_slice(P, (i, 0), (1, bs * bs))[0]
+            d = slot[didx]
+            newd = jnp.where(jnp.abs(d) < floor, floor, d)
+            slot = slot.at[didx].set(newd)
+            return lax.dynamic_update_slice(P, slot[None], (i, 0))
+
+        P = lax.fori_loop(0, self.N, fix, self.P)
+        return self._with_P(P)
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
@@ -602,6 +633,11 @@ class PackedBTDRFullFactor:
 
     def nnz(self) -> int:
         return int(self.P.size + self.U.size)
+
+    def _with_P(self, P):
+        return type(self)(P, self.U, self.n, self.block)
+
+    clamp_diag = PackedBTDRFactor.clamp_diag
 
 
 def packed_cholesky(H: PackedBTD) -> PackedBTDCholesky:

@@ -517,7 +517,7 @@ class SRIFNewtonFactor:
             ops, n, N, bs, dtype=jnp.float32, col_scale=1.0 / self.d,
             chunk_rows=None if chunk == "off" else chunk,
             qr_impl=qr_impl,
-        )
+        ).clamp_diag()
 
     def _apply_H(self, t):
         return self.q_ell.matvec(t) + self.tau * self.Jc.rmatvec(
@@ -534,11 +534,24 @@ class SRIFNewtonFactor:
         return self.F32.solve(b.astype(jnp.float32)).astype(b.dtype)
 
     def solve(self, b):
+        """Monotone (safeguarded) refinement: a correction is kept only if
+        it reduces the true residual. Beyond the sqrt-factor's f32 range
+        (fine-dt ST systems at N_x >= 800 x N_t = 100, RESULTS.md round 2)
+        plain refinement DIVERGES at ~2x/iter; the safeguard pins the
+        solve at first-solve quality instead of amplifying to NaN."""
         b = jnp.asarray(b)
         bs_ = b / self.d
         y = self._solve32(bs_)
+        r = bs_ - self._apply_Hs(y)
+        rn = jnp.linalg.norm(r)
         for _ in range(self.refine_iters):
-            y = y + self._solve32(bs_ - self._apply_Hs(y))
+            y_new = y + self._solve32(r)
+            r_new = bs_ - self._apply_Hs(y_new)
+            rn_new = jnp.linalg.norm(r_new)
+            keep = jnp.isfinite(rn_new) & (rn_new < rn)
+            y = jnp.where(keep, y_new, y)
+            r = jnp.where(keep, r_new, r)
+            rn = jnp.where(keep, rn_new, rn)
         return y / self.d
 
     # -- posterior-factor surface (drop-in for GMRF.factor) ------------------
