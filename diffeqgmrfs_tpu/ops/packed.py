@@ -534,24 +534,31 @@ class PackedBTDRFullFactor:
         return lax.dynamic_slice(self.U, (i, 0), (1, bs * bs)).reshape(bs, bs)
 
     def forward_solve(self, b):
-        """R^T y = b (forward sweep; step i reads R[i-1,i] from U[i-1])."""
+        """R^T y = b (forward sweep; step i reads R[i-1,i] from U[i-1]).
+
+        The sweep runs in the RHS dtype: with an f64 rhs, factor slots are
+        cast per step — f64 substitution through the f32 factor. TPU's
+        f32 triangular-solve path overflows to NaN on cond(R) ~ 1e8
+        factors (N800 x 100, RESULTS.md round 2) while substitution is
+        only O(N bs^2) work."""
         with jax.default_matmul_precision("float32"):
             bs = self.block
             bb, batch_shape = self._to_blocks(b)
+            dt = bb.dtype
             y0 = lax.linalg.triangular_solve(
-                jnp.triu(self.P[0].reshape(bs, bs)), bb[0],
+                jnp.triu(self.P[0].reshape(bs, bs)).astype(dt), bb[0],
                 left_side=True, lower=False, transpose_a=True,
             )
 
             def step(y_prev, inp):
                 i, b_i = inp
-                U_im1 = self._uslot(i - 1)
+                U_im1 = self._uslot(i - 1).astype(dt)
                 # U^T @ y as a dim-0 contraction (no materialized transpose)
                 t = b_i - lax.dot_general(
                     U_im1, y_prev, (((0,), (0,)), ((), ()))
                 )
                 y_i = lax.linalg.triangular_solve(
-                    jnp.triu(self._slot(i)), t,
+                    jnp.triu(self._slot(i)).astype(dt), t,
                     left_side=True, lower=False, transpose_a=True,
                 )
                 return y_i, y_i
@@ -564,20 +571,22 @@ class PackedBTDRFullFactor:
             return self._from_blocks(yb, batch_shape)
 
     def backward_solve(self, b):
-        """R x = b (reverse sweep)."""
+        """R x = b (reverse sweep; runs in the RHS dtype, see forward)."""
         with jax.default_matmul_precision("float32"):
             bs = self.block
             bb, batch_shape = self._to_blocks(b)
+            dt = bb.dtype
             xN = lax.linalg.triangular_solve(
-                jnp.triu(self.P[-1].reshape(bs, bs)), bb[-1],
+                jnp.triu(self.P[-1].reshape(bs, bs)).astype(dt), bb[-1],
                 left_side=True, lower=False,
             )
 
             def step(x_next, inp):
                 i, b_i = inp
-                t = b_i - self._uslot(i) @ x_next
+                t = b_i - self._uslot(i).astype(dt) @ x_next
                 x_i = lax.linalg.triangular_solve(
-                    jnp.triu(self._slot(i)), t, left_side=True, lower=False
+                    jnp.triu(self._slot(i)).astype(dt), t,
+                    left_side=True, lower=False,
                 )
                 return x_i, x_i
 

@@ -531,7 +531,9 @@ class SRIFNewtonFactor:
         return self._apply_H(y / self.d) / self.d
 
     def _solve32(self, b):
-        return self.F32.solve(b.astype(jnp.float32)).astype(b.dtype)
+        # f64 substitution through the f32 factor (O(N bs^2) — negligible
+        # vs the QR; avoids the TPU f32 triangular overflow at high cond)
+        return self.F32.solve(b)
 
     def solve(self, b):
         """Monotone (safeguarded) refinement: a correction is kept only if
