@@ -330,19 +330,24 @@ class PackedBTDRFactor:
         return lax.dynamic_slice(self.P, (i, 0), (1, bs * bs)).reshape(bs, bs)
 
     def forward_solve(self, b):
-        """R^T y = b (forward sweep; step b reads R[b-1,b] from slot b-1)."""
+        """R^T y = b (forward sweep; step b reads R[b-1,b] from slot b-1).
+
+        Runs in the RHS dtype (factor slots cast per step): f64 rhs gives
+        f64 substitution through the f32 factor — see the full-offdiag
+        variant's docstring."""
         with jax.default_matmul_precision("float32"):
             bs = self.block
             bb, batch_shape = self._to_blocks(b)
+            dt = bb.dtype
             y0 = lax.linalg.triangular_solve(
-                jnp.triu(self.P[0].reshape(bs, bs)), bb[0],
+                jnp.triu(self.P[0].reshape(bs, bs)).astype(dt), bb[0],
                 left_side=True, lower=False, transpose_a=True,
             )
 
             def step(y_prev, inp):
                 i, b_i = inp
-                P_im1 = self._slot(i - 1)
-                P_i = self._slot(i)
+                P_im1 = self._slot(i - 1).astype(dt)
+                P_i = self._slot(i).astype(dt)
                 # tril(P)^T @ y as a dim-0 contraction (no materialized
                 # transpose of factor slices)
                 t = b_i - lax.dot_general(
@@ -362,18 +367,20 @@ class PackedBTDRFactor:
             return self._from_blocks(yb, batch_shape)
 
     def backward_solve(self, b):
-        """R x = b (reverse sweep; slot b holds both R_bb and R[b,b+1])."""
+        """R x = b (reverse sweep; slot b holds both R_bb and R[b,b+1]).
+        Runs in the RHS dtype (see forward_solve)."""
         with jax.default_matmul_precision("float32"):
             bs = self.block
             bb, batch_shape = self._to_blocks(b)
+            dt = bb.dtype
             xN = lax.linalg.triangular_solve(
-                jnp.triu(self.P[-1].reshape(bs, bs)), bb[-1],
+                jnp.triu(self.P[-1].reshape(bs, bs)).astype(dt), bb[-1],
                 left_side=True, lower=False,
             )
 
             def step(x_next, inp):
                 i, b_i = inp
-                P_i = self._slot(i)
+                P_i = self._slot(i).astype(dt)
                 t = b_i - jnp.tril(P_i, -1) @ x_next
                 x_i = lax.linalg.triangular_solve(
                     jnp.triu(P_i), t, left_side=True, lower=False
