@@ -194,10 +194,10 @@ def _potrf_call(A, n, nP, interpret):
             jax.ShapeDtypeStruct((n, n), A.dtype),
             jax.ShapeDtypeStruct((nP, PANEL, PANEL), A.dtype),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
             pltpu.VMEM((n, PANEL), A.dtype),
