@@ -152,18 +152,26 @@ class BTDCholesky:
         return int(self.Ls.size + self.Cs.size)
 
 
-def btd_cholesky_pallas(A: BTD, interpret: bool = False) -> BTDCholesky:
+def btd_cholesky_pallas(
+    A: BTD, interpret: bool = False, precision: str = "float32"
+) -> BTDCholesky:
     """BTD factor sweep with the Pallas panel-streamed POTRF
     (ops/pallas_potrf.py): the per-block chol runs in one VMEM-resident
     kernel (no per-column HBM sync) and emits panel inverses, so the
     sweep's TRSM C_i = B_i L^{-T} is a short GEMM chain. f32, block size
-    a multiple of 256."""
+    a multiple of 256.
+
+    `precision`: matmul precision for the GEMM bulk (TRSM chain + SYRK):
+    "float32" (6-pass, full f32) or "tensorfloat32" (3-pass — measured
+    2.1x the GEMM rate on v5e; factor error stays within the refinement
+    paths' contract, see tests/test_cholesky.py precision tests).
+    """
     from diffeqgmrfs_tpu.ops.pallas_potrf import (
         potrf_winv,
         tsolve_right_T_winv,
     )
 
-    with jax.default_matmul_precision("float32"):
+    with jax.default_matmul_precision(precision):
         L0, W0 = potrf_winv(A.diag[0], interpret=interpret)
         L0 = jnp.tril(L0)
         if A.N == 1:
@@ -182,7 +190,48 @@ def btd_cholesky_pallas(A: BTD, interpret: bool = False) -> BTDCholesky:
         return BTDCholesky(jnp.concatenate([L0[None], Ls], axis=0), Cs, A.n)
 
 
-def btd_cholesky(A: BTD, panel: int | None = None) -> BTDCholesky:
+def _panel_winv(L, panel: int):
+    """Inverses of the diagonal [panel, panel] blocks of lower-triangular
+    L [bs, bs] -> [bs/panel, panel, panel], via one BATCHED triangular
+    solve (the batched column loop amortizes the serial latency across
+    panels). With these, any TRSM against L becomes a GEMM chain
+    (`tsolve_right_T_winv` / `tsolve_left_winv`)."""
+    bs = L.shape[-1]
+    nP = bs // panel
+    Ld = L.reshape(nP, panel, nP, panel)
+    panels = jnp.moveaxis(jnp.diagonal(Ld, axis1=0, axis2=2), -1, 0)
+    eye = jnp.broadcast_to(
+        jnp.eye(panel, dtype=L.dtype), (nP, panel, panel)
+    )
+    return lax.linalg.triangular_solve(
+        panels, eye, left_side=True, lower=True
+    )
+
+
+def tsolve_right_T_panels(L, Winv, B, panel: int):
+    """C = B L^{-T} as a column-panel GEMM chain with precomputed panel
+    inverses (no TRSM on the critical path; rides the ambient matmul
+    precision)."""
+    n = L.shape[-1]
+    nP = n // panel
+    C = jnp.zeros_like(B)
+    for k in range(nP):
+        o = k * panel
+        Bk = B[..., :, o : o + panel]
+        if k:
+            Bk = Bk - C[..., :, :o] @ jnp.swapaxes(L[o : o + panel, :o], -1, -2)
+        C = C.at[..., :, o : o + panel].set(
+            Bk @ jnp.swapaxes(Winv[k], -1, -2)
+        )
+    return C
+
+
+def btd_cholesky(
+    A: BTD,
+    panel: int | None = None,
+    precision: str = "float32",
+    winv_trsm: int | None = None,
+) -> BTDCholesky:
     """Factor a symmetric positive-definite BTD matrix.
 
     Direct TPU analog of `/root/reference/src/tridiagonal_cholesky.jl:65-82`.
@@ -194,7 +243,37 @@ def btd_cholesky(A: BTD, panel: int | None = None) -> BTDCholesky:
     sweep — the slow monolithic chol/TRSM shrink to [panel, panel] while the
     trailing updates become MXU-rate GEMMs. Defaults to monolithic (None);
     production factor phases at bs >= ~1024 set it via the blueprint.
+
+    `precision`: matmul precision for TRSM/SYRK ("float32" = full f32
+    6-pass, "tensorfloat32" = 3-pass at ~2.1x the GEMM rate).
+
+    `winv_trsm`: replace the sweep's TRSM with a panel-inverse GEMM chain
+    of this panel size (slope-measured ~8x over the monolithic TRSM on
+    v5e at bs=2048; one batched [bs/p, p, p] triangular solve per block
+    computes the inverses).
     """
+    if winv_trsm:
+        pw = int(winv_trsm)
+        chol = jnp.linalg.cholesky
+        with jax.default_matmul_precision(precision):
+            if A.N == 1:
+                L0 = chol(A.diag[0])
+                return BTDCholesky(L0[None], A.lower, A.n)
+            L0 = chol(A.diag[0])
+            W0 = _panel_winv(L0, pw)
+
+            def step(carry, inp):
+                L_prev, W_prev = carry
+                D_i, B_i = inp
+                C = tsolve_right_T_panels(L_prev, W_prev, B_i, pw)
+                S = D_i - C @ C.T
+                L_i = chol(S)
+                W_i = _panel_winv(L_i, pw)
+                return (L_i, W_i), (L_i, C)
+
+            _, (Ls, Cs) = lax.scan(step, (L0, W0), (A.diag[1:], A.lower))
+            return BTDCholesky(jnp.concatenate([L0[None], Ls], 0), Cs, A.n)
+
     if panel:
         from diffeqgmrfs_tpu.ops.blocked_factor import (
             blocked_cholesky,
@@ -211,7 +290,7 @@ def btd_cholesky(A: BTD, panel: int | None = None) -> BTDCholesky:
                 L, B, left_side=False, lower=True, transpose_a=True
             )
 
-    with jax.default_matmul_precision("float32"):
+    with jax.default_matmul_precision(precision):
         if A.N == 1:
             L0 = chol(A.diag[0])
             return BTDCholesky(L0[None], A.lower, A.n)

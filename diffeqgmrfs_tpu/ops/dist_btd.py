@@ -131,6 +131,13 @@ class DistBTDCholesky:
         rhs_red = b_sep - r_shift  # [P, bs, nb]
         x_sep = self.red.solve(rhs_red.reshape(P * bs, nb).T).T
         x_sep = x_sep.reshape(P, bs, nb)
+        x = self._backward(ys, x_sep)
+        return self._unblock(x, batch_shape, b.shape[-1])
+
+    def _backward(self, ys, x_sep):
+        """Back-substitution L^T x = y given interior y blocks
+        ([k-1, P, bs, nb], scan layout) and the solved separator blocks
+        x_sep [P, bs, nb]; returns natural-layout x [P, k, bs, nb]."""
         # x of the PREVIOUS chunk's separator, per chunk
         x_prev = jnp.concatenate(
             [jnp.zeros_like(x_sep[:1]), x_sep[:-1]], axis=0
@@ -154,9 +161,38 @@ class DistBTDCholesky:
             ),
             reverse=True,
         )
-        x = jnp.concatenate(
+        return jnp.concatenate(
             [jnp.swapaxes(xs_int, 0, 1), x_sep[:, None]], axis=1
         )
+
+    def backward_solve(self, b):
+        """Solve L^T x = b through the nested-dissection factor (L is the
+        Cholesky factor of A in the elimination order; b is laid out in
+        NATURAL block order with the separator as the last block of each
+        chunk — the same layout `solve` consumes/produces).
+
+        For b ~ N(0, I) this yields x ~ N(0, A^{-1}): permuting iid
+        Gaussians is free, so the elimination order never surfaces.
+        """
+        P, k, bs = self.P, self.k, self.bs
+        b = jnp.asarray(b)
+        batch_shape = b.shape[:-1]
+        nb = 1
+        for s in batch_shape:
+            nb *= s
+        bb = b.reshape(nb, -1).T
+        pad = P * k * bs - b.shape[-1]
+        if pad:
+            bb = jnp.pad(bb, ((0, pad), (0, 0)))
+        bb = bb.reshape(P, k, bs, nb)
+
+        z_sep = bb[:, -1].reshape(P * bs, nb)
+        x_sep = self.red.backward_solve(z_sep.T).T.reshape(P, bs, nb)
+        if k == 1:
+            x = x_sep[:, None]
+        else:
+            zs_int = jnp.swapaxes(bb[:, :-1], 0, 1)  # [k-1, P, bs, nb]
+            x = self._backward(zs_int, x_sep)
         return self._unblock(x, batch_shape, b.shape[-1])
 
     def _unblock(self, x, batch_shape, n_out):
@@ -165,22 +201,25 @@ class DistBTDCholesky:
         return flat.T.reshape(*batch_shape, n_out)
 
     def sample_zero_mean(self, key, n_samples: int = 1):
-        """Zero-mean samples via x = A^{-1/2}-style two-factor solve is not
-        available from this permuted factor; use the full solve on white
-        noise whitened by the operator instead (callers needing sampling
-        should keep a sweep factor). Provided for API completeness on
-        solve-heavy paths only."""
-        raise NotImplementedError(
-            "sampling rides the sequential sweep factor; DistBTDCholesky "
-            "is the scale-out solve/log-det path"
+        """Samples from N(0, A^{-1}) via x = L^{-T} z, z ~ N(0, I) —
+        the factor-backsolve sampler (`rand(rng, x_cond)`, SURVEY §3.1),
+        parallel-in-time: the interior back-substitution is batched over
+        chunks, so it shards over the mesh time axis like the factor."""
+        z = jax.random.normal(
+            key, (n_samples, self.P * self.k * self.bs), dtype=self.dtype
         )
+        return self.backward_solve(z)[..., : self.n]
 
     def nnz(self) -> int:
         return int(self.L.size + self.W.size + self.V.size + self.red.nnz())
 
 
 def dist_btd_cholesky(
-    A: BTD, n_chunks: int, mesh=None, time_axis: str = "time"
+    A: BTD,
+    n_chunks: int,
+    mesh=None,
+    time_axis: str = "time",
+    precision: str = "float32",
 ) -> DistBTDCholesky:
     """Factor A under the time-chunked nested-dissection order.
 
@@ -188,6 +227,13 @@ def dist_btd_cholesky(
     With `mesh` given, the chunk axis carries a sharding constraint over
     `time_axis`, so each device factors its own chunks' interiors; the
     reduced separator system (P blocks) is factored replicated.
+
+    Single-chip use is ALSO profitable: the interior scan's POTRF/TRSM are
+    batched over the P chunks, amortizing their serial column-latency
+    (XLA's chol/TRSM at bs=2048 are latency- not flop-bound), at ~2x the
+    sweep's flops but ~k/N of its sequential depth.
+
+    `precision`: matmul precision for the TRSM/GEMM bulk.
     """
     N, bs = A.N, A.bs
     P = int(n_chunks)
@@ -229,7 +275,7 @@ def dist_btd_cholesky(
         S = S + jnp.swapaxes(V_i, -1, -2) @ V_i
         return (Dt_next, U_next, S), (L_i, W_i, V_i)
 
-    with jax.default_matmul_precision("float32"):
+    with jax.default_matmul_precision(precision):
         init = (D[:, 0], Li[:, 0], jnp.zeros((P, bs, bs), A.dtype))
         xs = (jnp.swapaxes(D[:, 1:], 0, 1), jnp.swapaxes(Li[:, 1:], 0, 1))
         (D_sep, U_sep, S), (Ls, Ws, Vs) = lax.scan(step, init, xs)
@@ -242,5 +288,5 @@ def dist_btd_cholesky(
         S_shift = jnp.concatenate([S[1:], jnp.zeros_like(S[:1])], axis=0)
         diag_r = D_sep - S_shift
         lower_r = U_sep[1:]
-        red = btd_cholesky(BTD(diag_r, lower_r, P * bs))
+        red = btd_cholesky(BTD(diag_r, lower_r, P * bs), precision=precision)
     return DistBTDCholesky(Ls, Ws, Vs, red, A.n)

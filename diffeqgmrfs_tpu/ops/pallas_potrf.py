@@ -1,10 +1,9 @@
 """Pallas blocked POTRF with panel inverses: the factor-phase MXU kernel.
 
 XLA's `jnp.linalg.cholesky` / `triangular_solve` on TPU serialize over
-columns with an HBM round-trip per iteration — measured ~0.5 us/column
-regardless of shape, batching, or panel blocking (RESULTS.md round-2
-probes): chol[2048] ~1.1 ms and TRSM[2048] ~1.1 ms vs ~0.13/0.38 ms
-MXU-ideal, and these dominate the BTD factor sweep
+columns with an HBM round-trip per iteration — slope-timed ~0.4-0.6 ms
+for chol[2048] f32 on v5e vs ~0.1 ms MXU-ideal (RESULTS.md round-2
+probes), and the POTRF is the serial bottleneck of the BTD factor sweep
 (`/root/reference/src/tridiagonal_cholesky.jl:65-82` is the algorithm
 being accelerated).
 
@@ -17,6 +16,12 @@ emits W_k = L_kk^{-1} for every diagonal panel — with those, every later
 TRSM against this factor (the sweep's C_i = B_i L^{-T}, forward/backward
 solves) becomes a short chain of GEMMs (`tsolve_right_T_winv`).
 
+Mosaic lowering constraints shape the implementation: no dynamic_slice /
+scatter on VALUES (only refs support slicing), no 1D iota. The micro
+Cholesky/triangular-inverse therefore use onehot-mask + matmul column
+extraction (`_chol_micro` / `_inv_lower_micro`), and the panel loop
+reads/writes static slices of the VMEM scratch refs in place.
+
 Layout: panels of P=256; micro-blocks of M=32 inside a panel. The L
 output buffer doubles as the working storage for not-yet-factored
 panels (trailing updates write into it; panel k>0 reads from it).
@@ -26,7 +31,6 @@ from __future__ import annotations
 
 from functools import partial
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -42,81 +46,74 @@ PANEL = 256
 MICRO = 32
 
 
-def _chol_small(A):
-    """Lower Cholesky of an [m, m] value by sequential columns (runs on
-    VMEM-resident values inside the kernel; m = MICRO)."""
+def _mm(a, b):
+    # precision pinned: Mosaic's dot lowering rejects HIGH (3-pass), which
+    # an ambient jax.default_matmul_precision("tensorfloat32") would set
+    return jnp.dot(
+        a, b, preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+
+
+def _chol_micro(A):
+    """Lower Cholesky of an [m, m] SPD value by m masked outer-product
+    steps (fori_loop). Column extraction via matmul with onehot vectors —
+    Mosaic supports no dynamic slicing on values."""
     m = A.shape[0]
-    idx = jnp.arange(m)
+    rowi = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    coli = lax.broadcasted_iota(jnp.int32, (1, m), 1)
 
-    def step(j, A):
-        inv = lax.rsqrt(A[j, j])
-        col = jnp.where(idx >= j, A[:, j] * inv, 0.0)
-        A = A.at[:, j].set(col)
-        cm = jnp.where(idx > j, col, 0.0)
-        return A - cm[:, None] * cm[None, :]
+    def step(j, carry):
+        A, L = carry
+        ejc = (rowi == j).astype(A.dtype)  # [m, 1] onehot column
+        ejr = (coli == j).astype(A.dtype)  # [1, m] onehot row
+        col = _mm(A, ejc)  # [m, 1] = A[:, j]
+        piv = _mm(ejr, col)  # [1, 1] = A[j, j]
+        inv = lax.rsqrt(piv)
+        colv = col * inv
+        Lcol = jnp.where(rowi >= j, colv, 0.0)
+        L = L + Lcol * ejr  # write column j
+        # symmetric trailing update: A -= c c^T on the strict submatrix
+        cm = jnp.where(rowi > j, colv, 0.0)  # [m, 1]
+        rowv = _mm(ejr, A) * inv  # [1, m] = A[j, :] / sqrt(piv)
+        rm = jnp.where(coli > j, rowv, 0.0)  # [1, m]
+        A = A - cm * rm
+        return A, L
 
-    A = lax.fori_loop(0, m, step, A)
-    return jnp.tril(A)
+    _, L = lax.fori_loop(0, m, step, (A, jnp.zeros_like(A)))
+    return L
 
 
-def _inv_lower_small(L):
-    """L^{-1} for [m, m] lower triangular by forward substitution."""
+def _inv_lower_micro(L):
+    """L^{-1} for an [m, m] lower-triangular value by masked forward
+    substitution rows (fori_loop; same no-value-slicing constraints)."""
     m = L.shape[0]
-    idx = jnp.arange(m)
+    rowi = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    coli = lax.broadcasted_iota(jnp.int32, (1, m), 1)
 
     def step(j, X):
-        lrow = jnp.where(idx < j, L[j, :], 0.0)
-        row = (jnp.where(idx == j, 1.0, 0.0) - lrow @ X) / L[j, j]
-        return X.at[j, :].set(row)
+        ejc = (rowi == j).astype(L.dtype)
+        ejr = (coli == j).astype(L.dtype)
+        Lrow = _mm(ejr, L)  # [1, m] = L[j, :]
+        piv = _mm(Lrow, ejc)  # [1, 1] = L[j, j]
+        Lrow_strict = jnp.where(coli < j, Lrow, 0.0)
+        row = (ejr - _mm(Lrow_strict, X)) / piv
+        return X + ejc * row
 
     return lax.fori_loop(0, m, step, jnp.zeros_like(L))
 
 
-def _chol_panel(Ap):
-    """[P, P] value -> (L lower, Winv = L^{-1}): micro-blocked right-looking
-    factorization; micro TRSMs/trailing updates are MXU GEMMs."""
-    P = Ap.shape[0]
-    nM = P // MICRO
-    A = Ap
-    L = jnp.zeros_like(Ap)
-    for mb in range(nM):
-        o = mb * MICRO
-        Ab = lax.dynamic_slice(A, (o, o), (MICRO, MICRO))
-        Lb = _chol_small(Ab)
-        Wb = _inv_lower_small(Lb)
-        L = lax.dynamic_update_slice(L, Lb, (o, o))
-        r = P - o - MICRO
-        if r > 0:
-            below = lax.dynamic_slice(A, (o + MICRO, o), (r, MICRO))
-            Lbelow = jnp.dot(below, Wb.T, preferred_element_type=A.dtype)
-            L = lax.dynamic_update_slice(L, Lbelow, (o + MICRO, o))
-            trail = lax.dynamic_slice(A, (o + MICRO, o + MICRO), (r, r))
-            trail = trail - jnp.dot(
-                Lbelow, Lbelow.T, preferred_element_type=A.dtype
-            )
-            A = lax.dynamic_update_slice(A, trail, (o + MICRO, o + MICRO))
-    # Winv by blocked forward substitution against I using micro inverses:
-    # X[o-block rows] = Wb @ (I_rows - L[o, :o] X[:o])
-    X = jnp.zeros_like(Ap)
-    eye = jnp.eye(P, dtype=Ap.dtype)
-    for mb in range(nM):
-        o = mb * MICRO
-        Lb = lax.dynamic_slice(L, (o, o), (MICRO, MICRO))
-        Wb = _inv_lower_small(Lb)
-        rhs = lax.dynamic_slice(eye, (o, 0), (MICRO, P))
-        if o > 0:
-            Lleft = lax.dynamic_slice(L, (o, 0), (MICRO, o))
-            rhs = rhs - jnp.dot(
-                Lleft, X[:o, :], preferred_element_type=Ap.dtype
-            )
-        X = lax.dynamic_update_slice(
-            X, jnp.dot(Wb, rhs, preferred_element_type=Ap.dtype), (o, 0)
-        )
-    return L, X
+def _eye_rows(mo, m, P, dtype):
+    """[m, P] slice rows mo..mo+m of the PxP identity (2D iota only)."""
+    r = lax.broadcasted_iota(jnp.int32, (m, P), 0)
+    c = lax.broadcasted_iota(jnp.int32, (m, P), 1)
+    return (c == r + mo).astype(dtype)
 
 
 def _potrf_kernel(n, nP, A_ref, L_ref, W_ref, colbuf, stripbuf, sem):
     P = PANEL
+    nM = P // MICRO
+    M = MICRO
 
     def dma(src, dst):
         cp = pltpu.make_async_copy(src, dst, sem)
@@ -128,22 +125,46 @@ def _potrf_kernel(n, nP, A_ref, L_ref, W_ref, colbuf, stripbuf, sem):
         rows = n - o
         src = A_ref if k == 0 else L_ref
         dma(src.at[pl.ds(o, rows), pl.ds(o, P)], colbuf.at[pl.ds(0, rows)])
-        Lp, Wp = _chol_panel(colbuf[0:P, :])
-        colbuf[0:P, :] = Lp
-        W_ref_slot = W_ref.at[k]
+
+        # ---- factor the top [P, P] square of colbuf in place ----
+        for mb in range(nM):
+            mo = mb * M
+            Lb = _chol_micro(colbuf[mo : mo + M, mo : mo + M])
+            colbuf[mo : mo + M, mo : mo + M] = Lb
+            rem = P - mo - M
+            if rem > 0:
+                Wb = _inv_lower_micro(Lb)
+                below = colbuf[mo + M : P, mo : mo + M]
+                Lbelow = _mm(below, Wb.T)
+                colbuf[mo + M : P, mo : mo + M] = Lbelow
+                trail = colbuf[mo + M : P, mo + M : P]
+                colbuf[mo + M : P, mo + M : P] = trail - _mm(
+                    Lbelow, Lbelow.T
+                )
+
+        # ---- panel inverse Wp = Lp^{-1} into stripbuf[0:P, :] ----
+        for mb in range(nM):
+            mo = mb * M
+            Lb = colbuf[mo : mo + M, mo : mo + M]
+            Wb = _inv_lower_micro(Lb)
+            rhs = _eye_rows(mo, M, P, Lb.dtype)
+            if mo > 0:
+                Lleft = colbuf[mo : mo + M, 0:mo]
+                rhs = rhs - _mm(Lleft, stripbuf[0:mo, 0:P])
+            stripbuf[mo : mo + M, 0:P] = _mm(Wb, rhs)
+
+        # ---- below-panel column: L[o+P:, o:o+P] = A[o+P:, o:o+P] Wp^T ----
         if rows > P:
             below = colbuf[pl.ds(P, rows - P), :]
-            colbuf[pl.ds(P, rows - P), :] = jnp.dot(
-                below, Wp.T, preferred_element_type=below.dtype
-            )
-        # write the finished L column panel
+            colbuf[pl.ds(P, rows - P), :] = _mm(below, stripbuf[0:P, 0:P].T)
+
+        # write the finished L column panel + the panel inverse
         dma(colbuf.at[pl.ds(0, rows)], L_ref.at[pl.ds(o, rows), pl.ds(o, P)])
-        # store the panel inverse
-        stripbuf[0:P, :] = Wp
-        dma(stripbuf.at[pl.ds(0, P)], W_ref_slot)
-        # trailing SYRK: one GEMM per remaining column strip (strips read
-        # the ORIGINAL A at k=0; afterwards the L buffer holds the updated
-        # working values)
+        dma(stripbuf.at[pl.ds(0, P)], W_ref.at[k])
+
+        # ---- trailing SYRK: one GEMM per remaining column strip ----
+        # (strips read the ORIGINAL A at k=0; afterwards the L buffer
+        # holds the updated working values)
         for c in range(k + 1, nP):
             co = c * P
             crows = n - co
@@ -155,7 +176,7 @@ def _potrf_kernel(n, nP, A_ref, L_ref, W_ref, colbuf, stripbuf, sem):
             lpan = colbuf[pl.ds(co - o, P), :]
             stripbuf[pl.ds(0, crows), :] = stripbuf[
                 pl.ds(0, crows), :
-            ] - jnp.dot(lc, lpan.T, preferred_element_type=lc.dtype)
+            ] - _mm(lc, lpan.T)
             dma(
                 stripbuf.at[pl.ds(0, crows)],
                 L_ref.at[pl.ds(co, crows), pl.ds(co, P)],

@@ -7,9 +7,8 @@ import jax.numpy as jnp
 from diffeqgmrfs_tpu.ops.pallas_potrf import (
     potrf_winv,
     tsolve_right_T_winv,
-    _chol_small,
-    _inv_lower_small,
-    _chol_panel,
+    _chol_micro,
+    _inv_lower_micro,
     PANEL,
 )
 
@@ -22,15 +21,10 @@ def _spd(rng, n):
 def test_micro_pieces():
     rng = np.random.default_rng(0)
     A = _spd(rng, 32)
-    L = np.asarray(_chol_small(jnp.asarray(A)))
+    L = np.asarray(_chol_micro(jnp.asarray(A)))
     assert np.abs(L @ L.T - A).max() / np.abs(A).max() < 1e-5
-    W = np.asarray(_inv_lower_small(jnp.asarray(L)))
+    W = np.asarray(_inv_lower_micro(jnp.asarray(L)))
     assert np.abs(W @ L - np.eye(32)).max() < 1e-5
-    Ap = _spd(rng, PANEL)
-    Lp, Wp = _chol_panel(jnp.asarray(Ap))
-    Lp, Wp = np.asarray(Lp), np.asarray(Wp)
-    assert np.abs(Lp @ Lp.T - Ap).max() / np.abs(Ap).max() < 1e-5
-    assert np.abs(Wp @ Lp - np.eye(PANEL)).max() < 1e-5
 
 
 def test_potrf_kernel_interpret():
