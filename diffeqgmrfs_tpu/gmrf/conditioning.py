@@ -194,6 +194,7 @@ def condition_on_observations(
             gemm_solves=getattr(bp, "gemm_solves", False),
             packed_q_idx=x.q_pack_idx,
             factor_dtype=getattr(bp, "factor_dtype", "f32"),
+            factor_opts=bp.factor_opts() if hasattr(bp, "factor_opts") else None,
         )
         rhs = x.precision64.matvec(x.mu) + tau64 * A.rmatvec(
             jnp.asarray(y, dtype=tau64.dtype)

@@ -231,6 +231,7 @@ def btd_cholesky(
     panel: int | None = None,
     precision: str = "float32",
     winv_trsm: int | None = None,
+    unroll: int = 1,
 ) -> BTDCholesky:
     """Factor a symmetric positive-definite BTD matrix.
 
@@ -253,7 +254,15 @@ def btd_cholesky(
     computes the inverses).
     """
     if winv_trsm:
+        # the panel-inverse chain needs panel | bs: shrink to the largest
+        # divisor; if only tiny divisors exist (e.g. prime bs) the chain
+        # degenerates to a latency-bound column loop — use the plain TRSM
         pw = int(winv_trsm)
+        if A.bs % pw:
+            pw = max(d for d in range(1, pw + 1) if A.bs % d == 0)
+        if pw < 32:
+            winv_trsm = None
+    if winv_trsm:
         chol = jnp.linalg.cholesky
         with jax.default_matmul_precision(precision):
             if A.N == 1:
@@ -271,7 +280,9 @@ def btd_cholesky(
                 W_i = _panel_winv(L_i, pw)
                 return (L_i, W_i), (L_i, C)
 
-            _, (Ls, Cs) = lax.scan(step, (L0, W0), (A.diag[1:], A.lower))
+            _, (Ls, Cs) = lax.scan(
+                step, (L0, W0), (A.diag[1:], A.lower), unroll=unroll
+            )
             return BTDCholesky(jnp.concatenate([L0[None], Ls], 0), Cs, A.n)
 
     if panel:
@@ -305,5 +316,7 @@ def btd_cholesky(
             L_i = chol(S)
             return L_i, (L_i, C)
 
-        _, (Ls, Cs) = lax.scan(step, L0, (A.diag[1:], A.lower))
+        _, (Ls, Cs) = lax.scan(
+            step, L0, (A.diag[1:], A.lower), unroll=unroll
+        )
         return BTDCholesky(jnp.concatenate([L0[None], Ls], axis=0), Cs, A.n)

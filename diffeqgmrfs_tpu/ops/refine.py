@@ -55,7 +55,8 @@ class RefinedFactor:
         obj.refine_iters = aux[0]
         return obj
 
-    def __init__(self, H: BTD, refine_iters: int = 3, gemm_solves: bool = False):
+    def __init__(self, H: BTD, refine_iters: int = 3, gemm_solves: bool = False,
+                 factor_opts=None):
         # only the SCALED f64 operator is kept (for refinement residuals);
         # holding the unscaled H as well doubles resident HBM at production
         # sizes (~3 GB per copy for Burgers N_x=1000)
@@ -65,7 +66,7 @@ class RefinedFactor:
             self.Hs.lower.astype(jnp.float32),
             self.Hs.n,
         )
-        self.F32 = btd_cholesky(Hs32)
+        self.F32 = btd_cholesky(Hs32, **(factor_opts or {}))
         if gemm_solves:
             from diffeqgmrfs_tpu.ops.inverse_solver import BTDInverseSolver
 
@@ -116,7 +117,8 @@ class MatFreeRefinedFactor:
     applied to pre-scaled Jacobian values.
     """
 
-    def __init__(self, Q: BTD, Jc, tau, jtj_scaled, refine_iters: int = 3):
+    def __init__(self, Q: BTD, Jc, tau, jtj_scaled, refine_iters: int = 3,
+                 factor_opts=None):
         self.Q = Q
         self.Jc = Jc
         self.tau = tau
@@ -138,7 +140,7 @@ class MatFreeRefinedFactor:
             Hs.diag.astype(jnp.float32), Hs.lower.astype(jnp.float32), Hs.n
         )
         H32 = _unit_pad(H32)
-        self.F32 = btd_cholesky(H32)
+        self.F32 = btd_cholesky(H32, **(factor_opts or {}))
 
     def _apply_H(self, t):
         """H t = Q t + tau J^T (J t), f64."""
@@ -266,6 +268,7 @@ class MatFreeConditionFactor:
         gemm_solves: bool = False,
         packed_q_idx=None,
         factor_dtype: str = "f32",
+        factor_opts=None,
     ):
         self.H_op = H_op
         self.n = Q32.n
@@ -320,7 +323,11 @@ class MatFreeConditionFactor:
             A32 = RowOp(H_op.A.cols, Av32, Q32.n)
             H32 = Qs32 + pattern.scatter(A32.ata_values())
         H32 = _unit_pad(H32)
-        self.F32 = btd_cholesky(H32)
+        # factor_opts only applies to the f32 MXU factor (an f64 factor is
+        # already the slow fallback; keep it on the plain substitution path)
+        self.F32 = btd_cholesky(
+            H32, **((factor_opts or {}) if fdt == jnp.float32 else {})
+        )
         if gemm_solves:
             from diffeqgmrfs_tpu.ops.inverse_solver import BTDInverseSolver
 
@@ -447,8 +454,10 @@ class MixedPrecisionFactor:
         obj.n = aux[0]
         return obj
 
-    def __init__(self, H: BTD, refine_iters: int = 3, gemm_solves: bool = False):
-        self._rf = RefinedFactor(H, refine_iters, gemm_solves=gemm_solves)
+    def __init__(self, H: BTD, refine_iters: int = 3, gemm_solves: bool = False,
+                 factor_opts=None):
+        self._rf = RefinedFactor(H, refine_iters, gemm_solves=gemm_solves,
+                                 factor_opts=factor_opts)
         self.n = H.n
 
     @property
@@ -640,7 +649,8 @@ class ToeplitzMatFreeFactor:
                               (Toeplitz matvec: 4 shared-block GEMMs)
     """
 
-    def __init__(self, q_top, Jc, tau, jtj_scaled32, refine_iters: int = 5):
+    def __init__(self, q_top, Jc, tau, jtj_scaled32, refine_iters: int = 5,
+                 factor_opts=None):
         self.q_top = q_top
         self.Jc = Jc
         self.tau = tau
@@ -659,7 +669,7 @@ class ToeplitzMatFreeFactor:
             jnp.float32
         )
         H32 = jtj_scaled32(Jv32, init=Qs32)
-        self.F32 = btd_cholesky(H32)
+        self.F32 = btd_cholesky(H32, **(factor_opts or {}))
 
     def _apply_H(self, t):
         return self.q_top.matvec(t) + self.tau * self.Jc.rmatvec(
@@ -710,6 +720,7 @@ class EllMatFreeFactor:
         jtj_scaled32,
         refine_iters: int = 5,
         q_coo=None,
+        factor_opts=None,
     ):
         self.q_ell = q_ell
         self.Jc = Jc
@@ -736,7 +747,7 @@ class EllMatFreeFactor:
         )
         H32 = jtj_scaled32(Jv32, init=Qs32)
         H32 = _unit_pad(H32)
-        self.F32 = btd_cholesky(H32)
+        self.F32 = btd_cholesky(H32, **(factor_opts or {}))
 
     def _apply_H(self, t):
         return self.q_ell.matvec(t) + self.tau * self.Jc.rmatvec(

@@ -85,6 +85,24 @@ class CholeskySolverBlueprint:
     # Householder panels + GEMM trailing updates — MXU-rate bulk), "bcgs"
     # (experimental all-GEMM Gram-Schmidt)
     srif_qr_impl: str = "xla"
+    # BTD factor-sweep options for the f32 MXU factor (ops/cholesky.py
+    # btd_cholesky kwargs): `factor_winv_trsm` replaces the sweep TRSM
+    # with a panel-inverse GEMM chain of this panel size (slope-measured
+    # ~8x over monolithic TRSM on v5e at bs=2048, identical solve
+    # residual), `factor_precision` sets the sweep matmul precision
+    # ("float32" 6-pass | "tensorfloat32" 3-pass at ~2.1x GEMM rate —
+    # refinement absorbs the difference at production conditions).
+    factor_winv_trsm: int | None = None
+    factor_precision: str = "float32"
+
+    def factor_opts(self) -> dict:
+        """kwargs for `btd_cholesky` on the f32 factor path ({} = defaults)."""
+        fo = {}
+        if self.factor_winv_trsm:
+            fo["winv_trsm"] = int(self.factor_winv_trsm)
+        if self.factor_precision != "float32":
+            fo["precision"] = self.factor_precision
+        return fo
 
 
 @dataclass(frozen=True)

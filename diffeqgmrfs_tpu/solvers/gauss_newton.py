@@ -183,6 +183,9 @@ def blueprint_gn_kwargs(bp, Q, aux=None) -> dict:
             from diffeqgmrfs_tpu.ops.btd import ToeplitzBTD
 
             kw["q_toeplitz"] = ToeplitzBTD.from_btd(Q)
+    fo = bp.factor_opts() if hasattr(bp, "factor_opts") else {}
+    if fo:
+        kw["factor_opts"] = fo
     return kw
 
 
@@ -314,6 +317,7 @@ def gauss_newton_solve(
     final_gemm: bool = False,
     srif_qr_impl: str = "xla",
     q_mu=None,
+    factor_opts=None,
 ) -> GaussNewtonResult:
     """Functional Gauss-Newton loop (jit/vmap-friendly).
 
@@ -458,7 +462,8 @@ def gauss_newton_solve(
         if q_toeplitz is not None and mixed_precision:
             from diffeqgmrfs_tpu.ops.refine import ToeplitzMatFreeFactor
 
-            F = ToeplitzMatFreeFactor(q_toeplitz, Jc, tau, jtj_scaled32)
+            F = ToeplitzMatFreeFactor(q_toeplitz, Jc, tau, jtj_scaled32,
+                                      factor_opts=factor_opts)
             x_new = F.solve(rhs)
             dx = x_new - x
             Hdx = F.matvec_H(dx)
@@ -479,7 +484,7 @@ def gauss_newton_solve(
 
             F = EllMatFreeFactor(
                 q_ell, q_diag, q_pattern, Jc, tau, jtj_scaled32,
-                refine_iters=5, q_coo=q_coo,
+                refine_iters=5, q_coo=q_coo, factor_opts=factor_opts,
             )
             x_new = F.solve(rhs)
             dx = x_new - x
@@ -489,7 +494,8 @@ def gauss_newton_solve(
             # materialized (production ST systems are ~GBs per BTD copy)
             from diffeqgmrfs_tpu.ops.refine import MatFreeRefinedFactor
 
-            F = MatFreeRefinedFactor(Q, Jc, tau, jtj_scaled, refine_iters=4)
+            F = MatFreeRefinedFactor(Q, Jc, tau, jtj_scaled, refine_iters=4,
+                                     factor_opts=factor_opts)
             x_new = F.solve(rhs)
             dx = x_new - x
             Hdx = F.matvec_H(dx)

@@ -60,6 +60,12 @@ def parse_cmd():
                         "mixed-precision Cholesky NaNs (fine-dt sweeps, "
                         "N_x >= 200 x N_t = 100); implies Toeplitz-form "
                         "prior in the loop and never materializes H")
+    p.add_argument("--factor_winv", type=int, default=0,
+                   help="panel-inverse GEMM-chain TRSM in the f32 BTD "
+                        "factor sweep (panel size; 0 = monolithic TRSM)")
+    p.add_argument("--factor_prec", type=str, default="float32",
+                   help="matmul precision in the f32 BTD factor sweep: "
+                        "float32 | tensorfloat32")
     p.add_argument("--batch", type=int, default=1,
                    help="vmap batch size: whole posterior pipelines (prior "
                         "assembly + IC conditioning + Gauss-Newton + "
@@ -174,6 +180,8 @@ def main():
         sqrt_factor=args.sqrt,
         damping=args.damping,
         gemm_solves=args.gemm_solves,
+        factor_winv_trsm=args.factor_winv or None,
+        factor_precision=args.factor_prec,
     )
     stride = None
     if args.pad_block and disc.n_free % args.pad_block:

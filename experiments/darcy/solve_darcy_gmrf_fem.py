@@ -66,6 +66,12 @@ def parse_cmd():
     p.add_argument("--mean_only", action="store_true",
                    help="skip posterior std/sampling (memory bisection / "
                         "mean-benchmark mode)")
+    p.add_argument("--factor_winv", type=int, default=0,
+                   help="panel-inverse GEMM-chain TRSM in the f32 BTD "
+                        "factor sweep (panel size; 0 = monolithic TRSM)")
+    p.add_argument("--factor_prec", type=str, default="float32",
+                   help="matmul precision in the f32 BTD factor sweep: "
+                        "float32 | tensorfloat32")
     p.add_argument("--sqrt", action="store_true",
                    help="SRIF square-root factorization: windowed QR of the "
                         "stacked [Lambda_Q; sqrt(tau) A] (implies --packed); "
@@ -204,6 +210,8 @@ def main():
             else int(args.srif_chunk)
         ),
         srif_precision=args.srif_precision,
+        factor_winv_trsm=args.factor_winv or None,
+        factor_precision=args.factor_prec,
     )
 
     # Calibration target: true solution interpolated into dof space by

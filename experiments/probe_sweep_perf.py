@@ -174,13 +174,19 @@ def main():
 
     def mk_sweep(kind):
         prec = "float32"
-        if "@" in kind:
-            kind, p_ = kind.split("@")
-            prec = {"high": "tensorfloat32", "highest": "float32"}[p_]
+        unroll = 1
+        parts = kind.split("@")
+        kind = parts[0]
+        for p_ in parts[1:]:
+            if p_.startswith("u"):
+                unroll = int(p_[1:])
+            else:
+                prec = {"high": "tensorfloat32", "highest": "float32"}[p_]
 
         def f(d, l):
             if kind == "mono":
-                F = btd_cholesky(BTD(d, l, N * bs), precision=prec)
+                F = btd_cholesky(BTD(d, l, N * bs), precision=prec,
+                                 unroll=unroll)
             elif kind.startswith("panel"):
                 F = btd_cholesky(
                     BTD(d, l, N * bs), panel=int(kind[5:]), precision=prec
@@ -213,9 +219,53 @@ def main():
                 L0 = jnp.linalg.cholesky(d[0])
                 _, Cs = lax.scan(step, L0, (d[1:], l))
                 return jnp.sum(jnp.diagonal(Cs, axis1=-2, axis2=-1))
+            elif kind == "chol_scan":
+                # diagnostic: chol only (carry unused by chol — pure map)
+                def step(c, d_i):
+                    L_i = jnp.linalg.cholesky(d_i)
+                    return L_i, L_i
+
+                _, Ls_ = lax.scan(step, d[0], d)
+                return jnp.sum(jnp.diagonal(Ls_, axis1=-2, axis2=-1))
+            elif kind == "chol_scan_nostack":
+                # diagnostic: sliced input, scalar output (no stacking)
+                def step(c, d_i):
+                    L_i = jnp.linalg.cholesky(d_i)
+                    return c, jnp.sum(jnp.diagonal(L_i))
+
+                _, ss = lax.scan(step, jnp.float32(0.0), d)
+                return jnp.sum(ss)
+            elif kind == "chol_scan_noslice":
+                # diagnostic: carry-only input (no slicing), stacked output
+                def step(c, _):
+                    L_i = jnp.linalg.cholesky(c)
+                    return c + 1e-7, L_i
+
+                _, Ls_ = lax.scan(step, d[0], jnp.arange(N))
+                return jnp.sum(jnp.diagonal(Ls_, axis1=-2, axis2=-1))
+            elif kind == "chol_scan_pure":
+                # diagnostic: carry-only input, scalar output
+                def step(c, _):
+                    L_i = jnp.linalg.cholesky(c)
+                    return c + 1e-7, jnp.sum(jnp.diagonal(L_i))
+
+                _, ss = lax.scan(step, d[0], jnp.arange(N))
+                return jnp.sum(ss)
+            elif kind == "trsm_scan":
+                # diagnostic: trsm against the carry only
+                def step(c, b_i):
+                    C = lax.linalg.triangular_solve(
+                        c, b_i, left_side=False, lower=True, transpose_a=True
+                    )
+                    return c, C
+
+                L0 = jnp.linalg.cholesky(d[0])
+                _, Cs = lax.scan(step, L0, l)
+                return jnp.sum(jnp.diagonal(Cs, axis1=-2, axis2=-1))
             elif kind.startswith("winv"):
                 F = btd_cholesky(
-                    BTD(d, l, N * bs), winv_trsm=int(kind[4:]), precision=prec
+                    BTD(d, l, N * bs), winv_trsm=int(kind[4:]),
+                    precision=prec, unroll=unroll,
                 )
             elif kind.startswith("dist"):
                 from diffeqgmrfs_tpu.ops.dist_btd import dist_btd_cholesky
@@ -230,12 +280,12 @@ def main():
 
         return f
 
-    def mk_factor(kind):
+    def mk_factor(kind, d, l):
         prec = "float32"
         if "@" in kind:
             kind, p_ = kind.split("@")
             prec = {"high": "tensorfloat32", "highest": "float32"}[p_]
-        A_ = BTD(diag, lower, N * bs)
+        A_ = BTD(d, l, N * bs)
         if kind == "mono":
             return btd_cholesky(A_, precision=prec)
         if kind.startswith("panel"):
@@ -252,14 +302,21 @@ def main():
 
     if args.quality:
         # solve residual through each factor vs the BTD matvec (f32 on
-        # device; the factor error dominates at these conditions)
+        # device; the factor error dominates at these conditions); the
+        # operands are jit ARGUMENTS (the relay rejects/stalls on GB-size
+        # captured literal constants)
         bvec = jax.random.normal(key, (N * bs,), dtype=jnp.float32)
-        A_ = BTD(diag, lower, N * bs)
         for kind in args.sweeps.split(","):
-            F = jax.jit(lambda k_=kind: mk_factor(k_))()
-            x = F.solve(bvec)
-            r = A_.matvec(x) - bvec
-            rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(bvec))
+            if "scan" in kind:  # diagnostic kinds are not factors
+                continue
+
+            def qual(d, l, b, k_=kind):
+                F = mk_factor(k_, d, l)
+                x = F.solve(b)
+                r = BTD(d, l, N * bs).matvec(x) - b
+                return jnp.linalg.norm(r) / jnp.linalg.norm(b)
+
+            rel = float(jax.jit(qual)(diag, lower, bvec))
             print(f"quality {kind}: solve-residual rel {rel:.3e}", flush=True)
 
     for kind in args.sweeps.split(","):
