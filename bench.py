@@ -39,25 +39,52 @@ def bench_tpu(N=64, bs=2048, n_it=5):
     diag = 0.5 * (diag + diag.transpose(0, 2, 1)) + jnp.eye(bs, dtype=jnp.float32) * bs
     lower = jax.random.normal(key, (N - 1, bs, bs), dtype=jnp.float32) * 0.01
 
-    # scalar output forces completion through the async dispatch path
-    f = jax.jit(
-        lambda d, l: jnp.sum(
-            jnp.log(jnp.diagonal(btd_cholesky(BTD(d, l, N * bs)).Ls, axis1=-2, axis2=-1))
-        )
-    )
-    t0 = time.perf_counter()
-    float(f(diag, lower))
-    log(f"tpu compile+first run: {time.perf_counter() - t0:.1f}s")
-    ts = []
-    for i in range(n_it):
-        d2 = diag + np.float32((i + 1) * 1e-6)
-        float(jnp.sum(d2))
+    def run(tag, K=4, **opts):
+        # slope timing: K-rep loop inside ONE jit (input perturbed per rep
+        # to defeat CSE), minus the 1-rep program, over (K-1). Removes the
+        # ~26 ms per-dispatch relay floor AND the input transfer so the
+        # number is the on-device kernel rate (scalar output forces
+        # completion through the async dispatch path).
+        from jax import lax
+
+        def loop(reps, d, l):
+            def body(i, acc):
+                F = btd_cholesky(
+                    BTD(d + i.astype(jnp.float32) * 1e-7, l, N * bs), **opts
+                )
+                return acc + jnp.sum(
+                    jnp.log(jnp.diagonal(F.Ls, axis1=-2, axis2=-1))
+                )
+
+            return lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+        g = jax.jit(loop, static_argnums=0)
         t0 = time.perf_counter()
-        float(f(d2, lower))
-        ts.append(time.perf_counter() - t0)
-    dt = min(ts)
-    log(f"tpu f32 N={N} bs={bs}: {dt * 1e3:.1f} ms")
-    return btd_flops(N, bs) / dt
+        float(g(1, diag, lower))
+        log(f"tpu compile+first run [{tag}]: {time.perf_counter() - t0:.1f}s")
+        float(g(K, diag, lower))
+        t1, tK = [], []
+        for _ in range(n_it):
+            t0 = time.perf_counter()
+            float(g(1, diag, lower))
+            t1.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(g(K, diag, lower))
+            tK.append(time.perf_counter() - t0)
+        dt = (min(tK) - min(t1)) / (K - 1)
+        log(f"tpu f32 N={N} bs={bs} [{tag}]: {dt * 1e3:.1f} ms/factor")
+        return btd_flops(N, bs) / dt
+
+    # default full-f32 sweep (round-1 continuity, logged to stderr)
+    mono = run("mono/f32")
+    log(f"mono/f32: {mono / 1e12:.2f} TF/s")
+    # production fast path: blocked-panel POTRF (f32 panel chols, fast
+    # trailing GEMMs) + panel-inverse GEMM-chain TRSM + bf16-pass SYRK
+    # (slope-probed 2.544e-7 -> 5.7e-7 solve residual vs mono — both far
+    # inside what one refinement iteration recovers; blueprint
+    # factor_winv_trsm/factor_precision select this in drivers)
+    best = run("pw128/bf16", panel=128, winv_trsm=128, precision="bfloat16")
+    return max(mono, best)
 
 
 def bench_cpu(N=8, bs=1024):

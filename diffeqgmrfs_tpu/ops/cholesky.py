@@ -263,7 +263,12 @@ def btd_cholesky(
         if pw < 32:
             winv_trsm = None
     if winv_trsm:
-        chol = jnp.linalg.cholesky
+        if panel:
+            from diffeqgmrfs_tpu.ops.blocked_factor import blocked_cholesky
+
+            chol = lambda X: blocked_cholesky(X, panel)  # noqa: E731
+        else:
+            chol = jnp.linalg.cholesky
         with jax.default_matmul_precision(precision):
             if A.N == 1:
                 L0 = chol(A.diag[0])

@@ -63,6 +63,9 @@ def parse_cmd():
     p.add_argument("--factor_winv", type=int, default=0,
                    help="panel-inverse GEMM-chain TRSM in the f32 BTD "
                         "factor sweep (panel size; 0 = monolithic TRSM)")
+    p.add_argument("--factor_panel", type=int, default=0,
+                   help="blocked-panel POTRF in the f32 BTD factor sweep "
+                        "(panel size; 0 = monolithic chol)")
     p.add_argument("--factor_prec", type=str, default="float32",
                    help="matmul precision in the f32 BTD factor sweep: "
                         "float32 | tensorfloat32")
@@ -181,6 +184,7 @@ def main():
         damping=args.damping,
         gemm_solves=args.gemm_solves,
         factor_winv_trsm=args.factor_winv or None,
+        factor_panel=args.factor_panel or None,
         factor_precision=args.factor_prec,
     )
     stride = None

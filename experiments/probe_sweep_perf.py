@@ -181,7 +181,8 @@ def main():
             if p_.startswith("u"):
                 unroll = int(p_[1:])
             else:
-                prec = {"high": "tensorfloat32", "highest": "float32"}[p_]
+                prec = {"high": "tensorfloat32", "highest": "float32",
+                        "bf16": "bfloat16"}[p_]
 
         def f(d, l):
             if kind == "mono":
@@ -267,6 +268,12 @@ def main():
                     BTD(d, l, N * bs), winv_trsm=int(kind[4:]),
                     precision=prec, unroll=unroll,
                 )
+            elif kind.startswith("pw"):
+                # blocked-panel chol + winv GEMM-chain trsm, same size
+                F = btd_cholesky(
+                    BTD(d, l, N * bs), panel=int(kind[2:]),
+                    winv_trsm=int(kind[2:]), precision=prec, unroll=unroll,
+                )
             elif kind.startswith("dist"):
                 from diffeqgmrfs_tpu.ops.dist_btd import dist_btd_cholesky
 
@@ -282,9 +289,12 @@ def main():
 
     def mk_factor(kind, d, l):
         prec = "float32"
-        if "@" in kind:
-            kind, p_ = kind.split("@")
-            prec = {"high": "tensorfloat32", "highest": "float32"}[p_]
+        parts = kind.split("@")
+        kind = parts[0]
+        for p_ in parts[1:]:
+            if not p_.startswith("u"):
+                prec = {"high": "tensorfloat32", "highest": "float32",
+                        "bf16": "bfloat16"}[p_]
         A_ = BTD(d, l, N * bs)
         if kind == "mono":
             return btd_cholesky(A_, precision=prec)
@@ -294,6 +304,9 @@ def main():
             return btd_cholesky_pallas(A_, precision=prec)
         if kind.startswith("winv"):
             return btd_cholesky(A_, winv_trsm=int(kind[4:]), precision=prec)
+        if kind.startswith("pw"):
+            return btd_cholesky(A_, panel=int(kind[2:]),
+                                winv_trsm=int(kind[2:]), precision=prec)
         if kind.startswith("dist"):
             from diffeqgmrfs_tpu.ops.dist_btd import dist_btd_cholesky
 

@@ -71,3 +71,51 @@ def test_blocked_cholesky_vmap():
     assert np.allclose(
         np.tril(np.asarray(L)), np.tril(np.asarray(L0)), atol=1e-9
     )
+
+
+def test_btd_cholesky_winv_and_combined_paths():
+    """winv-TRSM GEMM chain and panel+winv combination are exact; non-divisor
+    panel sizes shrink to the largest divisor (prime bs falls back clean)."""
+    b = None
+    for n_blocks, bs in ((5, 96), (4, 100), (3, 61)):  # 61 prime -> fallback
+        A = random_btd_spd(jax.random.PRNGKey(7), n_blocks, bs, n=n_blocks * bs)
+        F0 = btd_cholesky(A)
+        b = jax.random.normal(jax.random.PRNGKey(8), (A.n,), dtype=jnp.float64)
+        x0 = np.asarray(F0.solve(b))
+        for opts in (
+            dict(winv_trsm=32),
+            dict(winv_trsm=64, panel=32),
+        ):
+            F = btd_cholesky(A, **opts)
+            assert np.allclose(np.asarray(F.solve(b)), x0, atol=1e-9), (bs, opts)
+
+
+def test_blueprint_factor_opts():
+    from diffeqgmrfs_tpu.solvers import CholeskySolverBlueprint
+    from diffeqgmrfs_tpu.solvers.blueprints import GNCholeskySolverBlueprint
+
+    assert CholeskySolverBlueprint().factor_opts() == {}
+    bp = CholeskySolverBlueprint(
+        factor_winv_trsm=128, factor_panel=128, factor_precision="bfloat16"
+    )
+    assert bp.factor_opts() == {
+        "winv_trsm": 128, "panel": 128, "precision": "bfloat16"
+    }
+    gn = GNCholeskySolverBlueprint(factor_winv_trsm=64, damping=True)
+    assert gn.factor_opts() == {"winv_trsm": 64}
+
+
+def test_refined_factor_with_factor_opts():
+    """Mixed-precision refinement converges identically through the
+    winv/panel factor path."""
+    from diffeqgmrfs_tpu.ops.refine import RefinedFactor
+
+    A = random_btd_spd(jax.random.PRNGKey(9), 4, 64, n=256)
+    b = jax.random.normal(jax.random.PRNGKey(10), (A.n,), dtype=jnp.float64)
+    x0, rel0 = RefinedFactor(A).solve(b)
+    x1, rel1 = RefinedFactor(
+        A, factor_opts=dict(winv_trsm=32, panel=32,
+                            precision="tensorfloat32")
+    ).solve(b)
+    assert float(rel1) < 1e-12
+    assert np.allclose(np.asarray(x1), np.asarray(x0), rtol=1e-10)
