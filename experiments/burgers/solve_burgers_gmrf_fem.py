@@ -66,6 +66,8 @@ def parse_cmd():
     p.add_argument("--factor_panel", type=int, default=0,
                    help="blocked-panel POTRF in the f32 BTD factor sweep "
                         "(panel size; 0 = monolithic chol)")
+    p.add_argument("--srif_qr_impl", type=str, default="xla",
+                   help="SRIF window-QR engine: xla | bhh | bcgs")
     p.add_argument("--factor_prec", type=str, default="float32",
                    help="matmul precision in the f32 BTD factor sweep: "
                         "float32 | tensorfloat32")
@@ -183,6 +185,7 @@ def main():
         sqrt_factor=args.sqrt,
         damping=args.damping,
         gemm_solves=args.gemm_solves,
+        srif_qr_impl=args.srif_qr_impl,
         factor_winv_trsm=args.factor_winv or None,
         factor_panel=args.factor_panel or None,
         factor_precision=args.factor_prec,

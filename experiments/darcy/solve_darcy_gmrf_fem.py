@@ -63,6 +63,10 @@ def parse_cmd():
     p.add_argument("--srif_precision", type=str, default="float32",
                    help="MXU precision inside the SRIF QR: float32 | "
                         "tensorfloat32")
+    p.add_argument("--srif_qr_impl", type=str, default="xla",
+                   help="SRIF window-QR engine: xla (monolithic "
+                        "Householder) | bhh (blocked Householder panels + "
+                        "GEMM trailing updates) | bcgs (experimental)")
     p.add_argument("--mean_only", action="store_true",
                    help="skip posterior std/sampling (memory bisection / "
                         "mean-benchmark mode)")
@@ -213,6 +217,7 @@ def main():
             else int(args.srif_chunk)
         ),
         srif_precision=args.srif_precision,
+        srif_qr_impl=args.srif_qr_impl,
         factor_winv_trsm=args.factor_winv or None,
         factor_panel=args.factor_panel or None,
         factor_precision=args.factor_prec,
