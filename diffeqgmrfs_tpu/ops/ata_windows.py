@@ -29,6 +29,24 @@ from jax import lax
 from diffeqgmrfs_tpu.ops.btd import BTD
 
 
+def dense_rows_from_slots(v, lcols, width: int):
+    """Dense [R, width] rows from per-row slot (values, local columns) —
+    K compare-accumulate passes instead of one generic 2D scatter-add.
+    TPU generic scatters serialize: slope-measured 3.3 ms (scatter) vs
+    0.7 ms (this) per Darcy-N300 window panel [18560, 7424] at K=9.
+    Duplicate columns within a row accumulate, matching scatter-add;
+    masked slots carry v = 0 and are inert wherever they land."""
+    c = lax.broadcasted_iota(lcols.dtype, (1, width), 1)
+    M = jnp.zeros((v.shape[0], width), dtype=v.dtype)
+    for k in range(v.shape[1]):
+        M = M + jnp.where(
+            c == lcols[:, k : k + 1],
+            v[:, k : k + 1],
+            jnp.zeros((), dtype=v.dtype),
+        )
+    return M
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class ATAWindowPlan:
@@ -165,12 +183,10 @@ def ata_btd_windows(
     rows = jnp.asarray(plan.rows)
     mask = jnp.asarray(plan.mask, dtype=dtype)
     lcols = jnp.asarray(plan.local_cols)
-    r_idx = jnp.arange(R)[:, None]
 
     def window_G(b):
-        v = vals[rows[b]] * mask[b][:, None]  # [R, K]
-        M = jnp.zeros((R, 2 * bs), dtype=dtype)
-        M = M.at[r_idx, lcols[b]].add(v)
+        v = (vals[rows[b]] * mask[b][:, None]).astype(dtype)  # [R, K]
+        M = dense_rows_from_slots(v, lcols[b], 2 * bs)
         with jax.default_matmul_precision("float32"):
             return (M.T @ M) * tau  # [2bs, 2bs]
 

@@ -50,8 +50,9 @@ from diffeqgmrfs_tpu.ops.packed import (
 
 
 def _window_panel(plan, vals, b, bs, dtype, col_scale=None, rows_slice=None):
-    """Dense [R, 2bs] panel of window b's rows (local scatter, cf.
-    ata_windows.window_G). `col_scale`: optional per-global-column scaling
+    """Dense [R, 2bs] panel of window b's rows (compare-accumulate via
+    ata_windows.dense_rows_from_slots — TPU generic scatter is ~5x
+    slower). `col_scale`: optional per-global-column scaling
     (equilibration), padded to N*bs. `rows_slice`: optional static (k0, k1)
     sub-range of the window's row slots (chunked QR)."""
     rows = jnp.asarray(plan.rows)
@@ -62,13 +63,13 @@ def _window_panel(plan, vals, b, bs, dtype, col_scale=None, rows_slice=None):
         rows = rows[:, k0:k1]
         mask = mask[:, k0:k1]
         lcols = lcols[:, k0:k1]
-    R = rows.shape[1]
     v = (vals[rows[b]] * mask[b][:, None]).astype(dtype)
     if col_scale is not None:
         gcols = b * bs + lcols[b]
         v = v * col_scale[gcols].astype(dtype)
-    M = jnp.zeros((R, 2 * bs), dtype=dtype)
-    return M.at[jnp.arange(R)[:, None], lcols[b]].add(v)
+    from diffeqgmrfs_tpu.ops.ata_windows import dense_rows_from_slots
+
+    return dense_rows_from_slots(v, lcols[b], 2 * bs)
 
 
 def _shifted_cholqr(P, passes: int = 2):

@@ -67,6 +67,9 @@ def parse_cmd():
                    help="SRIF window-QR engine: xla (monolithic "
                         "Householder) | bhh (blocked Householder panels + "
                         "GEMM trailing updates) | bcgs (experimental)")
+    p.add_argument("--phase_probe", action="store_true",
+                   help="time assembly/conditioning/eval as separate jitted "
+                        "phases on one instance, then exit (diagnostics)")
     p.add_argument("--mean_only", action="store_true",
                    help="skip posterior std/sampling (memory bisection / "
                         "mean-benchmark mode)")
@@ -284,6 +287,46 @@ def main():
     # warm-up compile (reference "Trigger precompilation")
     key = jax.random.PRNGKey(523802340)
     soln0, coeff0 = (jnp.asarray(v) for v in ds.get_problem(0))
+
+    if args.phase_probe:
+        # phase-split instance timing: separate jits per phase (assembly /
+        # conditioning factor+mean / evaluation), 2 warm passes then timed
+        f_asm = jax.jit(
+            lambda c: obs(c, geom=geom_dev, structure=obs_st)
+        )
+        def _cond(pr, pt, A, ys):
+            post = condition_on_observations(
+                pr, A, Q_eps, ys, solver_blueprint=bp, pattern=pt
+            )
+            inner = post.inner_gmrf if hasattr(post, "inner_gmrf") else post
+            return post.mean(), inner.factor
+
+        f_cond = jax.jit(_cond)
+        f_eval = jax.jit(lambda mu: E.matvec(mu))
+        f_resolve = jax.jit(lambda F, b: F.solve(b))
+
+        for it in range(3):
+            cur = PhaseTimers()
+            with cur("assembly"):
+                A_, ys_ = f_asm(coeff0)
+                cur.sync(A_.vals)
+            with cur("cond+mean"):
+                mu_, F_ = f_cond(prior_dev, pat, A_, ys_)
+                cur.sync(mu_)
+            with cur("resolve"):
+                x_ = f_resolve(F_, jnp.ones((F_.n,), dtype=jnp.float64))
+                cur.sync(x_)
+            with cur("eval"):
+                pr_ = f_eval(mu_)
+                cur.sync(pr_)
+            log.info(
+                "phase_probe pass %d: %s", it,
+                {k: round(v / 1e9, 2) for k, v in cur.as_dict().items()},
+            )
+            # drop the ~5 GB factor before the next pass re-runs the
+            # conditioning program (two live factors OOM a 16 GB chip)
+            F_ = x_ = None  # noqa: F841
+        return
     with to("Conditioning + Node reordering"):
         out = solve_jit(coeff0, key, soln0.reshape(-1))
         to.sync(out[0])
