@@ -182,6 +182,7 @@ def condition_on_observations(
                 chunk=getattr(bp, "srif_chunk", "auto"),
                 matmul_precision=getattr(bp, "srif_precision", "float32"),
                 qr_impl=getattr(bp, "srif_qr_impl", "xla"),
+                gemm_solves=getattr(bp, "gemm_solves", False),
             )
             rhs = x.precision64.matvec(x.mu) + tau64 * A.rmatvec(
                 jnp.asarray(y, dtype=tau64.dtype)

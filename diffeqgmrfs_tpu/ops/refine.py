@@ -397,7 +397,8 @@ class SRIFConditionFactor(MatFreeConditionFactor):
 
     def __init__(self, H_op: SymSumOp, a_plan, sqrt_op, lam_plan, n, N, bs,
                  refine_iters: int = 4, chunk="auto",
-                 matmul_precision: str = "float32", qr_impl: str = "xla"):
+                 matmul_precision: str = "float32", qr_impl: str = "xla",
+                 gemm_solves: bool = False):
         from diffeqgmrfs_tpu.ops.srif import srif_packed_qr
 
         self.H_op = H_op
@@ -416,6 +417,16 @@ class SRIFConditionFactor(MatFreeConditionFactor):
             matmul_precision=matmul_precision,
             qr_impl=qr_impl,
         )
+        if gemm_solves:
+            # in-place GEMM-form solves (zero extra HBM); banded packing
+            # only — the full-offdiag variant has RFullInverseSolver
+            from diffeqgmrfs_tpu.ops.packed import (
+                PackedBTDRFactor,
+                PackedRInverseSolver,
+            )
+
+            if type(self.F32) is PackedBTDRFactor:
+                self.F32 = PackedRInverseSolver.from_factor(self.F32)
 
 
 def _scale_btd(H: BTD, dinv):

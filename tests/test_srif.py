@@ -291,3 +291,69 @@ def test_srif_bhh_engine_matches():
     x_ref = np.linalg.solve(H, b)
     rel = np.linalg.norm(x32 - x_ref) / np.linalg.norm(x_ref)
     assert rel < 1e-3, rel
+
+
+def test_packed_r_inverse_solver_matches_factor():
+    """GEMM-form (in-place inverted triu) solves match the plain factor on
+    every surface: solve, forward/backward, log_det, variance, sampling."""
+    from diffeqgmrfs_tpu.ops.packed import PackedRInverseSolver
+
+    rng = np.random.default_rng(3)
+    ops, H, N = _setup(rng)
+    n, bs = 50, 16
+    F = srif_packed_qr(ops, n, N, bs, dtype=jnp.float64)
+    W = PackedRInverseSolver.from_factor(F)
+    b = rng.normal(size=n)
+    assert np.allclose(
+        np.asarray(W.solve(jnp.asarray(b))), np.asarray(F.solve(jnp.asarray(b))),
+        rtol=1e-9, atol=1e-11,
+    )
+    assert np.allclose(
+        np.asarray(W.forward_solve(jnp.asarray(b))),
+        np.asarray(F.forward_solve(jnp.asarray(b))), rtol=1e-9, atol=1e-11,
+    )
+    assert np.isclose(float(W.log_det()), float(F.log_det()), rtol=1e-10)
+    assert np.allclose(
+        np.asarray(W.variance_diag()), np.diag(np.linalg.inv(H)), rtol=1e-8
+    )
+    # matrix rhs (sampling path) + rhs-dtype following
+    Z = rng.normal(size=(4, n))
+    assert np.allclose(
+        np.asarray(W.backward_solve(jnp.asarray(Z))),
+        np.asarray(F.backward_solve(jnp.asarray(Z))), rtol=1e-9, atol=1e-11,
+    )
+    x32 = W.solve(jnp.asarray(b, dtype=jnp.float32))
+    assert x32.dtype == jnp.float32
+
+
+def test_srif_condition_factor_gemm_solves():
+    """SRIFConditionFactor(gemm_solves=True) converts to the inverse
+    solver and reproduces the refined mean."""
+    from diffeqgmrfs_tpu.ops.refine import SRIFConditionFactor, SymSumOp
+    from diffeqgmrfs_tpu.ops.packed import PackedRInverseSolver
+
+    rng = np.random.default_rng(5)
+    n, bs, tau = 50, 16, 2.0
+    Lam = _banded_random(rng, n, 3, 5) + 3.0 * sp.eye(n)
+    A = _banded_random(rng, n, 4, 4, m=n)
+    N = -(-n // bs)
+    Lam_op = RowOp.from_csr(Lam)
+    A_op = RowOp.from_csr(A)
+    lam_plan = rowop_window_plan(Lam_op, n, bs)
+    a_plan = rowop_window_plan(A_op, n, bs)
+    Q_sp = (Lam.T @ Lam).tocsr()
+    Q = Q_sp.toarray()
+    H = Q + tau * (A.T @ A).toarray()
+    Q_op = RowOp.from_csr(Q_sp)
+    H_op = SymSumOp(Q_op, A_op, jnp.asarray(tau), diag_Q=jnp.asarray(np.diag(Q)))
+    b = rng.normal(size=n)
+    sols = {}
+    for gs in (False, True):
+        fac = SRIFConditionFactor(
+            H_op, a_plan, Lam_op, lam_plan, n, N, bs, gemm_solves=gs
+        )
+        assert isinstance(fac.F32, PackedRInverseSolver) == gs
+        sols[gs] = np.asarray(fac.solve(jnp.asarray(b)))
+    x_ref = np.linalg.solve(H, b)
+    assert np.allclose(sols[False], x_ref, rtol=1e-6, atol=1e-8)
+    assert np.allclose(sols[True], x_ref, rtol=1e-6, atol=1e-8)
