@@ -155,11 +155,14 @@ def condition_on_observations(
         from diffeqgmrfs_tpu.ops.refine import SymSumOp, MatFreeConditionFactor
 
         tau64 = jnp.asarray(precision, dtype=x.precision64.vals.dtype)
-        H_op = SymSumOp(x.precision64, A, tau64, diag_Q=x.diag64)
         pat = (
             pattern
             if pattern is not None
             else ata_pattern_cached(A, x.precision.n, x.precision.bs)
+        )
+        H_op = SymSumOp(
+            x.precision64, A, tau64, diag_Q=x.diag64,
+            a_plan=pat if hasattr(pat, "t_rows") else None,
         )
         if getattr(bp, "sqrt_factor", False):
             # SRIF path: QR of the stacked [Λ; sqrt(tau) A] — f32-valid at
@@ -176,9 +179,11 @@ def condition_on_observations(
                 )
             from diffeqgmrfs_tpu.ops.refine import SRIFConditionFactor
 
+            ri = getattr(bp, "refine_iters", None)
             factor = SRIFConditionFactor(
                 H_op, pat, x.sqrt32, x.sqrt_plan,
                 x.precision.n, x.precision.N, x.precision.bs,
+                **({} if ri is None else {"refine_iters": int(ri)}),
                 chunk=getattr(bp, "srif_chunk", "auto"),
                 matmul_precision=getattr(bp, "srif_precision", "float32"),
                 qr_impl=getattr(bp, "srif_qr_impl", "xla"),
@@ -188,10 +193,12 @@ def condition_on_observations(
                 jnp.asarray(y, dtype=tau64.dtype)
             )
             return GMRF(factor.solve(rhs), H_op, factor, bp)
+        ri = getattr(bp, "refine_iters", None)
         factor = MatFreeConditionFactor(
             x.precision,
             H_op,
             pat,
+            **({} if ri is None else {"refine_iters": int(ri)}),
             gemm_solves=getattr(bp, "gemm_solves", False),
             packed_q_idx=x.q_pack_idx,
             factor_dtype=getattr(bp, "factor_dtype", "f32"),

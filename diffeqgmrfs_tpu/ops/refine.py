@@ -194,10 +194,17 @@ class SymSumOp:
     observation RowOp. Provides the duck-typed surface GMRF queries use of
     a precision (`matvec`, `diagonal`, `n`, `nnz`)."""
 
-    def __init__(self, Q, A, tau, diag_Q=None):
+    def __init__(self, Q, A, tau, diag_Q=None, a_plan=None):
         self.Q = Q
         self.A = A
         self.tau = tau
+        # optional ATAWindowPlan with a transpose ELL: A^T r as a pure
+        # gather instead of a scatter-add (TPU scatters serialize —
+        # ~5x on the refinement residuals at Darcy N300)
+        self.a_plan = (
+            a_plan if a_plan is not None and
+            getattr(a_plan, "t_rows", None) is not None else None
+        )
         if diag_Q is None:  # slots with cols[r,k] == r hold the diagonal
             import numpy as np_
 
@@ -206,12 +213,12 @@ class SymSumOp:
         self.diag_Q = diag_Q
 
     def tree_flatten(self):
-        return (self.Q, self.A, self.tau, self.diag_Q), ()
+        return (self.Q, self.A, self.tau, self.diag_Q, self.a_plan), ()
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
-        obj.Q, obj.A, obj.tau, obj.diag_Q = children
+        obj.Q, obj.A, obj.tau, obj.diag_Q, obj.a_plan = children
         return obj
 
     @property
@@ -223,7 +230,12 @@ class SymSumOp:
         return self.Q.vals.dtype
 
     def matvec(self, x):
-        return self.Q.matvec(x) + self.tau * self.A.rmatvec(self.A.matvec(x))
+        r = self.A.matvec(x)
+        if self.a_plan is not None:
+            at_r = self.a_plan.rmatvec(self.A.vals, r)
+        else:
+            at_r = self.A.rmatvec(r)
+        return self.Q.matvec(x) + self.tau * at_r
 
     def diagonal(self):
         return self.diag_Q + self.tau * rowop_col_sumsq(self.A, self.n)

@@ -99,6 +99,11 @@ class CholeskySolverBlueprint:
     # and bfloat16 is the fastest measured v5e config (16.4 TF/s vs 9.5
     # monolithic at bs=2048, solve residual 5.7e-7 vs 2.5e-7)
     factor_panel: int | None = None
+    # mean-solve refinement iteration count (None = per-factor default).
+    # Contraction per iteration ~ eps_factor * sqrt(cond H) for the SRIF
+    # path — at Darcy N300 (~2e-4) two iterations already reach the f64
+    # floor; each extra iteration costs a full H application + solve.
+    refine_iters: int | None = None
 
     def factor_opts(self) -> dict:
         """kwargs for `btd_cholesky` on the f32 factor path ({} = defaults)."""

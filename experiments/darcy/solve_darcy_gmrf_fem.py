@@ -67,6 +67,9 @@ def parse_cmd():
                    help="SRIF window-QR engine: xla (monolithic "
                         "Householder) | bhh (blocked Householder panels + "
                         "GEMM trailing updates) | bcgs (experimental)")
+    p.add_argument("--refine_iters", type=int, default=0,
+                   help="mean-solve refinement iterations (0 = per-factor "
+                        "default; 2 reaches the f64 floor at Darcy N300)")
     p.add_argument("--phase_probe", action="store_true",
                    help="time assembly/conditioning/eval as separate jitted "
                         "phases on one instance, then exit (diagnostics)")
@@ -221,6 +224,7 @@ def main():
         ),
         srif_precision=args.srif_precision,
         srif_qr_impl=args.srif_qr_impl,
+        refine_iters=args.refine_iters or None,
         factor_winv_trsm=args.factor_winv or None,
         factor_panel=args.factor_panel or None,
         factor_precision=args.factor_prec,

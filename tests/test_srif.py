@@ -357,3 +357,37 @@ def test_srif_condition_factor_gemm_solves():
     x_ref = np.linalg.solve(H, b)
     assert np.allclose(sols[False], x_ref, rtol=1e-6, atol=1e-8)
     assert np.allclose(sols[True], x_ref, rtol=1e-6, atol=1e-8)
+
+
+def test_window_plan_transpose_rmatvec():
+    """plan.rmatvec (gather-only transpose ELL) == A^T r, with and without
+    structurally-zero slots excluded."""
+    from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan
+
+    rng = np.random.default_rng(7)
+    n, bs = 60, 16
+    A = _banded_random(rng, n, 4, 4, m=70)
+    A_op = RowOp.from_csr(A)
+    # ragged rows are padded with (col 0, val 0) slots — they MUST be
+    # declared structurally zero or the padded col-0 slots blow up both
+    # the row span and column 0's transpose degree
+    cols = np.asarray(A_op.cols)
+    zs = np.asarray(A_op.vals == 0.0)
+    plan = make_ata_window_plan(cols, n, bs, zero_slots=zs)
+    r = rng.normal(size=70)
+    ref = A.T @ r
+    got = np.asarray(plan.rmatvec(jnp.asarray(A_op.vals), jnp.asarray(r)))
+    assert np.allclose(got, ref, rtol=1e-12, atol=1e-12)
+    # the transpose ELL excludes zero slots entirely: garbage there is inert
+    vals2 = np.where(zs, 999.0, np.asarray(A_op.vals))
+    got2 = np.asarray(plan.rmatvec(jnp.asarray(vals2), jnp.asarray(r)))
+    assert np.allclose(got2, ref, rtol=1e-12, atol=1e-12)
+    # square operator with exact K slots per row: no zero_slots needed
+    A2 = _banded_random(rng, n, 4, 4)
+    A2_op = RowOp.from_csr(A2)
+    if not np.any(np.asarray(A2_op.vals) == 0.0):
+        plan2 = make_ata_window_plan(np.asarray(A2_op.cols), n, bs,
+                                     zero_slots=np.asarray(A2_op.vals) == 0)
+        r2 = rng.normal(size=n)
+        got3 = np.asarray(plan2.rmatvec(jnp.asarray(A2_op.vals), jnp.asarray(r2)))
+        assert np.allclose(got3, A2.T @ r2, rtol=1e-12, atol=1e-12)
