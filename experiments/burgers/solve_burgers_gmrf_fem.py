@@ -314,8 +314,10 @@ def main():
         return pred, ic_pred, std, smp, result.n_steps
 
     if args.stepwise:
-        # split programs + host convergence loop (relay-fault workaround)
-        assert args.sqrt and args.batch == 1, "--stepwise requires --sqrt, batch=1"
+        # split programs + host convergence loop (relay-fault workaround);
+        # with --batch > 1 each per-step program is vmapped over instances
+        # and the host loop runs until every batch member converges
+        assert args.sqrt, "--stepwise requires --sqrt"
         from diffeqgmrfs_tpu.models.advection_diffusion import (
             st_prior_toeplitz,
         )
@@ -329,8 +331,7 @@ def main():
                 gamma=jnp.asarray([gamma]), **spde_static
             )
 
-        @jax.jit
-        def sw_setup(ic, aux):
+        def _sw_setup(ic, aux):
             bulk = jnp.mean(ic)
             gamma = -c * bulk
             mu_p, q_top, affine_inst = st_prior_toeplitz(
@@ -355,8 +356,7 @@ def main():
                 final_factor=final_factor,
             )
 
-        @jax.jit
-        def sw_step(mu_ic, x_cur, gamma, q_ic, eta_ic, aux):
+        def _sw_step(mu_ic, x_cur, gamma, q_ic, eta_ic, aux):
             r = gauss_newton(
                 mu_ic, ShapeOnly(q_ic.n, q_ic.N, q_ic.bs), res.f_and_J,
                 noise_fem, jnp.zeros(res.n_rows), x_cur,
@@ -366,8 +366,7 @@ def main():
             )
             return r.x_k, r.newton_decrement
 
-        @jax.jit
-        def sw_posterior(mu_ic, x_fin, gamma, q_ic, eta_ic, aux, key):
+        def _sw_posterior(mu_ic, x_fin, gamma, q_ic, eta_ic, aux, key):
             r = gauss_newton(
                 mu_ic, ShapeOnly(q_ic.n, q_ic.N, q_ic.bs), res.f_and_J,
                 noise_fem, jnp.zeros(res.n_rows), x_fin,
@@ -379,18 +378,52 @@ def main():
             pred = E_st.matvec(post.mean()).reshape(N_t, len(x_coords))
             return pred, post.std(), post.sample(key, 1)
 
-        @jax.jit
-        def sw_icpred(mu_ic):
+        def _sw_icpred(mu_ic):
             return E_st.matvec(affine_st.free_to_full(mu_ic)).reshape(
                 N_t, len(x_coords)
             )
+
+        sw_setup = jax.jit(_sw_setup)
+        sw_step = jax.jit(_sw_step)
+        sw_posterior = jax.jit(_sw_posterior)
+        sw_icpred = jax.jit(_sw_icpred)
+        max_steps = getattr(criterion, "bound", 15) or 15
+
+        if args.batch > 1:
+            vsw_setup = jax.jit(jax.vmap(_sw_setup, in_axes=(0, None)))
+            vsw_step = jax.jit(
+                jax.vmap(_sw_step, in_axes=(0, 0, 0, 0, 0, None))
+            )
+            vsw_posterior = jax.jit(
+                jax.vmap(_sw_posterior, in_axes=(0, 0, 0, 0, 0, None, 0))
+            )
+            vsw_icpred = jax.jit(jax.vmap(_sw_icpred))
+
+            def stepwise_batch_solve(ics, keys):
+                mu_ic, q_ic, eta_ic, gamma = vsw_setup(ics, gn_aux)
+                ic_pred = vsw_icpred(mu_ic)
+                x = mu_ic
+                B = ics.shape[0]
+                steps_taken = np.full(B, max_steps, dtype=np.int64)
+                for s in range(max_steps):
+                    x, dec = vsw_step(mu_ic, x, gamma, q_ic, eta_ic, gn_aux)
+                    dec_h = np.asarray(dec)
+                    steps_taken = np.where(
+                        (dec_h < 1e-6) & (steps_taken == max_steps),
+                        s + 1, steps_taken,
+                    )
+                    if dec_h.max() < 1e-6:
+                        break
+                pred, std, smp = vsw_posterior(
+                    mu_ic, x, gamma, q_ic, eta_ic, gn_aux, keys
+                )
+                return pred, ic_pred, std, smp, jnp.asarray(steps_taken)
 
         def solve_jit(ic, key):
             mu_ic, q_ic, eta_ic, gamma = sw_setup(ic, gn_aux)
             ic_pred = sw_icpred(mu_ic)
             x = mu_ic
             n_steps = 0
-            max_steps = getattr(criterion, "bound", 15) or 15
             for _ in range(max_steps):
                 x, dec = sw_step(mu_ic, x, gamma, q_ic, eta_ic, gn_aux)
                 n_steps += 1
@@ -408,9 +441,10 @@ def main():
             return _solve(ic, key, gn_aux)
 
     key = jax.random.PRNGKey(345903459)
-    with to("Prior construction + first solve (compile)"):
-        out = solve_jit(jnp.asarray(ds.get_initial_condition(0)), key)
-        to.sync(out[0])
+    if args.batch == 1:
+        with to("Prior construction + first solve (compile)"):
+            out = solve_jit(jnp.asarray(ds.get_initial_condition(0)), key)
+            to.sync(out[0])
 
     N = 3 if args.dry_run else len(ds)
     KEYS = ("rel_errs", "rmses", "max_errs", "ic_rel_errs", "ic_rmses",
@@ -450,11 +484,19 @@ def main():
     sweep_t0 = None
     throughput = None
     if args.batch > 1:
-        vsolve = jax.jit(jax.vmap(solve_instance, in_axes=(0, 0, None)))
+        if args.stepwise:
+            def vsolve(ics, keys, _aux):
+                return stepwise_batch_solve(ics, keys)
+        else:
+            vsolve = jax.jit(jax.vmap(solve_instance, in_axes=(0, 0, None)))
         import time as _time
 
         for start in range(0, N, args.batch):
             idxs = list(range(start, min(start + args.batch, N)))
+            if all(saver.has(i) for i in idxs):
+                for i in idxs:
+                    _log_row(i, saver.get(i))
+                continue
             pad = args.batch - len(idxs)
             ics = jnp.asarray(np.stack(
                 [np.asarray(ds.get_initial_condition(i)) for i in idxs]
