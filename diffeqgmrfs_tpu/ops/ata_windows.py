@@ -77,6 +77,13 @@ class ATAWindowPlan:
     t_rows: np.ndarray | None = None  # [n, K_T] int32 source row ids
     t_slot: np.ndarray | None = None  # [n, K_T] int32 k index in the row
     t_mask: np.ndarray | None = None  # [n, K_T] {0,1} validity
+    # `split`: windows at FINE granularity bs_f = bs/split, width
+    # bs + bs_f (split*(N-1) windows instead of N-1). QR/Gram flops
+    # scale with window width squared, so split=2 computes the same R /
+    # A^T A with (1.5/2)^2 = 0.56x the flops of the classic two-block
+    # (split=1) windows. Requires every row span <= bs (checked at
+    # build; the same invariant as strictly-lower R packing).
+    split: int = 1
 
     def tree_flatten(self):
         return (
@@ -88,7 +95,7 @@ class ATAWindowPlan:
             self.t_rows,
             self.t_slot,
             self.t_mask,
-        ), (self.n, self.N, self.bs, self.n_uniq, self.max_span)
+        ), (self.n, self.N, self.bs, self.n_uniq, self.max_span, self.split)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -97,11 +104,22 @@ class ATAWindowPlan:
             aux[0], aux[1], aux[2], children[3], children[4], aux[3],
             aux[4] if len(aux) > 4 else -1,
             children[5], children[6], children[7],
+            aux[5] if len(aux) > 5 else 1,
         )
 
     @property
     def Nw(self):
         return self.rows.shape[0]
+
+    @property
+    def bs_f(self):
+        """Fine block size (== bs when split == 1)."""
+        return self.bs // self.split
+
+    @property
+    def width(self):
+        """Window width in columns (2bs when split == 1)."""
+        return self.bs + self.bs // self.split
 
     def to_device(self):
         return jax.device_put(self)
@@ -126,8 +144,17 @@ class ATAWindowPlan:
         ].add(merged**2)
 
 
+def auto_split(bs: int, threshold: int = 512) -> int:
+    """Default window split for banded operands (row span <= bs): 2 for
+    MXU-size blocks — the fine sweep runs the same QR/Gram math at
+    (1.5/2)^2 = 0.56x the flops — and 1 for small blocks where doubling
+    the window count costs more in dispatch latency than it saves."""
+    return 2 if bs >= threshold and bs % 2 == 0 else 1
+
+
 def make_ata_window_plan(
-    cols: np.ndarray, n: int, bs: int, zero_slots: np.ndarray | None = None
+    cols: np.ndarray, n: int, bs: int, zero_slots: np.ndarray | None = None,
+    split: int = 1,
 ) -> ATAWindowPlan:
     """Build the plan from a RowOp's static column structure [n_rows, K].
 
@@ -137,11 +164,22 @@ def make_ata_window_plan(
     row whose real cols sit in a far block would otherwise make the row
     span "more than two blocks". Their local columns are clipped into the
     window, which is harmless because their values are identically zero.
+
+    split: fine-granularity windows (see ATAWindowPlan.split) — windows of
+    width bs + bs/split at stride bs/split, quadratically cheaper QR/Gram
+    sweeps. Valid only while every row span <= bs; split=1 reproduces the
+    classic two-block windows exactly.
     """
     cols = np.asarray(cols)
     n_rows, K = cols.shape
     N = max((n + bs - 1) // bs, 1)
-    Nw = max(N - 1, 1)
+    if N == 1:
+        split = 1
+    if bs % split:
+        raise ValueError(f"split={split} must divide bs={bs}")
+    bs_f = bs // split
+    W = bs + bs_f
+    Nw = max(split * (N - 1), 1)
     if zero_slots is not None:
         zs = np.asarray(zero_slots, dtype=bool)
         big = np.iinfo(np.int64).max
@@ -153,12 +191,13 @@ def make_ata_window_plan(
     else:
         cmin = cols.min(axis=1)
         cmax = cols.max(axis=1)
-    w = np.minimum(cmin // bs, Nw - 1).astype(np.int64)
-    if np.any(cmax - w * bs >= 2 * bs):
-        bad = np.argmax(cmax - w * bs >= 2 * bs)
+    w = np.minimum(cmin // bs_f, Nw - 1).astype(np.int64)
+    if np.any(cmax - w * bs_f >= W):
+        bad = np.argmax(cmax - w * bs_f >= W)
         raise ValueError(
-            f"row {bad} spans more than two blocks (cols {cmin[bad]}..{cmax[bad]}, "
-            f"bs={bs}); increase block size"
+            f"row {bad} spans more than a window (cols {cmin[bad]}.."
+            f"{cmax[bad]}, bs={bs}, split={split}); increase block size "
+            f"or reduce split"
         )
     order = np.argsort(w, kind="stable")
     counts = np.bincount(w, minlength=Nw)
@@ -170,8 +209,8 @@ def make_ata_window_plan(
         sel = order[starts[b] : starts[b + 1]]
         rows[b, : len(sel)] = sel
         mask[b, : len(sel)] = 1.0
-    local = cols[rows] - (np.arange(Nw, dtype=np.int64) * bs)[:, None, None]
-    local = np.clip(local, 0, 2 * bs - 1).astype(np.int32)
+    local = cols[rows] - (np.arange(Nw, dtype=np.int64) * bs_f)[:, None, None]
+    local = np.clip(local, 0, W - 1).astype(np.int32)
     # column-sum-square plan: merge duplicate (row, col) slots host-side
     keys = (
         np.repeat(np.arange(n_rows, dtype=np.int64), K) * n
@@ -200,6 +239,7 @@ def make_ata_window_plan(
         return ATAWindowPlan(
             rows, mask, local, n, N, bs,
             inv.astype(np.int32), colsq_col, len(uniq), max_span,
+            split=split,
         )
     t_rows = np.zeros((n, K_T), dtype=np.int32)
     t_slot = np.zeros((n, K_T), dtype=np.int32)
@@ -214,7 +254,7 @@ def make_ata_window_plan(
     return ATAWindowPlan(
         rows, mask, local, n, N, bs,
         inv.astype(np.int32), colsq_col, len(uniq), max_span,
-        t_rows, t_slot, t_mask,
+        t_rows, t_slot, t_mask, split=split,
     )
 
 
@@ -230,16 +270,16 @@ def ata_btd_windows(
     vals = jnp.asarray(vals)
     dtype = dtype or vals.dtype
     N, bs, Nw = plan.N, plan.bs, plan.Nw
-    R = plan.rows.shape[1]
+    s, bs_f, W = plan.split, plan.bs_f, plan.width
     rows = jnp.asarray(plan.rows)
     mask = jnp.asarray(plan.mask, dtype=dtype)
     lcols = jnp.asarray(plan.local_cols)
 
     def window_G(b):
         v = (vals[rows[b]] * mask[b][:, None]).astype(dtype)  # [R, K]
-        M = dense_rows_from_slots(v, lcols[b], 2 * bs)
+        M = dense_rows_from_slots(v, lcols[b], W)
         with jax.default_matmul_precision("float32"):
-            return (M.T @ M) * tau  # [2bs, 2bs]
+            return (M.T @ M) * tau  # [W, W]
 
     if init is not None:
         diag, lower = init.diag, init.lower
@@ -251,23 +291,48 @@ def ata_btd_windows(
         return BTD(diag + window_G(0)[:bs, :bs][None], lower, plan.n)
 
     # scan-accumulate one window Gram at a time: materializing all Nw
-    # [2bs, 2bs] panels first is ~4 Nw bs^2 floats (~10 GB at Darcy
-    # N_xy=300) and OOMs; the carry buffers alias in place.
-    def step(carry, b):
+    # [W, W] panels first is ~Nw W^2 floats (~10 GB at Darcy N_xy=300)
+    # and OOMs; the carry buffers alias in place. With split > 1 the scan
+    # runs over BIG blocks with the s fine windows unrolled inside, so
+    # every fine tile's (big block, offset) target is static modulo the
+    # traced big index B.
+    def step(carry, B):
         dg, lo = carry
-        G = window_G(b)
-        dg = lax.dynamic_update_slice(
-            dg, (lax.dynamic_slice(dg, (b, 0, 0), (1, bs, bs)) + G[None, :bs, :bs]), (b, 0, 0)
-        )
-        dg = lax.dynamic_update_slice(
-            dg,
-            (lax.dynamic_slice(dg, (b + 1, 0, 0), (1, bs, bs)) + G[None, bs:, bs:]),
-            (b + 1, 0, 0),
-        )
-        lo = lax.dynamic_update_slice(
-            lo, (lax.dynamic_slice(lo, (b, 0, 0), (1, bs, bs)) + G[None, bs:, :bs]), (b, 0, 0)
-        )
+        for t in range(s):
+            b = s * B + t if s > 1 else B
+            G = window_G(b)
+            # fine tile (p, q) covers fine blocks (b+p, b+q); distance
+            # <= s so the big-block distance is 0 (diag) or 1 (lower) —
+            # static given (t, p, q)
+            for p in range(s + 1):
+                dBi, oi = (t + p) // s, ((t + p) % s) * bs_f
+                for q in range(p + 1):
+                    dBj, oj = (t + q) // s, ((t + q) % s) * bs_f
+                    tile = G[
+                        p * bs_f : (p + 1) * bs_f, q * bs_f : (q + 1) * bs_f
+                    ][None]
+                    if dBi == dBj:
+                        tgt, Bt = dg, B + dBi
+                        if p != q:  # mirror into the symmetric diag block
+                            cur = lax.dynamic_slice(
+                                tgt, (Bt, oj, oi), (1, bs_f, bs_f)
+                            )
+                            tgt = lax.dynamic_update_slice(
+                                tgt,
+                                cur + jnp.swapaxes(tile, 1, 2),
+                                (Bt, oj, oi),
+                            )
+                    else:
+                        tgt, Bt = lo, B + dBj
+                    cur = lax.dynamic_slice(tgt, (Bt, oi, oj), (1, bs_f, bs_f))
+                    tgt = lax.dynamic_update_slice(
+                        tgt, cur + tile, (Bt, oi, oj)
+                    )
+                    if dBi == dBj:
+                        dg = tgt
+                    else:
+                        lo = tgt
         return (dg, lo), None
 
-    (diag, lower), _ = lax.scan(step, (diag, lower), jnp.arange(Nw))
+    (diag, lower), _ = lax.scan(step, (diag, lower), jnp.arange(N - 1))
     return BTD(diag, lower, plan.n)

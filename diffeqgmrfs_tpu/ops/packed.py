@@ -911,6 +911,8 @@ def ata_packed_windows(plan, vals, init: PackedBTD, tau=1.0) -> PackedBTD:
     """
     vals = jnp.asarray(vals)
     dtype = init.dtype
+    if getattr(plan, "split", 1) != 1:
+        raise ValueError("ata_packed_windows requires a split=1 plan")
     N, bs, Nw = plan.N, plan.bs, plan.Nw
     R = plan.rows.shape[1]
     rows = jnp.asarray(plan.rows)

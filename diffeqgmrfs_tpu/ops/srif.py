@@ -50,8 +50,8 @@ from diffeqgmrfs_tpu.ops.packed import (
 
 
 def _window_panel(plan, vals, b, bs, dtype, col_scale=None, rows_slice=None):
-    """Dense [R, 2bs] panel of window b's rows (compare-accumulate via
-    ata_windows.dense_rows_from_slots — TPU generic scatter is ~5x
+    """Dense [R, plan.width] panel of window b's rows (compare-accumulate
+    via ata_windows.dense_rows_from_slots — TPU generic scatter is ~5x
     slower). `col_scale`: optional per-global-column scaling
     (equilibration), padded to N*bs. `rows_slice`: optional static (k0, k1)
     sub-range of the window's row slots (chunked QR)."""
@@ -65,11 +65,11 @@ def _window_panel(plan, vals, b, bs, dtype, col_scale=None, rows_slice=None):
         lcols = lcols[:, k0:k1]
     v = (vals[rows[b]] * mask[b][:, None]).astype(dtype)
     if col_scale is not None:
-        gcols = b * bs + lcols[b]
+        gcols = b * plan.bs_f + lcols[b]
         v = v * col_scale[gcols].astype(dtype)
     from diffeqgmrfs_tpu.ops.ata_windows import dense_rows_from_slots
 
-    return dense_rows_from_slots(v, lcols[b], 2 * bs)
+    return dense_rows_from_slots(v, lcols[b], plan.width)
 
 
 def _shifted_cholqr(P, passes: int = 2):
@@ -202,6 +202,12 @@ def srif_packed_qr(
     for plan, _ in operands:
         if (plan.N, plan.bs) != (N, bs):
             raise ValueError("operand plan partition mismatch")
+    splits = {plan.split for plan, _ in operands}
+    if len(splits) != 1:
+        raise ValueError(f"operand plans disagree on split: {splits}")
+    split = splits.pop()
+    bs_f = bs // split
+    W = bs + bs_f  # window width (2bs when split == 1)
     # strictly-lower slot packing of R[b, b+1] is valid only while the
     # scalar bandwidth of H = S^T S stays < bs, i.e. every operand row
     # spans < bs columns. ST joint precisions (dense time-coupling blocks)
@@ -252,24 +258,24 @@ def srif_packed_qr(
 
     def qr_r(T):
         if qr_impl == "bcgs":
-            return _bcgs_qr_r(T, panel=panel)[: 2 * bs]
+            return _bcgs_qr_r(T, panel=panel)[:W]
         if qr_impl == "bhh":
-            return _bhh_qr_r(T, panel=panel)[: 2 * bs]
-        return jnp.linalg.qr(T, mode="r")[: 2 * bs]
+            return _bhh_qr_r(T, panel=panel)[:W]
+        return jnp.linalg.qr(T, mode="r")[:W]
 
     def reduce_window(b, carry):
-        """Triangularize [carry; window rows] -> R_T [2bs, 2bs]."""
+        """Triangularize [carry; window rows] -> R_T [W, W]."""
         if chunk_rows is None:
             T = jnp.concatenate([carry] + panels(b), axis=0)
-            if T.shape[0] < 2 * bs:
-                T = jnp.pad(T, ((0, 2 * bs - T.shape[0]), (0, 0)))
+            if T.shape[0] < W:
+                T = jnp.pad(T, ((0, W - T.shape[0]), (0, 0)))
             return qr_r(T)
         Rcur = carry
         for i, k0, k1 in chunk_plan():
             M = panels(b, rows_slice=(k0, k1), op_idx=i)[0]
             T = jnp.concatenate([Rcur, M], axis=0)
-            if T.shape[0] < 2 * bs:
-                T = jnp.pad(T, ((0, 2 * bs - T.shape[0]), (0, 0)))
+            if T.shape[0] < W:
+                T = jnp.pad(T, ((0, W - T.shape[0]), (0, 0)))
             Rcur = qr_r(T)
         return Rcur
 
@@ -290,9 +296,14 @@ def srif_packed_qr(
         # by transposing the whole buffer's layout and double-copying the
         # 5 GB loop carry (see PackedBTDRFactor docstring)
         P0 = jnp.zeros((N, bs * bs), dtype=dtype)
-        carry0 = jnp.zeros((bs, 2 * bs), dtype=dtype)
+        carry0 = jnp.zeros((bs, W), dtype=dtype)
 
         if full_offdiag:
+            if split != 1:
+                raise ValueError(
+                    "split > 1 requires banded operands (row span < bs); "
+                    "full-offdiagonal factors need split=1 plans"
+                )
             U0 = jnp.zeros((Nw, bs * bs), dtype=dtype)
 
             def body(b, state):
@@ -316,20 +327,31 @@ def srif_packed_qr(
             P = lax.dynamic_update_slice(P, Rlast.reshape(1, -1), (N - 1, 0))
             return _fix_padding_full(PackedBTDRFullFactor(P, U, n, bs))
 
-        def body(b, state):
-            # R-form packing: slot b = triu(R[b,b]) + strict-tril(R[b,b+1]),
-            # BOTH produced at step b — ONE untransposed write per slot
+        def body(B, state):
+            # R-form packing: slot B = triu(R[B,B]) + strict-tril(R[B,B+1]),
+            # assembled from the `split` fine windows of big block B —
+            # ONE untransposed write per slot. Fine window b emits the
+            # R rows of fine block b ([bs_f, W] at static inner offset
+            # t*bs_f); the carry (rows not yet triangular-final) spans
+            # the next bs columns.
             P, carry = state
-            R_T = reduce_window(b, carry)
-            s = jnp.where(jnp.diagonal(R_T) < 0, -1.0, 1.0).astype(dtype)
-            R_T = s[:, None] * R_T
-            slot = jnp.triu(R_T[:bs, :bs]) + jnp.tril(R_T[:bs, bs:], -1)
-            P = lax.dynamic_update_slice(P, slot.reshape(1, -1), (b, 0))
-            # carry covers block col b+1 only; right half (col b+2) starts
-            # empty for the next window
-            return P, jnp.pad(R_T[bs:, bs:], ((0, 0), (0, bs)))
+            Ebig = jnp.zeros((bs, 2 * bs), dtype=dtype)
+            for t in range(split):
+                b = split * B + t if split > 1 else B
+                R_T = reduce_window(b, carry)
+                s = jnp.where(jnp.diagonal(R_T) < 0, -1.0, 1.0).astype(dtype)
+                R_T = s[:, None] * R_T
+                Ebig = lax.dynamic_update_slice(
+                    Ebig, R_T[:bs_f], (t * bs_f, t * bs_f)
+                )
+                # carry covers the next bs columns; the last bs_f columns
+                # of the next window start empty
+                carry = jnp.pad(R_T[bs_f:, bs_f:], ((0, 0), (0, bs_f)))
+            slot = jnp.triu(Ebig[:, :bs]) + jnp.tril(Ebig[:, bs:], -1)
+            P = lax.dynamic_update_slice(P, slot.reshape(1, -1), (B, 0))
+            return P, carry
 
-        P, carry = lax.fori_loop(0, Nw, body, (P0, carry0))
+        P, carry = lax.fori_loop(0, N - 1, body, (P0, carry0))
         # final block: carry's left half is R[N-1, N-1] (upper-tri; right
         # half is structurally zero — no operand column reaches past n_pad)
         s = jnp.where(jnp.diagonal(carry[:, :bs]) < 0, -1.0, 1.0).astype(dtype)
@@ -394,7 +416,7 @@ def _fix_padding_full(F: PackedBTDRFullFactor) -> PackedBTDRFullFactor:
     return type(F)(P, U, n, bs)
 
 
-def rowop_window_plan(A, n: int, bs: int, zero_slots="auto"):
+def rowop_window_plan(A, n: int, bs: int, zero_slots="auto", split: int = 1):
     """ATAWindowPlan for a RowOp's rows (SRIF operand form).
 
     zero_slots="auto" marks structurally-zero slots (ELL padding /
@@ -410,4 +432,6 @@ def rowop_window_plan(A, n: int, bs: int, zero_slots="auto"):
             zs = None
     elif zero_slots is not None:
         zs = np.asarray(zero_slots, dtype=bool)
-    return make_ata_window_plan(np.asarray(A.cols), n, bs, zero_slots=zs)
+    return make_ata_window_plan(
+        np.asarray(A.cols), n, bs, zero_slots=zs, split=split
+    )

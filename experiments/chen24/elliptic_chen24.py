@@ -147,18 +147,23 @@ def main():
             from diffeqgmrfs_tpu.ops.srif import rowop_window_plan
             from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan
 
+            from diffeqgmrfs_tpu.ops.ata_windows import auto_split
+
             n, bsz = disc.ndofs, x_bc.precision.bs
+            spl = auto_split(bsz)
             lam32 = RowOp.from_csr(matern_sqrt_host(spde, disc),
                                    dtype=jnp.float32)
-            lam_plan = rowop_window_plan(lam32, n, bsz).to_device()
-            ab_plan = rowop_window_plan(A_b, n, bsz).to_device()
+            lam_plan = rowop_window_plan(lam32, n, bsz, split=spl).to_device()
+            ab_plan = rowop_window_plan(A_b, n, bsz, split=spl).to_device()
             ab_vals = A_b.vals * np.sqrt(1e12)
             Ab_csr = A_b.to_csr_host()
             Q_bc = (matern_precision_host(spde, disc)
                     + 1e12 * (Ab_csr.T @ Ab_csr)).tocsr()
             q_ell = RowOp.from_csr(Q_bc, dtype=jnp.float64)
             q_diag = jnp.asarray(Q_bc.diagonal())
-            j_plan = make_ata_window_plan(np.asarray(jcols), n, bsz).to_device()
+            j_plan = make_ata_window_plan(
+                np.asarray(jcols), n, bsz, split=spl
+            ).to_device()
             sqrt_arrays = dict(
                 j_plan=j_plan,
                 sqrt_ops=[(lam_plan, lam32.vals), (ab_plan, ab_vals)],

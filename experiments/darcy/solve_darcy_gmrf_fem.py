@@ -197,9 +197,14 @@ def main():
             if hasattr(prior, "affine")
             else None
         )
+        # the SRIF stacked QR requires the obs plan to share the prior
+        # sqrt plan's window split (fine windows, ops/srif.py)
+        plan_split = (
+            getattr(inner_prior.sqrt_plan, "split", 1) if args.sqrt else 1
+        )
         pat = make_ata_window_plan(
             A0c.cols, inner_prior.precision.n, inner_prior.precision.bs,
-            zero_slots=zs_A,
+            zero_slots=zs_A, split=plan_split,
         ).to_device()
     else:
         pat = ata_pattern_cached(
@@ -247,7 +252,7 @@ def main():
             )
             pat_E = make_ata_window_plan(
                 E_c.cols, inner_prior.precision.n, inner_prior.precision.bs,
-                zero_slots=zs_E,
+                zero_slots=zs_E, split=plan_split,
             ).to_device()
         else:
             pat_E = ata_pattern_cached(

@@ -74,6 +74,21 @@ def main():
         flops=qr_flops,
     )
 
+    # engine comparison at the window shape
+    from diffeqgmrfs_tpu.ops.srif import _bhh_qr_r, _bcgs_qr_r
+
+    for name, f in [
+        ("bhh p512 reorth", lambda t: _bhh_qr_r(t, 512, True)),
+        ("bhh p512 noreorth", lambda t: _bhh_qr_r(t, 512, False)),
+        ("bhh p1024 noreorth", lambda t: _bhh_qr_r(t, 1024, False)),
+        ("bcgs p512", lambda t: _bcgs_qr_r(t, 512)),
+    ]:
+        try:
+            slope(name, lambda t, f=f: jnp.sum(f(t)[: 2 * bs]), T,
+                  flops=qr_flops)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
+
     # carry-chained window scan: each step overwrites the carry rows of a
     # fresh window stack with the previous R (the srif sweep's data flow)
     W = args.windows

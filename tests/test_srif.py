@@ -391,3 +391,92 @@ def test_window_plan_transpose_rmatvec():
         r2 = rng.normal(size=n)
         got3 = np.asarray(plan2.rmatvec(jnp.asarray(A2_op.vals), jnp.asarray(r2)))
         assert np.allclose(got3, A2.T @ r2, rtol=1e-12, atol=1e-12)
+
+
+def test_srif_split_matches_split1():
+    """Fine-granularity (split) windows compute the SAME packed R factor
+    as the classic two-block windows — quadratically fewer QR flops."""
+    rng = np.random.default_rng(5)
+    n, bs, tau = 50, 16, 2.0
+    Lam = _banded_random(rng, n, 3, 5) + 3.0 * sp.eye(n)
+    A = _banded_random(rng, n, 4, 4)
+    H = (Lam.T @ Lam + tau * A.T @ A).toarray()
+    N = -(-n // bs)
+    Lam_op, A_op = RowOp.from_csr(Lam), RowOp.from_csr(A)
+
+    def factor(split):
+        ops = [
+            (rowop_window_plan(Lam_op, n, bs, split=split), Lam_op.vals),
+            (rowop_window_plan(A_op, n, bs, split=split),
+             A_op.vals * np.sqrt(tau)),
+        ]
+        return srif_packed_qr(ops, n, N, bs, dtype=jnp.float64)
+
+    F1 = factor(1)
+    b = rng.normal(size=n)
+    x_ref = np.linalg.solve(H, b)
+    for split in (2, 4):
+        F = factor(split)
+        # R is unique given positive diagonal: P matches entrywise
+        assert np.allclose(np.asarray(F.P), np.asarray(F1.P),
+                           rtol=1e-9, atol=1e-9)
+        assert np.allclose(np.asarray(F.solve(jnp.asarray(b))), x_ref,
+                           rtol=1e-9, atol=1e-9)
+        assert np.isclose(float(F.log_det()), np.linalg.slogdet(H)[1],
+                          rtol=1e-9)
+
+
+def test_srif_split_chunked_and_colscale():
+    rng = np.random.default_rng(6)
+    ops, H, N = _setup(rng)
+    n, bs = 50, 16
+    d = np.sqrt(np.diag(H))
+    Hs = H / d[:, None] / d[None, :]
+    from diffeqgmrfs_tpu.fem.operators import RowOp as _RowOp  # noqa: F401
+    # rebuild with split=2 plans
+    rng2 = np.random.default_rng(2)
+    Lam = _banded_random(rng2, n, 3, 5) + 3.0 * sp.eye(n)
+    A = _banded_random(rng2, n, 4, 4, m=n)
+    tau = 2.0
+    H = (Lam.T @ Lam + tau * A.T @ A).toarray()
+    d = np.sqrt(np.diag(H))
+    Hs = H / d[:, None] / d[None, :]
+    Lam_op, A_op = RowOp.from_csr(Lam), RowOp.from_csr(A)
+    ops = [
+        (rowop_window_plan(Lam_op, n, bs, split=2), Lam_op.vals),
+        (rowop_window_plan(A_op, n, bs, split=2), A_op.vals * np.sqrt(tau)),
+    ]
+    b = rng.normal(size=n)
+    F = srif_packed_qr(ops, n, N, bs, dtype=jnp.float64,
+                       col_scale=jnp.asarray(1.0 / d), chunk_rows=8)
+    assert np.allclose(np.asarray(F.solve(jnp.asarray(b))),
+                       np.linalg.solve(Hs, b), rtol=1e-9, atol=1e-9)
+
+
+def test_ata_btd_windows_split():
+    """Split-window Gram accumulation matches dense A^T A."""
+    from diffeqgmrfs_tpu.ops.ata_windows import (
+        make_ata_window_plan, ata_btd_windows,
+    )
+
+    rng = np.random.default_rng(7)
+    n, bs, tau = 50, 16, 1.7
+    A = _banded_random(rng, n, 5, 6, m=60)
+    A_op = RowOp.from_csr(sp.csr_matrix(A))
+    zs = np.asarray(A_op.vals) == 0.0  # ELL padding slots
+    ref = tau * (A.T @ A).toarray()
+    G1 = ata_btd_windows(
+        make_ata_window_plan(np.asarray(A_op.cols), n, bs, zero_slots=zs),
+        A_op.vals, tau=tau, dtype=jnp.float64,
+    )
+    for split in (2, 4):
+        plan = make_ata_window_plan(
+            np.asarray(A_op.cols), n, bs, zero_slots=zs, split=split
+        )
+        G = ata_btd_windows(plan, A_op.vals, tau=tau, dtype=jnp.float64)
+        Gd = np.asarray(G.to_dense())[:n, :n]
+        # BTD stores diag + lower; symmetrize for comparison
+        Gd = np.tril(Gd) + np.tril(Gd, -1).T
+        refs = np.tril(np.asarray(G1.to_dense())[:n, :n])
+        assert np.allclose(np.tril(Gd), refs, rtol=1e-10, atol=1e-10)
+        assert np.allclose(np.tril(Gd), np.tril(ref), rtol=1e-9, atol=1e-9)
