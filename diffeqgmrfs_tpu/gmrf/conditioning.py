@@ -180,6 +180,10 @@ def condition_on_observations(
             from diffeqgmrfs_tpu.ops.refine import SRIFConditionFactor
 
             ri = getattr(bp, "refine_iters", None)
+            use_pre = (
+                x.sqrt_R32 is not None
+                and getattr(bp, "sqrt_prefactor", True)
+            )
             factor = SRIFConditionFactor(
                 H_op, pat, x.sqrt32, x.sqrt_plan,
                 x.precision.n, x.precision.N, x.precision.bs,
@@ -188,6 +192,8 @@ def condition_on_observations(
                 matmul_precision=getattr(bp, "srif_precision", "float32"),
                 qr_impl=getattr(bp, "srif_qr_impl", "xla"),
                 gemm_solves=getattr(bp, "gemm_solves", False),
+                prior_R=x.sqrt_R32 if use_pre else None,
+                prior_cs0=x.sqrt_cs0 if use_pre else None,
             )
             rhs = x.precision64.matvec(x.mu) + tau64 * A.rmatvec(
                 jnp.asarray(y, dtype=tau64.dtype)

@@ -175,6 +175,11 @@ class CompactGMRF(GMRF):
     # operand (ops/srif.py) enabling f32 square-root factorization where
     # cond(H) exceeds 1/eps_f32 (blueprint sqrt_factor=True)
     sqrt_plan: object = None  # ATAWindowPlan for sqrt32's rows (host-built)
+    sqrt_R32: object = None  # PackedBTDRFactor: PRE-REDUCED prior sqrt
+    # (R_Λ = qr(Λ·diag(sqrt_cs0)), ops/srif.py prior_factor) — conditioning
+    # then QRs only [R_Λ·rescale; sqrt(tau) A] per instance (the SRIF
+    # measurement-update form, ~2x fewer per-instance QR flops)
+    sqrt_cs0: jnp.ndarray = None  # column equilibration R_Λ was built at
 
     def tree_flatten(self):
         return (
@@ -186,6 +191,8 @@ class CompactGMRF(GMRF):
             self.q_pack_idx,
             self.sqrt32,
             self.sqrt_plan,
+            self.sqrt_R32,
+            self.sqrt_cs0,
         ), (self.blueprint,)
 
     @classmethod
@@ -200,6 +207,8 @@ class CompactGMRF(GMRF):
             children[5],
             children[6],
             children[7],
+            children[8],
+            children[9],
         )
 
     def sqmahal(self, v):

@@ -37,6 +37,7 @@ from math import gamma, pi, sqrt
 
 import numpy as np
 import scipy.sparse as sp
+import jax
 import jax.numpy as jnp
 
 from diffeqgmrfs_tpu.fem.assembly import assemble_mass, assemble_stiffness
@@ -232,6 +233,7 @@ def discretize_matern(
     compact: bool = False,
     packed: bool = False,
     sqrt: bool = False,
+    sqrt_prefactor="auto",
 ):
     """FEM-discretize a Matérn SPDE into a GMRF prior.
 
@@ -288,10 +290,13 @@ def discretize_matern(
             q_idx = make_packed_scatter_idx(
                 rows_ell, np.asarray(Q64.cols), n, bs_p, valid=valid
             )
-            sqrt32 = sqrt_plan = None
+            sqrt32 = sqrt_plan = sqrt_R32 = sqrt_cs0 = None
             if sqrt:
                 from diffeqgmrfs_tpu.ops.ata_windows import auto_split
-                from diffeqgmrfs_tpu.ops.srif import rowop_window_plan
+                from diffeqgmrfs_tpu.ops.srif import (
+                    rowop_window_plan,
+                    srif_packed_qr,
+                )
 
                 Lam = matern_sqrt_host(
                     spde, disc, affine if has_constraints else None
@@ -302,6 +307,22 @@ def discretize_matern(
                 sqrt_plan = rowop_window_plan(
                     sqrt32, n, bs_p, split=auto_split(bs_p)
                 ).to_device()
+                Nb = -(-n // bs_p)
+                if sqrt_prefactor == "auto":
+                    sqrt_prefactor = bs_p >= 512
+                if sqrt_prefactor and Nb > 1:
+                    # pre-reduce the instance-independent prior rows ONCE
+                    # (SRIF measurement-update form): conditioning then
+                    # stacks only [R_Λ·rescale; sqrt(tau) A] per instance
+                    sqrt_cs0 = jnp.asarray(
+                        1.0 / np.sqrt(np.asarray(diag64)), dtype=jnp.float32
+                    )
+                    sqrt_R32 = jax.jit(
+                        lambda v, c: srif_packed_qr(
+                            [(sqrt_plan, v)], n, Nb, bs_p,
+                            dtype=jnp.float32, col_scale=c,
+                        )
+                    )(sqrt32.vals, sqrt_cs0)
             inner = CompactGMRF(
                 mu,
                 ShapeOnly(n, -(-n // bs_p), bs_p),
@@ -312,6 +333,8 @@ def discretize_matern(
                 jnp.asarray(q_idx),
                 sqrt32,
                 sqrt_plan,
+                sqrt_R32,
+                sqrt_cs0,
             )
         else:
             Qb32 = csr_to_btd(Q, bs=bs, dtype=jnp.float32)

@@ -410,7 +410,7 @@ class SRIFConditionFactor(MatFreeConditionFactor):
     def __init__(self, H_op: SymSumOp, a_plan, sqrt_op, lam_plan, n, N, bs,
                  refine_iters: int = 4, chunk="auto",
                  matmul_precision: str = "float32", qr_impl: str = "xla",
-                 gemm_solves: bool = False):
+                 gemm_solves: bool = False, prior_R=None, prior_cs0=None):
         from diffeqgmrfs_tpu.ops.srif import srif_packed_qr
 
         self.H_op = H_op
@@ -422,13 +422,30 @@ class SRIFConditionFactor(MatFreeConditionFactor):
             diagH = H_op.diagonal()
         self.d = jnp.sqrt(diagH)
         Av = H_op.A.vals * jnp.sqrt(H_op.tau)
-        self.F32 = srif_packed_qr(
-            [(lam_plan, sqrt_op.vals), (a_plan, Av)],
-            n, N, bs, dtype=jnp.float32, col_scale=1.0 / self.d,
-            chunk_rows=None if chunk == "off" else chunk,
-            matmul_precision=matmul_precision,
-            qr_impl=qr_impl,
-        )
+        cs = 1.0 / self.d
+        if prior_R is not None:
+            # SRIF measurement-update form: the instance-independent prior
+            # rows were pre-reduced once into R_Λ = qr(Λ·diag(cs0)); stack
+            # only [R_Λ·(cs/cs0); sqrt(tau) A] here (~2x fewer QR flops
+            # when Λ dominates the row count — ops/srif.py prior_factor)
+            self.F32 = srif_packed_qr(
+                [(a_plan, Av)],
+                n, N, bs, dtype=jnp.float32, col_scale=cs,
+                chunk_rows=None if chunk == "off" else chunk,
+                matmul_precision=matmul_precision,
+                qr_impl=qr_impl,
+                prior_factor=prior_R,
+                prior_rescale=cs.astype(jnp.float32)
+                / jnp.asarray(prior_cs0, jnp.float32),
+            )
+        else:
+            self.F32 = srif_packed_qr(
+                [(lam_plan, sqrt_op.vals), (a_plan, Av)],
+                n, N, bs, dtype=jnp.float32, col_scale=cs,
+                chunk_rows=None if chunk == "off" else chunk,
+                matmul_precision=matmul_precision,
+                qr_impl=qr_impl,
+            )
         if gemm_solves:
             # in-place GEMM-form solves (zero extra HBM); banded packing
             # only — the full-offdiag variant has RFullInverseSolver

@@ -171,6 +171,8 @@ def srif_packed_qr(
     qr_impl: str = "xla",
     panel: int = 512,
     full_offdiag="auto",
+    prior_factor: PackedBTDRFactor | None = None,
+    prior_rescale=None,
 ) -> PackedBTDRFactor:
     """QR-factor the stacked banded system into a packed R-form factor.
 
@@ -190,6 +192,19 @@ def srif_packed_qr(
     "tensorfloat32" trades ~5 decimal digits of factor accuracy
     (refinement still contracts while 2e-6 sqrt(cond H) < 1) for
     considerably faster trailing updates on the MXU.
+
+    prior_factor / prior_rescale: SRIF measurement-update form. When the
+    stacked system is [Λ; sqrt(tau) A] with Λ INSTANCE-INDEPENDENT (the
+    prior sqrt — 4n of the 5n stacked rows at Darcy N300), pre-reduce Λ
+    once into its triangular factor R_Λ = qr(Λ·diag(cs0)) and pass it
+    here: each window then stacks only [carry; R_Λ rows; instance rows],
+    cutting per-instance QR flops ~2x on top of the split-window win.
+    `prior_rescale` ([n] or [N*bs]) re-scales R_Λ's COLUMNS from its
+    build-time equilibration cs0 to this call's col_scale cs
+    (rescale = cs/cs0) — column scaling preserves triangularity, so the
+    two-stage QR computes the same R as the one-shot stack (TSQR
+    associativity), up to the f32 error of R_Λ which the refinement
+    loop absorbs. Banded (strictly-lower) packing only.
 
     chunk_rows: when set, each window's tall stack is triangularized by
     SEQUENTIAL row-block QRs of at most (2bs + chunk_rows) rows —
@@ -236,6 +251,41 @@ def srif_packed_qr(
         pad = N * bs - n
         if pad:
             cs = jnp.concatenate([cs, jnp.ones((pad,), cs.dtype)])
+    rs = None
+    if prior_factor is not None:
+        if full_offdiag:
+            raise NotImplementedError(
+                "prior_factor requires banded operands (strictly-lower "
+                "packing); the full-offdiagonal form has no prefactor path"
+            )
+        if N == 1:
+            raise NotImplementedError("prior_factor requires N > 1")
+        if (prior_factor.N, prior_factor.bs) != (N, bs):
+            raise ValueError("prior_factor partition mismatch")
+        if prior_rescale is not None:
+            rs = jnp.asarray(prior_rescale)
+            pad = N * bs - rs.shape[0]
+            if pad:
+                rs = jnp.concatenate([rs, jnp.ones((pad,), rs.dtype)])
+
+    def prior_rows(b, B, t):
+        """[bs_f, W] rows of the precomputed prior factor for fine window
+        b = split*B + t: a static slice of slot B's dense row expansion
+        (left = triu -> R[B,B], strict-tril -> R[B,B+1])."""
+        slot = lax.dynamic_slice(
+            prior_factor.P, (B, 0), (1, bs * bs)
+        ).reshape(bs, bs)
+        i = jnp.arange(bs)[:, None]
+        j = jnp.arange(bs)[None, :]
+        dense = jnp.concatenate(
+            [jnp.where(j >= i, slot, 0.0), jnp.where(j < i, slot, 0.0)],
+            axis=1,
+        )  # [bs, 2bs]
+        rows = dense[t * bs_f : (t + 1) * bs_f, t * bs_f : t * bs_f + W]
+        if rs is not None:
+            gcols = b * bs_f + jnp.arange(W)
+            rows = rows * rs[gcols].astype(rows.dtype)
+        return rows.astype(dtype)
 
     def panels(b, rows_slice=None, op_idx=None):
         sel = operands if op_idx is None else [operands[op_idx]]
@@ -263,17 +313,19 @@ def srif_packed_qr(
             return _bhh_qr_r(T, panel=panel)[:W]
         return jnp.linalg.qr(T, mode="r")[:W]
 
-    def reduce_window(b, carry):
-        """Triangularize [carry; window rows] -> R_T [W, W]."""
+    def reduce_window(b, carry, extra=None):
+        """Triangularize [carry; (prior rows;) window rows] -> R_T [W, W]."""
+        pre = [carry] + ([extra] if extra is not None else [])
         if chunk_rows is None:
-            T = jnp.concatenate([carry] + panels(b), axis=0)
+            T = jnp.concatenate(pre + panels(b), axis=0)
             if T.shape[0] < W:
                 T = jnp.pad(T, ((0, W - T.shape[0]), (0, 0)))
             return qr_r(T)
         Rcur = carry
-        for i, k0, k1 in chunk_plan():
+        for ci, (i, k0, k1) in enumerate(chunk_plan()):
             M = panels(b, rows_slice=(k0, k1), op_idx=i)[0]
-            T = jnp.concatenate([Rcur, M], axis=0)
+            head = [Rcur] + ([extra] if (extra is not None and ci == 0) else [])
+            T = jnp.concatenate(head + [M], axis=0)
             if T.shape[0] < W:
                 T = jnp.pad(T, ((0, W - T.shape[0]), (0, 0)))
             Rcur = qr_r(T)
@@ -338,7 +390,10 @@ def srif_packed_qr(
             Ebig = jnp.zeros((bs, 2 * bs), dtype=dtype)
             for t in range(split):
                 b = split * B + t if split > 1 else B
-                R_T = reduce_window(b, carry)
+                extra = (
+                    prior_rows(b, B, t) if prior_factor is not None else None
+                )
+                R_T = reduce_window(b, carry, extra)
                 s = jnp.where(jnp.diagonal(R_T) < 0, -1.0, 1.0).astype(dtype)
                 R_T = s[:, None] * R_T
                 Ebig = lax.dynamic_update_slice(
@@ -354,8 +409,21 @@ def srif_packed_qr(
         P, carry = lax.fori_loop(0, N - 1, body, (P0, carry0))
         # final block: carry's left half is R[N-1, N-1] (upper-tri; right
         # half is structurally zero — no operand column reaches past n_pad)
-        s = jnp.where(jnp.diagonal(carry[:, :bs]) < 0, -1.0, 1.0).astype(dtype)
-        Rlast = jnp.triu(s[:, None] * carry[:, :bs])
+        carry_last = carry[:, :bs]
+        if prior_factor is not None:
+            # the prefactor's LAST block rows never pass through a window
+            # (windows end at big block N-2): fold them in with one extra
+            # [2bs, bs] reduction over the final block's columns
+            slotN = prior_factor.P[N - 1].reshape(bs, bs)
+            last_rows = jnp.triu(slotN).astype(dtype)
+            if rs is not None:
+                gcols = (N - 1) * bs + jnp.arange(bs)
+                last_rows = last_rows * rs[gcols][None, :].astype(dtype)
+            carry_last = jnp.linalg.qr(
+                jnp.concatenate([carry_last, last_rows], axis=0), mode="r"
+            )[:bs]
+        s = jnp.where(jnp.diagonal(carry_last) < 0, -1.0, 1.0).astype(dtype)
+        Rlast = jnp.triu(s[:, None] * carry_last)
         P = lax.dynamic_update_slice(P, Rlast.reshape(1, -1), (N - 1, 0))
         return _fix_padding(PackedBTDRFactor(P, n, bs))
 

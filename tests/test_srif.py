@@ -181,6 +181,59 @@ def test_srif_darcy_conditioning_matches_f64():
     assert abs(lds - ld64) / abs(ld64) < 1e-4
 
 
+def test_srif_conditioning_prefactor_matches():
+    """Conditioning through the pre-reduced prior factor (sqrt_prefactor:
+    stage-1 R_Λ built at discretization, per-instance QR stacks only
+    [R_Λ·rescale; sqrt(tau) A]) gives the same posterior as the one-shot
+    SRIF stack."""
+    from diffeqgmrfs_tpu.fem import uniform_unit_square_discretization
+    from diffeqgmrfs_tpu.models import MaternSPDE, discretize_matern
+    from diffeqgmrfs_tpu.gmrf import condition_on_observations
+    from diffeqgmrfs_tpu.problems import DarcyFEMObservations
+    from diffeqgmrfs_tpu.solvers import CholeskySolverBlueprint
+    from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan
+
+    N_xy = 10
+    disc = uniform_unit_square_discretization(N_xy, element_order=2)
+    gx = np.linspace(0, 1, 21)
+    rng = np.random.default_rng(3)
+    coeff = jnp.asarray(np.where(rng.normal(size=(21, 21)) > 0, 12.0, 3.0))
+    spde = MaternSPDE(d=2, range=1 / np.sqrt(N_xy), smoothness=2)
+    prior_s = discretize_matern(spde, disc, sqrt=True, sqrt_prefactor=False)
+    prior_p = discretize_matern(spde, disc, sqrt=True, sqrt_prefactor=True)
+    assert prior_p.inner_gmrf.sqrt_R32 is not None
+    obs = DarcyFEMObservations(
+        disc, gx, gx, beta=1.0,
+        prescribed_dofs=disc.constraint_handler.prescribed_dofs,
+    )
+    A, ys = obs(coeff)
+    inner = prior_s.inner_gmrf
+    A_c = prior_s.affine.condense_rowop(A)
+    zs = np.asarray(prior_s.affine.s_coef)[A.cols] == 0.0
+    pat = make_ata_window_plan(
+        A_c.cols, inner.precision.n, inner.precision.bs, zero_slots=zs
+    )
+    bp = CholeskySolverBlueprint(sqrt_factor=True)
+    post_s = condition_on_observations(
+        prior_s, A, 1e8, ys, solver_blueprint=bp, pattern=pat
+    )
+    post_p = condition_on_observations(
+        prior_p, A, 1e8, ys, solver_blueprint=bp, pattern=pat
+    )
+    # identical math up to the f32 rounding of R_Λ: factors agree at f32
+    P_s = np.asarray(post_s.inner_gmrf.factor.F32.P)
+    P_p = np.asarray(post_p.inner_gmrf.factor.F32.P)
+    sc = np.abs(P_s).max()
+    assert np.max(np.abs(P_p - P_s)) < 2e-5 * sc
+    m_s = np.asarray(post_s.mean())
+    m_p = np.asarray(post_p.mean())
+    assert np.linalg.norm(m_p - m_s) / np.linalg.norm(m_s) < 1e-8
+    s_s = np.asarray(post_s.std())
+    s_p = np.asarray(post_p.std())
+    mask = s_s > 1e-8 * s_s.max()
+    assert np.max(np.abs(s_p[mask] - s_s[mask]) / s_s[mask]) < 1e-3
+
+
 def test_srif_gauss_newton_matches_f64():
     """GN with SRIF square-root Newton systems (sqrt_ops path) matches the
     default f64 GN on a mini elliptic Chen24 problem — the regime the path
@@ -480,3 +533,54 @@ def test_ata_btd_windows_split():
         refs = np.tril(np.asarray(G1.to_dense())[:n, :n])
         assert np.allclose(np.tril(Gd), refs, rtol=1e-10, atol=1e-10)
         assert np.allclose(np.tril(Gd), np.tril(ref), rtol=1e-9, atol=1e-9)
+
+
+def test_srif_prior_prefactor_matches_oneshot():
+    """SRIF measurement-update form: pre-reduce the instance-independent
+    prior rows once (R_Lam = qr(Lam * cs0)), then per instance stack only
+    [R_Lam * (cs/cs0); sqrt(tau) A] — same R as the one-shot stacked QR
+    (TSQR associativity), ~2x fewer per-instance flops."""
+    rng = np.random.default_rng(11)
+    n, bs, tau = 50, 16, 2.0
+    Lam = _banded_random(rng, n, 3, 5) + 3.0 * sp.eye(n)
+    A = _banded_random(rng, n, 4, 4)
+    H = (Lam.T @ Lam + tau * A.T @ A).toarray()
+    N = -(-n // bs)
+    Lam_op, A_op = RowOp.from_csr(Lam), RowOp.from_csr(A)
+    d = np.sqrt(np.diag(H))
+    cs = 1.0 / d
+    cs0 = 1.0 / np.sqrt((Lam.T @ Lam).diagonal())
+    b = rng.normal(size=n)
+    Hs = H / d[:, None] / d[None, :]
+    x_ref = np.linalg.solve(Hs, b)
+    for split in (1, 2):
+        lam_plan = rowop_window_plan(Lam_op, n, bs, split=split)
+        a_plan = rowop_window_plan(A_op, n, bs, split=split)
+        # stage 1: prior-only factor at equilibration cs0
+        R0 = srif_packed_qr(
+            [(lam_plan, Lam_op.vals)], n, N, bs, dtype=jnp.float64,
+            col_scale=jnp.asarray(cs0),
+        )
+        # stage 2: measurement update with rescale cs/cs0
+        F2 = srif_packed_qr(
+            [(a_plan, A_op.vals * np.sqrt(tau))], n, N, bs,
+            dtype=jnp.float64, col_scale=jnp.asarray(cs),
+            prior_factor=R0, prior_rescale=jnp.asarray(cs / cs0),
+        )
+        F1 = srif_packed_qr(
+            [(lam_plan, Lam_op.vals), (a_plan, A_op.vals * np.sqrt(tau))],
+            n, N, bs, dtype=jnp.float64, col_scale=jnp.asarray(cs),
+        )
+        assert np.allclose(np.asarray(F2.P), np.asarray(F1.P),
+                           rtol=1e-9, atol=1e-9), f"split={split}"
+        assert np.allclose(np.asarray(F2.solve(jnp.asarray(b))), x_ref,
+                           rtol=1e-9, atol=1e-9)
+        # chunked stage-2 agrees too
+        F2c = srif_packed_qr(
+            [(a_plan, A_op.vals * np.sqrt(tau))], n, N, bs,
+            dtype=jnp.float64, col_scale=jnp.asarray(cs),
+            prior_factor=R0, prior_rescale=jnp.asarray(cs / cs0),
+            chunk_rows=8,
+        )
+        assert np.allclose(np.asarray(F2c.P), np.asarray(F1.P),
+                           rtol=1e-9, atol=1e-9)
