@@ -549,7 +549,7 @@ class SRIFNewtonFactor:
 
     def __init__(self, q_ell, q_diag, sqrt_ops, j_plan, Jc, tau,
                  n, N, bs, refine_iters: int = 4, chunk="auto",
-                 qr_impl: str = "xla"):
+                 qr_impl: str = "xla", prior_R=None, prior_cs0=None):
         from diffeqgmrfs_tpu.ops.srif import srif_packed_qr
 
         self.q_ell = q_ell
@@ -561,12 +561,28 @@ class SRIFNewtonFactor:
         else:
             diagH = q_diag + tau * rowop_col_sumsq(Jc, n)
         self.d = jnp.sqrt(diagH)
-        ops = list(sqrt_ops) + [(j_plan, Jc.vals * jnp.sqrt(tau))]
-        self.F32 = srif_packed_qr(
-            ops, n, N, bs, dtype=jnp.float32, col_scale=1.0 / self.d,
-            chunk_rows=None if chunk == "off" else chunk,
-            qr_impl=qr_impl,
-        ).clamp_diag()
+        cs = 1.0 / self.d
+        if prior_R is not None:
+            # measurement-update form: the prior rows S_Q are Newton-step
+            # invariant — pre-reduced ONCE (gauss_newton_solve hoists the
+            # stage-1 QR out of the while_loop); each step QRs only
+            # [R_Q·(cs/cs0); sqrt(tau) J]
+            self.F32 = srif_packed_qr(
+                [(j_plan, Jc.vals * jnp.sqrt(tau))],
+                n, N, bs, dtype=jnp.float32, col_scale=cs,
+                chunk_rows=None if chunk == "off" else chunk,
+                qr_impl=qr_impl,
+                prior_factor=prior_R,
+                prior_rescale=cs.astype(jnp.float32)
+                / jnp.asarray(prior_cs0, jnp.float32),
+            ).clamp_diag()
+        else:
+            ops = list(sqrt_ops) + [(j_plan, Jc.vals * jnp.sqrt(tau))]
+            self.F32 = srif_packed_qr(
+                ops, n, N, bs, dtype=jnp.float32, col_scale=cs,
+                chunk_rows=None if chunk == "off" else chunk,
+                qr_impl=qr_impl,
+            ).clamp_diag()
 
     def _apply_H(self, t):
         return self.q_ell.matvec(t) + self.tau * self.Jc.rmatvec(

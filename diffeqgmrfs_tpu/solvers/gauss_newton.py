@@ -452,6 +452,25 @@ def gauss_newton_solve(
             )
         return pat.scatter_into(init, vals[:, :, None] * vals[:, None, :])
 
+    # SRIF measurement-update form: the prior rows S_Q are Newton-step
+    # invariant, so pre-reduce them ONCE here (hoisted out of the
+    # while_loop — XLA carries R_Q as a loop-invariant operand); each GN
+    # step then QRs only [R_Q·rescale; sqrt(tau) J] (ops/srif.py
+    # prior_factor, ~2x fewer per-step QR flops). Banded packing only.
+    srif_prior_R = srif_prior_cs0 = None
+    if sqrt_ops is not None and ata_window_plan is not None and Q.N > 1:
+        spans = [p.max_span for p, _ in sqrt_ops] + [ata_window_plan.max_span]
+        splits = {p.split for p, _ in sqrt_ops}
+        if all(0 <= s < Q.bs for s in spans) and len(splits) == 1:
+            from diffeqgmrfs_tpu.ops.srif import srif_packed_qr
+
+            srif_prior_cs0 = (1.0 / jnp.sqrt(q_diag)).astype(jnp.float32)
+            srif_prior_R = srif_packed_qr(
+                sqrt_ops, Q.n, Q.N, Q.bs, dtype=jnp.float32,
+                col_scale=srif_prior_cs0, chunk_rows="auto",
+                qr_impl=srif_qr_impl,
+            )
+
     def body(carry):
         x, _, step, hist, _ = carry
         f, J = f_and_J(full(x))
@@ -474,6 +493,7 @@ def gauss_newton_solve(
             F = SRIFNewtonFactor(
                 q_ell, q_diag, sqrt_ops, ata_window_plan, Jc, tau,
                 Q.n, Q.N, Q.bs, qr_impl=srif_qr_impl,
+                prior_R=srif_prior_R, prior_cs0=srif_prior_cs0,
             )
             x_new = F.solve(rhs)
             dx = x_new - x
@@ -567,6 +587,7 @@ def gauss_newton_solve(
         fac = SRIFNewtonFactor(
             q_ell, q_diag, sqrt_ops, ata_window_plan, Jc_fin, tau,
             Q.n, Q.N, Q.bs, qr_impl=srif_qr_impl,
+            prior_R=srif_prior_R, prior_cs0=srif_prior_cs0,
         )
         if final_gemm:
             from diffeqgmrfs_tpu.ops.packed import PackedBTDRFullFactor
