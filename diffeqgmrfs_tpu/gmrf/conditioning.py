@@ -76,6 +76,7 @@ def condition_st_sqrt(
     y,
     a_plan,
     refine_iters: int = 1,
+    return_factor: bool = False,
 ):
     """IC conditioning of a Toeplitz-form ST prior through the SRIF
     square-root machinery — no f64 BTD anywhere:
@@ -122,6 +123,15 @@ def condition_st_sqrt(
     q_ic = ToeplitzBTD(
         d_first, q_top.d_mid, q_top.d_last, q_top.off, q_top.N, q_top.n
     )
+    if return_factor:
+        # F.F32 is the QR of exactly [S_prior; sqrt(tau) A] at column
+        # equilibration 1/F.d = 1/sqrt(diag(q_ic)) — i.e. the SRIF
+        # measurement-update PREFACTOR of the conditioned prior. Returning
+        # it lets the downstream Gauss-Newton stack only
+        # [R_ic·rescale; sqrt(tau_f) J] per Newton step (ops/srif.py
+        # prior_factor) at zero extra stage-1 cost.
+        pre = (F.F32, (1.0 / F.d).astype(jnp.float32))
+        return mu_ic, q_ic, eta, pre
     return mu_ic, q_ic, eta
 
 

@@ -230,6 +230,7 @@ def srif_packed_qr(
     # (PackedBTDRFullFactor). max_span == -1 means "unknown": be safe.
     spans = [plan.max_span for plan, _ in operands]
     needs_full = any(s < 0 or s >= bs for s in spans)
+    full_req = full_offdiag  # caller's request, before auto-resolution
     if full_offdiag == "auto":
         full_offdiag = needs_full
     elif not full_offdiag and needs_full:
@@ -252,11 +253,22 @@ def srif_packed_qr(
         if pad:
             cs = jnp.concatenate([cs, jnp.ones((pad,), cs.dtype)])
     rs = None
+    prior_full = isinstance(prior_factor, PackedBTDRFullFactor)
     if prior_factor is not None:
-        if full_offdiag:
+        if prior_full:
+            # a full-offdiagonal prefactor forces the full-offdiagonal
+            # output form (its rows span up to 2bs columns)
+            if full_req is False:
+                raise ValueError(
+                    "banded packing requested but prior_factor has full "
+                    "off-diagonal blocks"
+                )
+            full_offdiag = True
+        elif full_offdiag:
             raise NotImplementedError(
-                "prior_factor requires banded operands (strictly-lower "
-                "packing); the full-offdiagonal form has no prefactor path"
+                "full-offdiagonal output requires a PackedBTDRFullFactor "
+                "prior_factor (banded prefactor rows cannot reconstruct "
+                "dense time-coupling blocks)"
             )
         if N == 1:
             raise NotImplementedError("prior_factor requires N > 1")
@@ -284,6 +296,21 @@ def srif_packed_qr(
         rows = dense[t * bs_f : (t + 1) * bs_f, t * bs_f : t * bs_f + W]
         if rs is not None:
             gcols = b * bs_f + jnp.arange(W)
+            rows = rows * rs[gcols].astype(rows.dtype)
+        return rows.astype(dtype)
+
+    def prior_rows_full(b):
+        """[bs, 2bs] block row b of a full-offdiagonal prefactor:
+        [triu(R[b,b]) | R[b,b+1]] (split == 1, W == 2bs)."""
+        slot = lax.dynamic_slice(
+            prior_factor.P, (b, 0), (1, bs * bs)
+        ).reshape(bs, bs)
+        uslot = lax.dynamic_slice(
+            prior_factor.U, (b, 0), (1, bs * bs)
+        ).reshape(bs, bs)
+        rows = jnp.concatenate([jnp.triu(slot), uslot], axis=1)
+        if rs is not None:
+            gcols = b * bs + jnp.arange(2 * bs)
             rows = rows * rs[gcols].astype(rows.dtype)
         return rows.astype(dtype)
 
@@ -360,7 +387,10 @@ def srif_packed_qr(
 
             def body(b, state):
                 P, U, carry = state
-                R_T = reduce_window(b, carry)
+                extra = (
+                    prior_rows_full(b) if prior_factor is not None else None
+                )
+                R_T = reduce_window(b, carry, extra)
                 s = jnp.where(jnp.diagonal(R_T) < 0, -1.0, 1.0).astype(dtype)
                 R_T = s[:, None] * R_T
                 P = lax.dynamic_update_slice(
@@ -372,10 +402,23 @@ def srif_packed_qr(
                 return P, U, jnp.pad(R_T[bs:, bs:], ((0, 0), (0, bs)))
 
             P, U, carry = lax.fori_loop(0, Nw, body, (P0, U0, carry0))
-            s = jnp.where(jnp.diagonal(carry[:, :bs]) < 0, -1.0, 1.0).astype(
+            carry_last = carry[:, :bs]
+            if prior_factor is not None:
+                # fold in the prefactor's final diagonal block (its rows
+                # never pass through a window — windows end at block N-2)
+                slotN = prior_factor.P[N - 1].reshape(bs, bs)
+                last_rows = jnp.triu(slotN).astype(dtype)
+                if rs is not None:
+                    gcols = (N - 1) * bs + jnp.arange(bs)
+                    last_rows = last_rows * rs[gcols][None, :].astype(dtype)
+                carry_last = jnp.linalg.qr(
+                    jnp.concatenate([carry_last, last_rows], axis=0),
+                    mode="r",
+                )[:bs]
+            s = jnp.where(jnp.diagonal(carry_last) < 0, -1.0, 1.0).astype(
                 dtype
             )
-            Rlast = jnp.triu(s[:, None] * carry[:, :bs])
+            Rlast = jnp.triu(s[:, None] * carry_last)
             P = lax.dynamic_update_slice(P, Rlast.reshape(1, -1), (N - 1, 0))
             return _fix_padding_full(PackedBTDRFullFactor(P, U, n, bs))
 

@@ -173,6 +173,11 @@ def blueprint_gn_kwargs(bp, Q, aux=None) -> dict:
             kw["q_diag"] = q_op.diagonal()
         if aux.get("q_mu") is not None:
             kw["q_mu"] = aux["q_mu"]
+        if aux.get("srif_prior_R") is not None:
+            # precomputed stage-1 prefactor (stepwise drivers: built once
+            # in the setup program, reused by every per-step program)
+            kw["prior_R"] = aux["srif_prior_R"]
+            kw["prior_cs0"] = aux["srif_prior_cs0"]
         kw["final_factor"] = aux.get("final_factor", True)
         kw["final_gemm"] = getattr(bp, "gemm_solves", False)
         kw["srif_qr_impl"] = getattr(bp, "srif_qr_impl", "xla")
@@ -318,6 +323,8 @@ def gauss_newton_solve(
     srif_qr_impl: str = "xla",
     q_mu=None,
     factor_opts=None,
+    prior_R=None,
+    prior_cs0=None,
 ) -> GaussNewtonResult:
     """Functional Gauss-Newton loop (jit/vmap-friendly).
 
@@ -454,14 +461,32 @@ def gauss_newton_solve(
 
     # SRIF measurement-update form: the prior rows S_Q are Newton-step
     # invariant, so pre-reduce them ONCE here (hoisted out of the
-    # while_loop — XLA carries R_Q as a loop-invariant operand); each GN
-    # step then QRs only [R_Q·rescale; sqrt(tau) J] (ops/srif.py
-    # prior_factor, ~2x fewer per-step QR flops). Banded packing only.
-    srif_prior_R = srif_prior_cs0 = None
-    if sqrt_ops is not None and ata_window_plan is not None and Q.N > 1:
-        spans = [p.max_span for p, _ in sqrt_ops] + [ata_window_plan.max_span]
-        splits = {p.split for p, _ in sqrt_ops}
-        if all(0 <= s < Q.bs for s in spans) and len(splits) == 1:
+    # while_loop — XLA carries R_Q as a loop-invariant operand; stepwise
+    # drivers compute it once in setup and pass prior_R through aux); each
+    # GN step then QRs only [R_Q·rescale; sqrt(tau) J] (ops/srif.py
+    # prior_factor). Gated on a real flop advantage: the bs triangular
+    # R_Q rows must replace substantially more raw prior rows per window.
+    srif_prior_R, srif_prior_cs0 = prior_R, prior_cs0
+    if (
+        srif_prior_R is None
+        and sqrt_ops is not None
+        and ata_window_plan is not None
+        and Q.N > 1
+    ):
+        plans = [p for p, _ in sqrt_ops]
+        rows_per_win = sum(p.rows.shape[1] for p in plans)
+        p_spans = [p.max_span for p in plans]
+        p_splits = {p.split for p in plans}
+        prior_banded = all(0 <= s < Q.bs for s in p_spans)
+        if prior_banded:
+            # stage-2 must stay banded too (a banded prefactor cannot feed
+            # a full-offdiagonal output)
+            eligible = (
+                0 <= ata_window_plan.max_span < Q.bs and len(p_splits) == 1
+            )
+        else:
+            eligible = p_splits == {1} and ata_window_plan.split == 1
+        if eligible and rows_per_win >= 2 * Q.bs:
             from diffeqgmrfs_tpu.ops.srif import srif_packed_qr
 
             srif_prior_cs0 = (1.0 / jnp.sqrt(q_diag)).astype(jnp.float32)

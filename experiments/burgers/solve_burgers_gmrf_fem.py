@@ -256,9 +256,9 @@ def main():
             )
             prior_ops = aux["st"].sqrt_ops(gamma)
             A_c = RowOp(aux["ic_cols"], aux["ic_vals"], q_top.n)
-            mu_ic, q_ic, eta_ic = condition_st_sqrt(
+            mu_ic, q_ic, eta_ic, pre = condition_st_sqrt(
                 mu_p, q_top, prior_ops, A_c, noise_ic,
-                ic - aux["y_shift"], aux["ic_plan"],
+                ic - aux["y_shift"], aux["ic_plan"], return_factor=True,
             )
             ic_pred = E_st.matvec(
                 affine_inst.free_to_full(mu_ic)
@@ -270,6 +270,10 @@ def main():
                 q_ell=q_ic,
                 q_diag=q_ic.diagonal(),
                 q_mu=eta_ic,  # exact information vector (see condition_st_sqrt)
+                # conditioning factor doubles as the SRIF prefactor: each
+                # Newton step QRs only [R_ic·rescale; sqrt(tau) J]
+                srif_prior_R=pre[0],
+                srif_prior_cs0=pre[1],
             )
             result = gauss_newton(
                 mu_ic,
@@ -339,13 +343,13 @@ def main():
                 pad_block=args.pad_block,
             )
             A_c = RowOp(aux["ic_cols"], aux["ic_vals"], q_top.n)
-            mu_ic, q_ic, eta_ic = condition_st_sqrt(
+            mu_ic, q_ic, eta_ic, pre = condition_st_sqrt(
                 mu_p, q_top, aux["st"].sqrt_ops(gamma), A_c, noise_ic,
-                ic - aux["y_shift"], aux["ic_plan"],
+                ic - aux["y_shift"], aux["ic_plan"], return_factor=True,
             )
-            return mu_ic, q_ic, eta_ic, gamma
+            return mu_ic, q_ic, eta_ic, gamma, pre
 
-        def _gn_aux(aux, gamma, q_ic, eta_ic, final_factor):
+        def _gn_aux(aux, gamma, q_ic, eta_ic, final_factor, pre):
             return dict(
                 sqrt_ops=aux["st"].sqrt_ops(gamma)
                 + [(aux["ic_plan"], aux["ic_vals"] * np.sqrt(noise_ic))],
@@ -354,23 +358,30 @@ def main():
                 q_diag=q_ic.diagonal(),
                 q_mu=eta_ic,
                 final_factor=final_factor,
+                # setup's conditioning factor doubles as the SRIF
+                # prefactor: per-step programs QR only
+                # [R_ic*rescale; sqrt(tau) J] (ops/srif.py prior_factor)
+                srif_prior_R=pre[0],
+                srif_prior_cs0=pre[1],
             )
 
-        def _sw_step(mu_ic, x_cur, gamma, q_ic, eta_ic, aux):
+        def _sw_step(mu_ic, x_cur, gamma, q_ic, eta_ic, pre, aux):
             r = gauss_newton(
                 mu_ic, ShapeOnly(q_ic.n, q_ic.N, q_ic.bs), res.f_and_J,
                 noise_fem, jnp.zeros(res.n_rows), x_cur,
-                blueprint=bp_gn, aux=_gn_aux(aux, gamma, q_ic, eta_ic, False),
+                blueprint=bp_gn,
+                aux=_gn_aux(aux, gamma, q_ic, eta_ic, False, pre),
                 criterion=StepNumberCriterion(1),
                 affine=affine_st,
             )
             return r.x_k, r.newton_decrement
 
-        def _sw_posterior(mu_ic, x_fin, gamma, q_ic, eta_ic, aux, key):
+        def _sw_posterior(mu_ic, x_fin, gamma, q_ic, eta_ic, pre, aux, key):
             r = gauss_newton(
                 mu_ic, ShapeOnly(q_ic.n, q_ic.N, q_ic.bs), res.f_and_J,
                 noise_fem, jnp.zeros(res.n_rows), x_fin,
-                blueprint=bp_gn, aux=_gn_aux(aux, gamma, q_ic, eta_ic, True),
+                blueprint=bp_gn,
+                aux=_gn_aux(aux, gamma, q_ic, eta_ic, True, pre),
                 criterion=StepNumberCriterion(0),  # no steps: factor at x_fin
                 affine=affine_st,
             )
@@ -392,21 +403,23 @@ def main():
         if args.batch > 1:
             vsw_setup = jax.jit(jax.vmap(_sw_setup, in_axes=(0, None)))
             vsw_step = jax.jit(
-                jax.vmap(_sw_step, in_axes=(0, 0, 0, 0, 0, None))
+                jax.vmap(_sw_step, in_axes=(0, 0, 0, 0, 0, 0, None))
             )
             vsw_posterior = jax.jit(
-                jax.vmap(_sw_posterior, in_axes=(0, 0, 0, 0, 0, None, 0))
+                jax.vmap(_sw_posterior, in_axes=(0, 0, 0, 0, 0, 0, None, 0))
             )
             vsw_icpred = jax.jit(jax.vmap(_sw_icpred))
 
             def stepwise_batch_solve(ics, keys):
-                mu_ic, q_ic, eta_ic, gamma = vsw_setup(ics, gn_aux)
+                mu_ic, q_ic, eta_ic, gamma, pre = vsw_setup(ics, gn_aux)
                 ic_pred = vsw_icpred(mu_ic)
                 x = mu_ic
                 B = ics.shape[0]
                 steps_taken = np.full(B, max_steps, dtype=np.int64)
                 for s in range(max_steps):
-                    x, dec = vsw_step(mu_ic, x, gamma, q_ic, eta_ic, gn_aux)
+                    x, dec = vsw_step(
+                        mu_ic, x, gamma, q_ic, eta_ic, pre, gn_aux
+                    )
                     dec_h = np.asarray(dec)
                     steps_taken = np.where(
                         (dec_h < 1e-6) & (steps_taken == max_steps),
@@ -415,22 +428,22 @@ def main():
                     if dec_h.max() < 1e-6:
                         break
                 pred, std, smp = vsw_posterior(
-                    mu_ic, x, gamma, q_ic, eta_ic, gn_aux, keys
+                    mu_ic, x, gamma, q_ic, eta_ic, pre, gn_aux, keys
                 )
                 return pred, ic_pred, std, smp, jnp.asarray(steps_taken)
 
         def solve_jit(ic, key):
-            mu_ic, q_ic, eta_ic, gamma = sw_setup(ic, gn_aux)
+            mu_ic, q_ic, eta_ic, gamma, pre = sw_setup(ic, gn_aux)
             ic_pred = sw_icpred(mu_ic)
             x = mu_ic
             n_steps = 0
             for _ in range(max_steps):
-                x, dec = sw_step(mu_ic, x, gamma, q_ic, eta_ic, gn_aux)
+                x, dec = sw_step(mu_ic, x, gamma, q_ic, eta_ic, pre, gn_aux)
                 n_steps += 1
                 if float(dec) < 1e-6:
                     break
             pred, std, smp = sw_posterior(
-                mu_ic, x, gamma, q_ic, eta_ic, gn_aux, key
+                mu_ic, x, gamma, q_ic, eta_ic, pre, gn_aux, key
             )
             return pred, ic_pred, std, smp, jnp.asarray(n_steps)
 

@@ -241,6 +241,25 @@ def main():
             q_shape = ShapeOnly(q_top.n, q_top.N, q_top.bs)
             bp_gn = GNCholeskySolverBlueprint(sqrt_factor=True)
 
+            # stage-1 SRIF prefactor: pre-reduce the (step-invariant) prior
+            # rows ONCE; every Newton-step program then QRs only
+            # [R_Q·rescale; sqrt(tau) J] (ops/srif.py prior_factor). For
+            # the stepwise variant this removes the prior QR from EVERY
+            # per-step program (operands ride the jit signature — the
+            # relay rejects big HLO literals).
+            from diffeqgmrfs_tpu.ops.srif import srif_packed_qr
+
+            cs0 = (1.0 / jnp.sqrt(aux_dev["q_diag"])).astype(jnp.float32)
+            pre_R = jax.jit(
+                lambda ops, c: srif_packed_qr(
+                    ops, q_top.n, q_top.N, q_top.bs, dtype=jnp.float32,
+                    col_scale=c, chunk_rows="auto",
+                )
+            )(aux_dev["sqrt_ops"], cs0)
+            aux_dev = dict(
+                aux_dev, srif_prior_R=pre_R, srif_prior_cs0=cs0
+            )
+
             if args.stepwise:
                 # per-step dispatch: ONE jitted program per Newton step
                 # (identical structure -> compiled once), convergence test

@@ -181,6 +181,60 @@ def test_srif_darcy_conditioning_matches_f64():
     assert abs(lds - ld64) / abs(ld64) < 1e-4
 
 
+def test_srif_prior_prefactor_full_offdiag():
+    """Measurement-update form with an ST-style prior (rows spanning >= bs
+    columns -> full-offdiagonal factor): stage-1 pre-reduction of the
+    time-coupled prior rows + per-instance [R_Λ; sqrt(tau) A] equals the
+    one-shot stacked QR."""
+    rng = np.random.default_rng(13)
+    n, bs, tau = 48, 16, 3.0
+    # time-coupling rows: entries at (i, i) and (i, i + bs) span bs+1 cols
+    couple = sp.lil_matrix((n - bs, n))
+    for i in range(n - bs):
+        couple[i, i] = 2.0 + rng.normal() * 0.1
+        couple[i, i + bs] = rng.normal()
+    Lam = sp.vstack(
+        [_banded_random(rng, n, 2, 3) + 3.0 * sp.eye(n), couple.tocsr()]
+    ).tocsr()
+    A = _banded_random(rng, n, 3, 3)
+    H = (Lam.T @ Lam + tau * A.T @ A).toarray()
+    N = -(-n // bs)
+    Lam_op, A_op = RowOp.from_csr(Lam), RowOp.from_csr(A)
+    lam_plan = rowop_window_plan(Lam_op, n, bs)
+    a_plan = rowop_window_plan(A_op, n, bs)
+    assert lam_plan.max_span >= bs  # forces the full-offdiagonal form
+    d = np.sqrt(np.diag(H))
+    cs = 1.0 / d
+    cs0 = 1.0 / np.sqrt((Lam.T @ Lam).diagonal())
+    R0 = srif_packed_qr(
+        [(lam_plan, Lam_op.vals)], n, N, bs, dtype=jnp.float64,
+        col_scale=jnp.asarray(cs0),
+    )
+    from diffeqgmrfs_tpu.ops.packed import PackedBTDRFullFactor
+
+    assert isinstance(R0, PackedBTDRFullFactor)
+    F2 = srif_packed_qr(
+        [(a_plan, A_op.vals * np.sqrt(tau))], n, N, bs,
+        dtype=jnp.float64, col_scale=jnp.asarray(cs),
+        prior_factor=R0, prior_rescale=jnp.asarray(cs / cs0),
+    )
+    F1 = srif_packed_qr(
+        [(lam_plan, Lam_op.vals), (a_plan, A_op.vals * np.sqrt(tau))],
+        n, N, bs, dtype=jnp.float64, col_scale=jnp.asarray(cs),
+    )
+    assert isinstance(F2, PackedBTDRFullFactor)
+    np.testing.assert_allclose(np.asarray(F2.P), np.asarray(F1.P),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(F2.U), np.asarray(F1.U),
+                               rtol=1e-9, atol=1e-9)
+    b = rng.normal(size=n)
+    Hs = H / d[:, None] / d[None, :]
+    np.testing.assert_allclose(
+        np.asarray(F2.solve(jnp.asarray(b))), np.linalg.solve(Hs, b),
+        rtol=1e-9, atol=1e-9,
+    )
+
+
 def test_srif_conditioning_prefactor_matches():
     """Conditioning through the pre-reduced prior factor (sqrt_prefactor:
     stage-1 R_Λ built at discretization, per-instance QR stacks only
