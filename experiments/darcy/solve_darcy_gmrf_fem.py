@@ -85,6 +85,11 @@ def parse_cmd():
     p.add_argument("--factor_prec", type=str, default="float32",
                    help="matmul precision in the f32 BTD factor sweep: "
                         "float32 | tensorfloat32")
+    p.add_argument("--sqrt_prefactor", type=str, default="auto",
+                   choices=("auto", "on", "off"),
+                   help="SRIF measurement-update prefactor: pre-reduce the "
+                        "prior rows once at discretization (auto: on at "
+                        "bs >= 512)")
     p.add_argument("--sqrt", action="store_true",
                    help="SRIF square-root factorization: windowed QR of the "
                         "stacked [Lambda_Q; sqrt(tau) A] (implies --packed); "
@@ -161,6 +166,9 @@ def main():
         prior = discretize_matern(
             spde, disc, compact=args.compact, packed=args.packed,
             sqrt=args.sqrt,
+            sqrt_prefactor={"auto": "auto", "on": True, "off": False}[
+                args.sqrt_prefactor
+            ],
         )
     obs = DarcyFEMObservations(
         disc,
