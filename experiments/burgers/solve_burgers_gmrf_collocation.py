@@ -188,7 +188,7 @@ def main():
         out0 = solve_jit(*inputs(0), key)
         to.sync(out0[0])
 
-    N = 3 if args.dry_run else min(args.N_samples, len(ds))
+    N = min(3, len(ds)) if args.dry_run else min(args.N_samples, len(ds))
     cols = {k: [] for k in (
         "rel_errs", "rmses", "max_errs", "ic_rel_errs", "std_norms",
         "N_newton_steps", "sqmahals", "nlls", "optimization_times")}

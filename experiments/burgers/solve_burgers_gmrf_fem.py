@@ -459,7 +459,7 @@ def main():
             out = solve_jit(jnp.asarray(ds.get_initial_condition(0)), key)
             to.sync(out[0])
 
-    N = 3 if args.dry_run else len(ds)
+    N = min(3, len(ds)) if args.dry_run else len(ds)
     KEYS = ("rel_errs", "rmses", "max_errs", "ic_rel_errs", "ic_rmses",
             "ic_max_errs", "std_norms", "N_newton_steps",
             "optimization_times")

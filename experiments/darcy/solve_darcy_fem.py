@@ -97,7 +97,7 @@ def main():
         out0 = solve_jit(jnp.asarray(ds.get_problem(0)[1]))
         to.sync(out0)
 
-    N = 3 if args.dry_run else len(ds)
+    N = min(3, len(ds)) if args.dry_run else len(ds)
     rel_errs, rmses, max_errs, times = [], [], [], []
     for i in range(N):
         soln, coeff = ds.get_problem(i)

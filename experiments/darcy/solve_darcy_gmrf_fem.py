@@ -349,7 +349,7 @@ def main():
         to.sync(out[0])
     mat_nnz = prior.precision_map().nnz() if hasattr(prior, "precision_map") else 0
 
-    N = 3 if args.dry_run else len(ds)
+    N = min(3, len(ds)) if args.dry_run else len(ds)
     throughput = None
     rel_errs, rmses, max_errs, std_norms = [], [], [], []
     sqmahals, nlls = [], []
