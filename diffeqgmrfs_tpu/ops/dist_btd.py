@@ -210,6 +210,15 @@ class DistBTDCholesky:
         )
         return self.backward_solve(z)[..., : self.n]
 
+    def variance_diag(self):
+        """Marginal variances diag(A^{-1}) by Takahashi selected inversion
+        on the nested-dissection factor (ops/takahashi.takahashi_diag_dist)
+        — the interior recursion is batched over chunks, so variance
+        extraction is parallel-in-time like the factorization."""
+        from diffeqgmrfs_tpu.ops.takahashi import takahashi_diag_dist
+
+        return takahashi_diag_dist(self)
+
     def nnz(self) -> int:
         return int(self.L.size + self.W.size + self.V.size + self.red.nnz())
 

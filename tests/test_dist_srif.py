@@ -161,3 +161,37 @@ def test_dist_srif_sharded_mesh():
         np.asarray(x), np.linalg.solve(H, b), rtol=1e-9, atol=1e-9
     )
     assert abs(float(ld) - float(np.linalg.slogdet(H)[1])) < 1e-8
+
+
+def test_dist_variance_diag():
+    """ND Takahashi selected inversion (parallel-in-time variance_diag)
+    matches the dense inverse diagonal for BOTH dist factor builders
+    (Cholesky nested dissection and the SRIF QR), incl. padding."""
+    from diffeqgmrfs_tpu.ops.dist_btd import dist_btd_cholesky
+    from diffeqgmrfs_tpu.ops.btd import BTD
+
+    rng = np.random.default_rng(10)
+    for n in (64, 61):
+        bs = 8
+        ops, H = _setup(rng, n, bs)
+        ref = np.diag(np.linalg.inv(H))
+        for P in (2, 4):
+            F = dist_srif_qr(ops, n, 8, bs, P, dtype=jnp.float64)
+            v = np.asarray(F.variance_diag())
+            assert np.allclose(v, ref, rtol=1e-9, atol=1e-12), (n, P, "qr")
+        # Cholesky-built dist factor over the same H (BTD form, padded)
+        Npad = 8 * bs
+        Hp = np.eye(Npad)
+        Hp[:n, :n] = H
+        diag = jnp.asarray(
+            np.stack([Hp[i * bs:(i + 1) * bs, i * bs:(i + 1) * bs]
+                      for i in range(8)])
+        )
+        lower = jnp.asarray(
+            np.stack([Hp[(i + 1) * bs:(i + 2) * bs, i * bs:(i + 1) * bs]
+                      for i in range(7)])
+        )
+        A = BTD(diag, lower, n)
+        Fc = dist_btd_cholesky(A, 4)
+        vc = np.asarray(Fc.variance_diag())[:n]
+        assert np.allclose(vc, ref, rtol=1e-9, atol=1e-12), (n, "chol")
