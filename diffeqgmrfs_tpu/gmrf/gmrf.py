@@ -81,6 +81,20 @@ class GMRF:
 
     def _make_factor(self):
         gemm = getattr(self.blueprint, "gemm_solves", False)
+        chunks = getattr(self.blueprint, "dist_chunks", 0)
+        if chunks and self.precision.N % chunks == 0 and (
+            self.precision.N // chunks >= 2
+        ):
+            # parallel-in-time nested-dissection factor (ops/dist_btd):
+            # chunk interiors batch over [P] and shard over a mesh time
+            # axis (blueprint.mesh); full posterior surface incl.
+            # Takahashi variances (takahashi_diag_dist)
+            from diffeqgmrfs_tpu.ops.dist_btd import dist_btd_cholesky
+
+            return dist_btd_cholesky(
+                self.precision, chunks,
+                mesh=getattr(self.blueprint, "mesh", None),
+            )
         if getattr(self.blueprint, "mixed_precision", False):
             from diffeqgmrfs_tpu.ops.refine import MixedPrecisionFactor
 

@@ -104,6 +104,17 @@ class CholeskySolverBlueprint:
     # path — at Darcy N300 (~2e-4) two iterations already reach the f64
     # floor; each extra iteration costs a full H application + solve.
     refine_iters: int | None = None
+    # parallel-in-time factorization: nested-dissection elimination over
+    # the time axis with this many chunks (ops/dist_btd; 0 = sequential
+    # sweep). Requires N % dist_chunks == 0 and N/dist_chunks >= 2. With
+    # `mesh` set, chunk interiors shard over the mesh's "time" axis.
+    # SRIF measurement-update prefactor (conditioning/GN): pre-reduce the
+    # instance-independent prior rows once; per-instance QR stacks only
+    # [R_prior·rescale; sqrt(tau) A]. On by default when the prior
+    # carries a precomputed factor (discretize_matern sqrt_prefactor).
+    dist_chunks: int = 0
+    mesh: object = None
+    sqrt_prefactor: bool = True
 
     def factor_opts(self) -> dict:
         """kwargs for `btd_cholesky` on the f32 factor path ({} = defaults)."""

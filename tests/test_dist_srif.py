@@ -195,3 +195,49 @@ def test_dist_variance_diag():
         Fc = dist_btd_cholesky(A, 4)
         vc = np.asarray(Fc.variance_diag())[:n]
         assert np.allclose(vc, ref, rtol=1e-9, atol=1e-12), (n, "chol")
+
+
+def test_blueprint_dist_chunks_conditioning():
+    """Blueprint-level parallel-in-time factorization: conditioning with
+    CholeskySolverBlueprint(dist_chunks=2) matches the sequential-sweep
+    posterior (mean, std, log-det, sample shape)."""
+    from diffeqgmrfs_tpu.ops.btd import BTD
+    from diffeqgmrfs_tpu.gmrf import GMRF, condition_on_observations
+    from diffeqgmrfs_tpu.fem.operators import RowOp as ROp
+    from diffeqgmrfs_tpu.solvers import CholeskySolverBlueprint
+    from diffeqgmrfs_tpu.ops.dist_btd import DistBTDCholesky
+
+    key = jax.random.PRNGKey(3)
+    N, bs = 4, 4
+    n = N * bs
+    diag = jax.random.normal(key, (N, bs, bs), dtype=jnp.float64) * 0.1
+    diag = 0.5 * (diag + diag.transpose(0, 2, 1)) + 3 * jnp.eye(bs)
+    lower = jax.random.normal(
+        jax.random.PRNGKey(9), (N - 1, bs, bs), dtype=jnp.float64
+    ) * 0.1
+    mu = jnp.asarray(np.random.default_rng(0).normal(size=n))
+    rng = np.random.default_rng(1)
+    cols = np.stack([np.arange(i, i + 3) for i in [0, 2, 5, 7, 9]])
+    A = ROp(cols, jnp.asarray(rng.normal(size=(5, 3))), n)
+    y = jnp.asarray(rng.normal(size=5))
+
+    x0 = GMRF(mu, BTD(diag, lower, n))
+    post_seq = condition_on_observations(x0, A, 50.0, y)
+    bp = CholeskySolverBlueprint(dist_chunks=2)
+    x1 = GMRF(mu, BTD(diag, lower, n), blueprint=bp)
+    post_dist = condition_on_observations(x1, A, 50.0, y, solver_blueprint=bp)
+    assert isinstance(post_dist.factor, DistBTDCholesky)
+    assert np.allclose(
+        np.asarray(post_dist.mean()), np.asarray(post_seq.mean()),
+        rtol=1e-10, atol=1e-12,
+    )
+    assert np.allclose(
+        np.asarray(post_dist.std()), np.asarray(post_seq.std()),
+        rtol=1e-9, atol=1e-12,
+    )
+    assert abs(
+        float(post_dist.log_det_precision())
+        - float(post_seq.log_det_precision())
+    ) < 1e-8
+    s = post_dist.sample(jax.random.PRNGKey(0), 2)
+    assert s.shape == (2, n) and bool(jnp.all(jnp.isfinite(s)))
