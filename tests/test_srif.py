@@ -638,3 +638,60 @@ def test_srif_prior_prefactor_matches_oneshot():
         )
         assert np.allclose(np.asarray(F2c.P), np.asarray(F1.P),
                            rtol=1e-9, atol=1e-9)
+
+
+def test_srif_prefactor_vmapped_conditioning():
+    """DP-batched conditioning (vmap over instance observation values)
+    with the BROADCAST prior prefactor matches per-instance results —
+    the batched Darcy sweep composition."""
+    from diffeqgmrfs_tpu.fem import uniform_unit_square_discretization
+    from diffeqgmrfs_tpu.models import MaternSPDE, discretize_matern
+    from diffeqgmrfs_tpu.gmrf import condition_on_observations
+    from diffeqgmrfs_tpu.problems import DarcyFEMObservations
+    from diffeqgmrfs_tpu.solvers import CholeskySolverBlueprint
+    from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan
+    from diffeqgmrfs_tpu.fem.operators import RowOp
+
+    N_xy = 10
+    disc = uniform_unit_square_discretization(N_xy, element_order=2)
+    gx = np.linspace(0, 1, 21)
+    rng = np.random.default_rng(5)
+    spde = MaternSPDE(d=2, range=1 / np.sqrt(N_xy), smoothness=2)
+    prior = discretize_matern(spde, disc, sqrt=True, sqrt_prefactor=True)
+    assert prior.inner_gmrf.sqrt_R32 is not None
+    obs = DarcyFEMObservations(
+        disc, gx, gx, beta=1.0,
+        prescribed_dofs=disc.constraint_handler.prescribed_dofs,
+    )
+    coeffs = [
+        jnp.asarray(np.where(rng.normal(size=(21, 21)) > 0, 12.0, 3.0))
+        for _ in range(2)
+    ]
+    A0, y0 = obs(coeffs[0])
+    inner = prior.inner_gmrf
+    A_c0 = prior.affine.condense_rowop(A0)
+    zs = np.asarray(prior.affine.s_coef)[A0.cols] == 0.0
+    pat = make_ata_window_plan(
+        A_c0.cols, inner.precision.n, inner.precision.bs, zero_slots=zs
+    )
+    bp = CholeskySolverBlueprint(sqrt_factor=True)
+
+    def solve_one(av, yv):
+        A = RowOp(jnp.asarray(A0.cols), av, A0.n_cols)
+        post = condition_on_observations(
+            prior, A, 1e8, yv, solver_blueprint=bp, pattern=pat
+        )
+        return post.mean(), post.std()
+
+    AV = jnp.stack([obs(c)[0].vals for c in coeffs])
+    YV = jnp.stack([obs(c)[1] for c in coeffs])
+    m_b, s_b = jax.jit(jax.vmap(solve_one))(AV, YV)
+    for i, c in enumerate(coeffs):
+        A, y = obs(c)
+        post = condition_on_observations(
+            prior, A, 1e8, y, solver_blueprint=bp, pattern=pat
+        )
+        assert np.allclose(np.asarray(m_b[i]), np.asarray(post.mean()),
+                           rtol=1e-9, atol=1e-11), i
+        assert np.allclose(np.asarray(s_b[i]), np.asarray(post.std()),
+                           rtol=1e-6, atol=1e-10), i
