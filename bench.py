@@ -106,21 +106,51 @@ def bench_cpu(N=8, bs=1024):
     return btd_flops(N, bs) / dt
 
 
-def main():
-    tpu_flops = bench_tpu()
-    cpu_flops = bench_cpu()
-    value = tpu_flops / 1e12
-    vs = tpu_flops / cpu_flops
-    print(
-        json.dumps(
-            {
-                "metric": "btd_cholesky_f32_throughput",
-                "value": round(value, 3),
-                "unit": "TFLOP/s",
-                "vs_baseline": round(vs, 2),
-            }
+def relay_alive(timeout=600):
+    """Probe the TPU relay in a SUBPROCESS: device enumeration HANGS (not
+    errors) while the relay process is dead (docs/RELAY_FAULT_REPORT.md),
+    so an in-process attempt would hang this benchmark forever."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "x = jnp.ones((256,256)); print(float((x@x).sum()))"],
+            capture_output=True, timeout=timeout, text=True,
         )
-    )
+        return r.returncode == 0 and "65536" in r.stdout
+    except Exception:
+        return False
+
+
+def main():
+    if relay_alive():
+        tpu_flops = bench_tpu()
+        cpu_flops = bench_cpu()
+        out = {
+            "metric": "btd_cholesky_f32_throughput",
+            "value": round(tpu_flops / 1e12, 3),
+            "unit": "TFLOP/s",
+            "vs_baseline": round(tpu_flops / cpu_flops, 2),
+        }
+    else:
+        # TPU relay down (hang, not error — see relay_alive): report the
+        # host-CPU rate of the same kernel so the bench line still exists
+        log("TPU relay unreachable — CPU fallback measurement")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        xla_flops = bench_tpu(N=8, bs=1024, n_it=2)
+        cpu_flops = bench_cpu()
+        out = {
+            "metric": "btd_cholesky_f32_throughput",
+            "value": round(xla_flops / 1e12, 3),
+            "unit": "TFLOP/s",
+            "vs_baseline": round(xla_flops / cpu_flops, 2),
+            "backend": "cpu_fallback_relay_down",
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
