@@ -284,11 +284,11 @@ def discretize_matern(
             bw = int(np.max(np.abs(coo.row - coo.col))) if coo.nnz else 0
             bs_p = bs or choose_block_size(bw + 1, n)
             counts = np.diff(Qr.indptr)
-            K = Q64.K
-            valid = np.arange(K)[None, :] < counts[:, None]
-            rows_ell = np.broadcast_to(np.arange(n)[:, None], (n, K))
+            # rows=None -> ELL row pattern and the padding mask are built
+            # IN-GRAPH (this host's numpy is ~50-100x slower than the
+            # fused XLA loop at 41M entries; see make_packed_scatter_idx)
             q_idx = make_packed_scatter_idx(
-                rows_ell, np.asarray(Q64.cols), n, bs_p, valid=valid
+                None, np.asarray(Q64.cols), n, bs_p, valid_counts=counts
             )
             sqrt32 = sqrt_plan = sqrt_R32 = sqrt_cs0 = None
             if sqrt:

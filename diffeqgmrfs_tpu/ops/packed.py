@@ -857,7 +857,8 @@ class ShapeOnly:
         return 0
 
 
-def make_packed_scatter_idx(rows, cols, n: int, bs: int, valid=None) -> np.ndarray:
+def make_packed_scatter_idx(rows, cols, n: int, bs: int, valid=None,
+                            valid_counts=None) -> np.ndarray:
     """Host-side: COO (row, col) -> flat index into packed [N, bs, bs].
 
     Keeps only the lower half (i >= j); upper entries get the drop
@@ -866,29 +867,111 @@ def make_packed_scatter_idx(rows, cols, n: int, bs: int, valid=None) -> np.ndarr
     Entries farther than one block off-diagonal violate bandedness and
     raise. `valid`: optional bool mask (same shape) — False entries (e.g.
     ELL padding slots) are sentinel-dropped before the bandedness check.
+
+    `rows=None` means the ELL row pattern (rows[i, k] = i for 2D cols) —
+    built IN-GRAPH, avoiding a 41M-entry host materialization.
+    `valid_counts`: per-row valid-slot count [n_rows] (the ELL padding
+    mask `arange(K) < counts[:, None]`), likewise expanded in-graph.
     """
-    shape_in = np.shape(rows)
-    rows = np.asarray(rows, dtype=np.int64).reshape(-1)
-    cols = np.asarray(cols, dtype=np.int64).reshape(-1)
     N = -(-n // bs)
     size = N * bs * bs
-    I = rows // bs
-    J = cols // bs
-    keep = rows >= cols
-    if valid is not None:
-        keep = keep & np.asarray(valid, dtype=bool).reshape(-1)
-    off = I - J
-    if np.any((off > 1) & keep):
-        bad = np.argmax((off > 1) & keep)
+    # this host's numpy is ~50-100x slower than XLA-compiled loops at
+    # these sizes (no SIMD; one int64 divide over 41M entries = 10 s at
+    # Darcy N300) — run the elementwise index math as ONE fused jitted
+    # program pinned to the host CPU backend (works while the default
+    # device is the TPU relay; falls back to numpy if no cpu backend)
+    idt = np.int64 if size > 2**31 - 1 else np.int32
+    cols = np.asarray(cols)
+    if (rows is None or valid_counts is not None) and cols.ndim != 2:
+        raise ValueError("rows=None / valid_counts need 2D (ELL) cols")
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+
+    def compute(xp, rows_, cols_, vmask_):
+        I = rows_ // bs
+        J = cols_ // bs
+        keep = (rows_ >= cols_)
+        if vmask_ is not None:
+            keep = keep & vmask_
+        bad = xp.any(((I - J) > 1) & keep)
+        flat = I * (bs * bs) + (rows_ - I * bs) * bs + (cols_ - J * bs)
+        return xp.where(keep, flat, size), bad
+
+    if cpu is not None:
+        def f(cols_d, rows_d, valid_d, counts_d):
+            c2 = cols_d.astype(idt)
+            if rows_d is None:
+                r2 = jax.lax.broadcasted_iota(idt, c2.shape, 0)
+            else:
+                r2 = rows_d.astype(idt).reshape(c2.shape)
+            if counts_d is not None:
+                vm = (
+                    jax.lax.broadcasted_iota(jnp.int32, c2.shape, 1)
+                    < counts_d.astype(jnp.int32)[:, None]
+                )
+            elif valid_d is not None:
+                vm = valid_d.reshape(c2.shape)
+            else:
+                vm = None
+            flat, bad = compute(jnp, r2.reshape(-1), c2.reshape(-1),
+                                None if vm is None else vm.reshape(-1))
+            return flat, bad
+
+        with jax.default_device(cpu):
+            flat, bad = jax.jit(f, static_argnames=())(
+                cols,
+                None if rows is None else np.asarray(rows),
+                None if valid is None else np.asarray(valid, dtype=bool),
+                None if valid_counts is None else np.asarray(valid_counts),
+            )
+            flat, bad = np.asarray(flat), bool(bad)
+    else:
+        rows_ = (
+            np.broadcast_to(
+                np.arange(cols.shape[0], dtype=idt)[:, None], cols.shape
+            )
+            if rows is None
+            else np.asarray(rows, dtype=idt)
+        ).reshape(-1)
+        cols_ = np.asarray(cols, dtype=idt).reshape(-1)
+        if valid_counts is not None:
+            vmask = (
+                np.arange(cols.shape[1])[None, :]
+                < np.asarray(valid_counts)[:, None]
+            ).reshape(-1)
+        elif valid is not None:
+            vmask = np.asarray(valid, dtype=bool).reshape(-1)
+        else:
+            vmask = None
+        flat, bad = compute(np, rows_, cols_, vmask)
+        bad = bool(bad)
+    if bad:
+        rows_ = (
+            np.broadcast_to(
+                np.arange(cols.shape[0], dtype=np.int64)[:, None], cols.shape
+            )
+            if rows is None
+            else np.asarray(rows, dtype=np.int64)
+        ).reshape(-1)
+        cols_ = np.asarray(cols, dtype=np.int64).reshape(-1)
+        I = rows_ // bs
+        J = cols_ // bs
+        mask = ((I - J) > 1) & (rows_ >= cols_)
+        if valid_counts is not None:
+            mask &= (
+                np.arange(cols.shape[1])[None, :]
+                < np.asarray(valid_counts)[:, None]
+            ).reshape(-1)
+        elif valid is not None:
+            mask &= np.asarray(valid, dtype=bool).reshape(-1)
+        b = int(np.argmax(mask))
         raise ValueError(
-            f"entry ({rows[bad]}, {cols[bad]}) spans more than one block "
+            f"entry ({rows_[b]}, {cols_[b]}) spans more than one block "
             f"(bs={bs}): matrix is not banded-blockable at this bs"
         )
-    r = rows - I * bs
-    # same block: column local to I; coupling block: column local to I-1
-    c = cols - J * bs
-    flat = I * bs * bs + r * bs + c
-    return np.where(keep, flat, size).astype(np.int64 if size > 2**31 - 1 else np.int32)
+    return flat.astype(idt)
 
 
 def packed_scatter(idx, vals, n: int, N: int, bs: int, dtype=None) -> PackedBTD:
