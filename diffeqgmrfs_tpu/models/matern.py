@@ -31,6 +31,7 @@ soft-pinned with tiny noise as the reference does
 
 from __future__ import annotations
 
+from contextlib import nullcontext as _nullcontext
 from dataclasses import dataclass
 from fractions import Fraction
 from math import gamma, pi, sqrt
@@ -96,19 +97,39 @@ def host_mass_stiffness(disc: FEMDiscretization):
     quadratic elements (vertex shape functions integrate to ~0 on triangles).
     """
     g = disc.geometry
-    Me = np.einsum("cq,qi,qj->cij", g.w_detJ, g.phi, g.phi)
-    Ge = np.einsum("cq,cqid,cqjd->cij", g.w_detJ, g.grad, g.grad)
     cd = disc.dof_handler.cell_dofs_field(disc.dof_handler.field_names[0])
     n = disc.ndofs
     nd = cd.shape[1]
+
+    # element integrals + HRZ scaling + lumped-mass scatter as one fused
+    # XLA-CPU program — this host's numpy einsum/add.at lack SIMD (~20 s
+    # at Darcy N300 for what the compiled loop does in <1 s)
+    def kernel(w_detJ, phi, grad, cdv):
+        s = phi.sum(axis=1)
+        cell_mass = w_detJ @ (s * s)  # sum_ij Me[c,i,j]
+        diag = jnp.einsum("cq,qi->ci", w_detJ, phi * phi)  # Me[c,i,i]
+        Ge = jnp.einsum("cq,cqid,cqjd->cij", w_detJ, grad, grad)
+        diag = diag * (cell_mass / diag.sum(axis=1))[:, None]
+        m = jnp.zeros(n, w_detJ.dtype).at[cdv.reshape(-1)].add(
+            diag.reshape(-1)
+        )
+        return m, Ge
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    with jax.default_device(cpu) if cpu is not None else _nullcontext():
+        m_lumped, Ge = jax.jit(kernel)(
+            np.asarray(g.w_detJ), np.asarray(g.phi), np.asarray(g.grad),
+            np.asarray(cd),
+        )
+    m_lumped = np.asarray(m_lumped)
     r = np.repeat(cd[:, :, None], nd, axis=2).reshape(-1)
     c = np.repeat(cd[:, None, :], nd, axis=1).reshape(-1)
-    G = sp.coo_matrix((Ge.reshape(-1), (r, c)), shape=(n, n)).tocsr()
-    diag = np.einsum("cii->ci", Me)
-    cell_mass = Me.sum(axis=(1, 2))
-    diag = diag * (cell_mass / diag.sum(axis=1))[:, None]
-    m_lumped = np.zeros(n)
-    np.add.at(m_lumped, cd.reshape(-1), diag.reshape(-1))
+    G = sp.coo_matrix(
+        (np.asarray(Ge).reshape(-1), (r, c)), shape=(n, n)
+    ).tocsr()
     return m_lumped, G
 
 

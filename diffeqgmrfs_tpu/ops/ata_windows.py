@@ -152,11 +152,14 @@ def auto_split(bs: int, threshold: int = 512) -> int:
     return 2 if bs >= threshold and bs % 2 == 0 else 1
 
 
-def make_ata_window_plan(
+def _make_ata_window_plan_np(
     cols: np.ndarray, n: int, bs: int, zero_slots: np.ndarray | None = None,
     split: int = 1,
 ) -> ATAWindowPlan:
-    """Build the plan from a RowOp's static column structure [n_rows, K].
+    """NumPy reference implementation (fallback when no XLA cpu backend;
+    also the parity oracle for the fused fast path below).
+
+    Build the plan from a RowOp's static column structure [n_rows, K].
 
     zero_slots: optional bool mask of slots whose values are STRUCTURALLY
     zero (padding, constraint-condensation zeros with s_coef == 0). Those
@@ -255,6 +258,189 @@ def make_ata_window_plan(
         rows, mask, local, n, N, bs,
         inv.astype(np.int32), colsq_col, len(uniq), max_span,
         t_rows, t_slot, t_mask, split=split,
+    )
+
+
+def make_ata_window_plan(
+    cols: np.ndarray, n: int, bs: int, zero_slots: np.ndarray | None = None,
+    split: int = 1,
+) -> ATAWindowPlan:
+    """Fused XLA-CPU plan builder — bit-identical to the NumPy reference
+    (`_make_ata_window_plan_np`, which documents the semantics and remains
+    the fallback). This host's numpy lacks SIMD (one 41M int64 sort/unique
+    = ~30 s at Darcy N300); the sorts, uniques, gathers and scatters here
+    run as a few jitted programs pinned to the host CPU backend instead.
+    """
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is None:
+        return _make_ata_window_plan_np(
+            cols, n, bs, zero_slots=zero_slots, split=split
+        )
+    cols = np.asarray(cols)
+    n_rows, K = cols.shape
+    N = max((n + bs - 1) // bs, 1)
+    if N == 1:
+        split = 1
+    if bs % split:
+        raise ValueError(f"split={split} must divide bs={bs}")
+    bs_f = bs // split
+    W = bs + bs_f
+    Nw = max(split * (N - 1), 1)
+    zs_np = (
+        None if zero_slots is None else np.asarray(zero_slots, dtype=bool)
+    )
+
+    def stage1(cols, zs):
+        c64 = cols.astype(jnp.int64)
+        if zs is not None:
+            big = jnp.iinfo(jnp.int64).max
+            cmin = jnp.where(zs, big, c64).min(axis=1)
+            cmax = jnp.where(zs, -1, c64).max(axis=1)
+            all_zero = zs.all(axis=1)
+            cmin = jnp.where(all_zero, 0, cmin)
+            cmax = jnp.where(all_zero, 0, cmax)
+        else:
+            cmin = c64.min(axis=1)
+            cmax = c64.max(axis=1)
+        w = jnp.minimum(cmin // bs_f, Nw - 1)
+        bad = jnp.any(cmax - w * bs_f >= W)
+        order = jnp.argsort(w, stable=True)
+        counts = jnp.bincount(w, length=Nw)
+        max_span = (cmax - cmin).max(initial=0)
+        return w, bad, order, counts, max_span, cmin, cmax
+
+    with jax.default_device(cpu):
+        w, bad, order, counts, max_span, cmin_d, cmax_d = jax.jit(stage1)(
+            cols, zs_np
+        )
+        if bool(bad):
+            cmin_h, cmax_h, w_h = (
+                np.asarray(cmin_d), np.asarray(cmax_d), np.asarray(w)
+            )
+            b = int(np.argmax(cmax_h - w_h * bs_f >= W))
+            raise ValueError(
+                f"row {b} spans more than a window (cols {cmin_h[b]}.."
+                f"{cmax_h[b]}, bs={bs}, split={split}); increase block "
+                f"size or reduce split"
+            )
+        R = int(counts.max()) if n_rows else 0
+
+        def stage2(cols, w, order, counts):
+            starts = jnp.concatenate(
+                [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]]
+            )
+            w_sorted = w[order]
+            within = jnp.arange(n_rows) - starts[w_sorted]
+            rows = (
+                jnp.zeros((Nw, R), jnp.int32)
+                .at[w_sorted, within]
+                .set(order.astype(jnp.int32))
+            )
+            mask = (
+                jnp.zeros((Nw, R), jnp.float32).at[w_sorted, within].set(1.0)
+            )
+            off = (jnp.arange(Nw, dtype=jnp.int64) * bs_f)[:, None, None]
+            local = jnp.clip(
+                cols.astype(jnp.int64)[rows] - off, 0, W - 1
+            ).astype(jnp.int32)
+            return rows, mask, local
+
+        rows, mask, local = jax.jit(stage2)(cols, w, order, counts)
+
+        def stage3(cols):
+            r_ids = jnp.arange(n_rows * K, dtype=jnp.int64) // K
+            keys = r_ids * n + cols.reshape(-1).astype(jnp.int64)
+            so = jnp.argsort(keys, stable=True)
+            sk = keys[so]
+            flags = jnp.concatenate(
+                [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
+            ) if n_rows * K > 1 else jnp.ones((n_rows * K,), bool)
+            ids = jnp.cumsum(flags) - 1
+            inv = (
+                jnp.zeros((n_rows * K,), jnp.int32)
+                .at[so]
+                .set(ids.astype(jnp.int32))
+            )
+            colsq_full = (
+                jnp.zeros((n_rows * K,), jnp.int32)
+                .at[ids]
+                .set((sk % n).astype(jnp.int32))
+            )
+            return inv, colsq_full, ids[-1] + 1
+
+        if n_rows * K:
+            inv, colsq_full, n_uniq = jax.jit(stage3)(cols)
+            n_uniq = int(n_uniq)
+        else:
+            inv = jnp.zeros((0,), jnp.int32)
+            colsq_full = jnp.zeros((0,), jnp.int32)
+            n_uniq = 0
+        colsq_col = np.asarray(colsq_full)[:n_uniq]
+
+        # transpose (CSC-style) ELL — see the reference implementation
+        def stage4a(cols, zs):
+            src_c = cols.reshape(-1).astype(jnp.int64)
+            if zs is not None:
+                src_c = jnp.where(zs.reshape(-1), n, src_c)  # sort to end
+            ccounts = jnp.bincount(
+                jnp.minimum(src_c, n), length=n + 1
+            )[:n]
+            return src_c, ccounts
+
+        src_c, ccounts = jax.jit(stage4a)(cols, zs_np)
+        K_T = int(ccounts.max()) if n else 0
+        if K_T > 8 * K + 8:
+            return ATAWindowPlan(
+                np.asarray(rows), np.asarray(mask), np.asarray(local),
+                n, N, bs,
+                np.asarray(inv), colsq_col, n_uniq, int(max_span),
+                split=split,
+            )
+
+        def stage4b(src_c, ccounts):
+            corder = jnp.argsort(src_c, stable=True)
+            key_sorted = src_c[corder]
+            cstarts = jnp.concatenate(
+                [jnp.zeros((1,), ccounts.dtype), jnp.cumsum(ccounts)]
+            )
+            within = (
+                jnp.arange(n_rows * K)
+                - cstarts[jnp.minimum(key_sorted, n)]
+            )
+            # sentinel rows (key n) drop via out-of-bounds indices on BOTH
+            # axes (a negative `within` would wrap, not drop)
+            sent = key_sorted >= n
+            within = jnp.where(sent, K_T, within)
+            ridx = jnp.where(sent, n, key_sorted)
+            src_r = (corder // K).astype(jnp.int32)
+            src_k = (corder % K).astype(jnp.int32)
+            t_rows = (
+                jnp.zeros((n, K_T), jnp.int32)
+                .at[ridx, within]
+                .set(src_r, mode="drop")
+            )
+            t_slot = (
+                jnp.zeros((n, K_T), jnp.int32)
+                .at[ridx, within]
+                .set(src_k, mode="drop")
+            )
+            t_mask = (
+                jnp.zeros((n, K_T), jnp.float32)
+                .at[ridx, within]
+                .set(1.0, mode="drop")
+            )
+            return t_rows, t_slot, t_mask
+
+        t_rows, t_slot, t_mask = jax.jit(stage4b)(src_c, ccounts)
+
+    return ATAWindowPlan(
+        np.asarray(rows), np.asarray(mask), np.asarray(local), n, N, bs,
+        np.asarray(inv), colsq_col, n_uniq, int(max_span),
+        np.asarray(t_rows), np.asarray(t_slot), np.asarray(t_mask),
+        split=split,
     )
 
 

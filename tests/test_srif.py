@@ -695,3 +695,46 @@ def test_srif_prefactor_vmapped_conditioning():
                            rtol=1e-9, atol=1e-11), i
         assert np.allclose(np.asarray(s_b[i]), np.asarray(post.std()),
                            rtol=1e-6, atol=1e-10), i
+
+
+def test_ata_window_plan_fused_matches_numpy():
+    """The fused XLA-CPU plan builder is bit-identical to the NumPy
+    reference on every field, across splits, zero_slots, padding, and the
+    hot-column (no-transpose-ELL) fallback."""
+    from diffeqgmrfs_tpu.ops.ata_windows import (
+        make_ata_window_plan, _make_ata_window_plan_np,
+    )
+
+    rng = np.random.default_rng(17)
+
+    def compare(cols, n, bs, zs, split):
+        a = make_ata_window_plan(cols, n, bs, zero_slots=zs, split=split)
+        b = _make_ata_window_plan_np(cols, n, bs, zero_slots=zs, split=split)
+        for f in ("rows", "mask", "local_cols", "colsq_inv", "colsq_col",
+                  "t_rows", "t_slot", "t_mask"):
+            x, y = getattr(a, f), getattr(b, f)
+            assert (x is None) == (y is None), f
+            if x is not None:
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                              err_msg=f)
+        assert (a.n, a.N, a.bs, a.n_uniq, a.max_span, a.split) == (
+            b.n, b.N, b.bs, b.n_uniq, b.max_span, b.split
+        )
+
+    # banded random structure (with duplicates), padding (n % bs != 0)
+    for n, bs, span, split in [(61, 16, 5, 1), (64, 16, 7, 2),
+                               (50, 16, 12, 1)]:
+        n_rows, K = n + 13, 6
+        lead = rng.integers(0, n - span, size=n_rows)
+        cols = lead[:, None] + rng.integers(0, span + 1, size=(n_rows, K))
+        cols = np.minimum(cols, n - 1).astype(np.int64)
+        compare(cols, n, bs, None, split)
+        # zero_slots variant: mark ~20% structurally zero; send some of
+        # their columns out of band (must be ignored for span)
+        zs = rng.random((n_rows, K)) < 0.2
+        cols2 = np.where(zs, 0, cols)
+        compare(cols2, n, bs, zs, split)
+    # hot-column fallback: all rows share column 0 (K_T blows up)
+    cols = np.zeros((40, 3), dtype=np.int64)
+    cols[:, 1] = np.arange(40) % 8
+    compare(cols, 32, 16, None, 1)
