@@ -43,3 +43,4 @@ from diffeqgmrfs_tpu.fem.assembly import (
     assemble_cube_term,
     assemble_darcy,
 )
+from diffeqgmrfs_tpu.fem.gmsh import read_gmsh  # noqa: E402,F401

@@ -257,6 +257,20 @@ class UnstructuredTriangleMesh(Mesh):
                 raise ValueError("order-1 cells must have 3 nodes")
         else:
             raise ValueError("order must be 1 or 2")
+        if edge_mid is not None and ns:
+            # midpoint closure: vertex-only node sets (e.g. Gmsh physical
+            # curves on P1 input) gain the midpoint of every edge whose
+            # both endpoints are in the set — the standard P2 convention
+            for k, v in ns.items():
+                vset = set(int(x) for x in v)
+                mids = [
+                    m for (a, b), m in edge_mid.items()
+                    if a in vset and b in vset
+                ]
+                if mids:
+                    ns[k] = np.unique(
+                        np.concatenate([v, np.asarray(mids, dtype=np.int64)])
+                    )
         if "boundary" not in ns:
             ns["boundary"] = _boundary_nodes(cells, order, edge_mid)
         if reorder:

@@ -123,3 +123,121 @@ def test_unstructured_darcy_pipeline_vs_dense():
     var = np.asarray(post.variance())
     var_ref = np.diag(np.linalg.inv(H))
     assert np.allclose(var, var_ref, rtol=1e-8)
+
+
+_MSH_V2 = """$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$PhysicalNames
+2
+1 1 "left"
+1 2 "right"
+$EndPhysicalNames
+$Nodes
+5
+1 0 0 0
+2 1 0 0
+3 1 1 0
+4 0 1 0
+5 0.5 0.5 0
+$EndNodes
+$Elements
+6
+1 1 2 1 10 4 1
+2 1 2 2 20 2 3
+3 2 2 0 30 1 2 5
+4 2 2 0 30 2 3 5
+5 2 2 0 30 3 4 5
+6 2 2 0 30 4 1 5
+$EndElements
+"""
+
+_MSH_V4 = """$MeshFormat
+4.1 0 8
+$EndMeshFormat
+$PhysicalNames
+2
+1 1 "left"
+1 2 "right"
+$EndPhysicalNames
+$Entities
+0 2 1 0
+1 0 0 0 0 1 0 1 1 2 1 -4
+2 1 0 0 1 1 0 1 2 2 2 -3
+1 0 0 0 1 1 0 0 4 1 2 3 4
+$EndEntities
+$Nodes
+2 5 1 5
+1 1 0 4
+1
+2
+3
+4
+0 0 0
+1 0 0
+1 1 0
+0 1 0
+2 1 0 1
+5
+0.5 0.5 0
+$EndNodes
+$Elements
+3 6 1 6
+1 1 1 1
+1 4 1
+1 2 1 1
+2 2 3
+2 1 2 4
+3 1 2 5
+4 2 3 5
+5 3 4 5
+6 4 1 5
+$EndElements
+"""
+
+
+def _check_gmsh_mesh(mesh):
+    assert mesh.order == 2
+    assert mesh.cells.shape == (4, 6)
+    assert mesh.n_nodes == 13  # 5 vertices + 8 edge midpoints
+    # physical curve sets incl. P2 midpoint closure: 3 nodes each at x=0/1
+    left = mesh.coords[mesh.node_sets["left"]]
+    right = mesh.coords[mesh.node_sets["right"]]
+    assert len(left) == 3 and np.allclose(left[:, 0], 0.0)
+    assert len(right) == 3 and np.allclose(right[:, 0], 1.0)
+    # derived boundary: 4 corners + 4 outer midpoints
+    b = mesh.coords[mesh.node_sets["boundary"]]
+    assert len(b) == 8
+    on_edge = (
+        (np.abs(b[:, 0]) < 1e-12) | (np.abs(b[:, 0] - 1) < 1e-12)
+        | (np.abs(b[:, 1]) < 1e-12) | (np.abs(b[:, 1] - 1) < 1e-12)
+    )
+    assert on_edge.all()
+
+
+def test_gmsh_reader_v2_and_v4(tmp_path):
+    from diffeqgmrfs_tpu.fem.gmsh import read_gmsh
+
+    for name, text in [("v2.msh", _MSH_V2), ("v4.msh", _MSH_V4)]:
+        p = tmp_path / name
+        p.write_text(text)
+        mesh = read_gmsh(str(p))
+        _check_gmsh_mesh(mesh)
+
+
+def test_gmsh_mesh_through_pipeline(tmp_path):
+    """Gmsh input through assembly + Matérn prior: lumped mass integrates
+    the unit-square area exactly; the prior factors and samples."""
+    from diffeqgmrfs_tpu.fem.gmsh import read_gmsh
+
+    p = tmp_path / "m.msh"
+    p.write_text(_MSH_V2)
+    mesh = read_gmsh(str(p))
+    disc = FEMDiscretization(mesh, element_order=2, quad_degree=3)
+    m, G = host_mass_stiffness(disc)
+    assert abs(m.sum() - 1.0) < 1e-12  # total mass = area
+    # stiffness annihilates constants
+    assert np.abs(G @ np.ones(disc.ndofs)).max() < 1e-12
+    x = discretize_matern(MaternSPDE(d=2, range=0.5, smoothness=1), disc)
+    s = x.sample(jax.random.PRNGKey(0), 2)
+    assert s.shape == (2, disc.ndofs) and bool(jnp.all(jnp.isfinite(s)))
