@@ -32,6 +32,14 @@ soft-pinned with tiny noise as the reference does
 from __future__ import annotations
 
 from contextlib import nullcontext as _nullcontext
+
+
+def _trace_state_clean() -> bool:
+    """True when NOT under an outer jax trace (host fast paths use jit
+    internally, which must not run inside another trace)."""
+    from jax._src import core as _core
+
+    return _core.trace_state_clean()
 from dataclasses import dataclass
 from fractions import Fraction
 from math import gamma, pi, sqrt
@@ -119,16 +127,29 @@ def host_mass_stiffness(disc: FEMDiscretization):
         cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         cpu = None
-    with jax.default_device(cpu) if cpu is not None else _nullcontext():
-        m_lumped, Ge = jax.jit(kernel)(
-            np.asarray(g.w_detJ), np.asarray(g.phi), np.asarray(g.grad),
-            np.asarray(cd),
-        )
-    m_lumped = np.asarray(m_lumped)
+    if cpu is not None and _trace_state_clean():
+        # NOT under an outer trace: jit returns concrete arrays
+        with jax.default_device(cpu):
+            m_lumped, Ge = jax.jit(kernel)(
+                np.asarray(g.w_detJ), np.asarray(g.phi), np.asarray(g.grad),
+                np.asarray(cd),
+            )
+        m_lumped = np.asarray(m_lumped)
+        Ge = np.asarray(Ge)
+    else:
+        # inside a trace this stays a PURE HOST computation (numpy in,
+        # numpy out) — callers trace host_mass_stiffness for structure
+        Me = np.einsum("cq,qi,qj->cij", g.w_detJ, g.phi, g.phi)
+        Ge = np.einsum("cq,cqid,cqjd->cij", g.w_detJ, g.grad, g.grad)
+        diag = np.einsum("cii->ci", Me)
+        cell_mass = Me.sum(axis=(1, 2))
+        diag = diag * (cell_mass / diag.sum(axis=1))[:, None]
+        m_lumped = np.zeros(n)
+        np.add.at(m_lumped, cd.reshape(-1), diag.reshape(-1))
     r = np.repeat(cd[:, :, None], nd, axis=2).reshape(-1)
     c = np.repeat(cd[:, None, :], nd, axis=1).reshape(-1)
     G = sp.coo_matrix(
-        (np.asarray(Ge).reshape(-1), (r, c)), shape=(n, n)
+        (Ge.reshape(-1), (r, c)), shape=(n, n)
     ).tocsr()
     return m_lumped, G
 

@@ -271,11 +271,15 @@ def make_ata_window_plan(
     = ~30 s at Darcy N300); the sorts, uniques, gathers and scatters here
     run as a few jitted programs pinned to the host CPU backend instead.
     """
+    from jax._src import core as _core
+
     try:
         cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         cpu = None
-    if cpu is None:
+    if cpu is None or not _core.trace_state_clean():
+        # no cpu backend, or running under an outer trace (the internal
+        # jits would return tracers): pure-host numpy path
         return _make_ata_window_plan_np(
             cols, n, bs, zero_slots=zero_slots, split=split
         )

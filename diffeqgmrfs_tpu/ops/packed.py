@@ -884,10 +884,14 @@ def make_packed_scatter_idx(rows, cols, n: int, bs: int, valid=None,
     cols = np.asarray(cols)
     if (rows is None or valid_counts is not None) and cols.ndim != 2:
         raise ValueError("rows=None / valid_counts need 2D (ELL) cols")
+    from jax._src import core as _core
+
     try:
         cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         cpu = None
+    if not _core.trace_state_clean():
+        cpu = None  # under an outer trace: pure-host numpy path
 
     def compute(xp, rows_, cols_, vmask_):
         I = rows_ // bs
