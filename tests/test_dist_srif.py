@@ -46,11 +46,16 @@ def test_dist_srif_matches_dense():
     b = rng.normal(size=n)
     x_ref = np.linalg.solve(H, b)
     ld_ref = float(np.linalg.slogdet(H)[1])
-    for P in (2, 4):
+    for P in (1, 2, 4):
         F = dist_srif_qr(ops, n, 8, bs, P, dtype=jnp.float64)
         x = np.asarray(F.solve(jnp.asarray(b)))
         assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-10, P
         assert abs(float(F.log_det()) - ld_ref) < 1e-8, P
+    import pytest
+    with pytest.raises(ValueError):
+        dist_srif_qr(ops, n, 8, bs, 3, dtype=jnp.float64)  # 8 % 3 != 0
+    with pytest.raises(ValueError):
+        dist_srif_qr(ops, n, 8, bs, 8, dtype=jnp.float64)  # k = 1
         # multi-rhs
         B = rng.normal(size=(3, n))
         X = np.asarray(F.solve(jnp.asarray(B)))
