@@ -104,12 +104,44 @@ class RowOp:
         n_rows, n_cols = M.shape
         counts = np.diff(M.indptr)
         K = int(counts.max()) if n_rows else 0
-        cols = np.zeros((n_rows, K), dtype=np.int32)
-        vals = np.zeros((n_rows, K), dtype=np.asarray(M.data).dtype)
-        r = np.repeat(np.arange(n_rows), counts)
-        k = np.arange(len(M.data)) - np.repeat(M.indptr[:-1], counts)
-        cols[r, k] = M.indices
-        vals[r, k] = M.data
+        nnz = len(M.data)
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        from jax._src import core as _core
+
+        if cpu is not None and _core.trace_state_clean() and 0 < nnz < 2**31:
+            # fused XLA-CPU ELL fill — this host's numpy repeat/fancy
+            # assignment are ~50x slower than the compiled loop at
+            # production nnz (~35M at Darcy N300)
+            def kernel(indices, data, indptr):
+                marks = jnp.zeros((nnz,), jnp.int32).at[indptr[1:-1]].add(
+                    1, mode="drop"
+                )
+                r = jnp.cumsum(marks)
+                k = jnp.arange(nnz, dtype=jnp.int32) - indptr[r]
+                cols = (
+                    jnp.zeros((n_rows, K), jnp.int32)
+                    .at[r, k]
+                    .set(indices.astype(jnp.int32))
+                )
+                vals = jnp.zeros((n_rows, K), data.dtype).at[r, k].set(data)
+                return cols, vals
+
+            with jax.default_device(cpu):
+                cols, vals = jax.jit(kernel)(
+                    M.indices, M.data, M.indptr.astype(np.int32)
+                )
+            cols = np.asarray(cols)
+            vals = np.asarray(vals)
+        else:
+            cols = np.zeros((n_rows, K), dtype=np.int32)
+            vals = np.zeros((n_rows, K), dtype=np.asarray(M.data).dtype)
+            r = np.repeat(np.arange(n_rows), counts)
+            k = np.arange(nnz) - np.repeat(M.indptr[:-1], counts)
+            cols[r, k] = M.indices
+            vals[r, k] = M.data
         v = jnp.asarray(vals, dtype=dtype) if dtype else jnp.asarray(vals)
         return cls(cols, v, n_cols)
 
