@@ -53,7 +53,6 @@ def main():
     args = parse_cmd()
     log.info("devices: %s", select_backend(args.backend))
 
-    import jax
     import jax.numpy as jnp
     import diffeqgmrfs_tpu  # noqa: F401
     from diffeqgmrfs_tpu.fem import (
