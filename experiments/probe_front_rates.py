@@ -1,0 +1,92 @@
+"""Slope-timed batched small-factorization rates: the data for the
+round-3 multifrontal decision (ROADMAP "Open" item 0).
+
+Nested dissection trades the banded sweep's few BIG MXU-perfect blocks
+for MANY small fronts (level-batched: all fronts of a level share a
+padded shape). Whether that wins on a TPU depends entirely on the
+achievable rate of batched dense POTRF / QR at front sizes 64..2048:
+
+    effective_TFLOPs(front) * ND_flop_ratio  vs  banded rate (16+ TF/s)
+
+This probe slope-times jax.vmap'ed cholesky / qr over batches sized to a
+constant total work, printing achieved TFLOP/s per (front, batch). Run on
+the TPU (no flags); --backend cpu smoke-tests the machinery.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--backend", type=str, default=None)
+    p.add_argument("--work", type=float, default=2e11,
+                   help="target flops per timing rep")
+    p.add_argument("--fronts", type=int, nargs="*",
+                   default=[64, 128, 256, 512, 1024, 2048])
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    if args.backend:
+        jax.config.update("jax_platforms", args.backend)
+    import diffeqgmrfs_tpu  # noqa: F401
+
+    jax.config.update("jax_enable_x64", False)
+    key = jax.random.PRNGKey(0)
+
+    def slope(f, xs, K=4, n_it=3):
+        g = jax.jit(lambda reps, *a: lax.fori_loop(
+            0, reps,
+            lambda i, acc: acc + f(*[x + i.astype(x.dtype) * 1e-7
+                                     for x in a]),
+            jnp.float32(0.0),
+        ), static_argnums=0)
+        float(g(1, *xs))
+        float(g(K, *xs))
+        t1 = min(_t(lambda: float(g(1, *xs))) for _ in range(n_it))
+        tK = min(_t(lambda: float(g(K, *xs))) for _ in range(n_it))
+        return (tK - t1) / (K - 1)
+
+    def _t(fn):
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
+    print(f"{'front':>6} {'batch':>6} {'chol TF/s':>10} {'qr TF/s':>10}",
+          flush=True)
+    for m in args.fronts:
+        chol_fl = m**3 / 3
+        qr_fl = 4 * m**3 / 3  # [2m, m] Householder QR
+        B = max(1, int(args.work / (chol_fl * 8)))
+        A = jax.random.normal(key, (B, m, m), dtype=jnp.float32) * 0.01
+        A = 0.5 * (A + A.transpose(0, 2, 1)) + 2.0 * jnp.eye(
+            m, dtype=jnp.float32
+        )
+        T = jax.random.normal(key, (B, 2 * m, m), dtype=jnp.float32)
+
+        def chol(a):
+            L = jnp.linalg.cholesky(a)
+            return jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)))
+
+        def qr(t):
+            R = jax.vmap(lambda x: jnp.linalg.qr(x, mode="r"))(t)
+            return jnp.sum(jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1)))
+
+        dt_c = slope(chol, (A,))
+        dt_q = slope(qr, (T,))
+        print(
+            f"{m:6d} {B:6d} {B * chol_fl / dt_c / 1e12:10.2f} "
+            f"{B * qr_fl / dt_q / 1e12:10.2f}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
