@@ -280,8 +280,12 @@ def main():
             std = post.std()
             smp = post.sample(key, 1)
         if args.nll:
+            # same blueprint as the posterior: the sqrt path both accepts
+            # the (possibly split) window plan and survives the 1e12
+            # interpolation precision where plain f32 Cholesky breaks
             x_soln = condition_on_observations(
-                prior_arg, E, 1e12, soln_flat, pattern=pattern_E
+                prior_arg, E, 1e12, soln_flat, solver_blueprint=bp,
+                pattern=pattern_E,
             )
             soln_full = x_soln.mean()
             sqm = post.sqmahal(soln_full)
