@@ -50,7 +50,14 @@ def pipelined_batched_btd_cholesky(
     matching `btd_cholesky` per instance (wrap as
     `BTDCholesky(Ls[m], Cs[m], N*bs)`).
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map as _sm
+
+        def shard_map(f=None, **kw):
+            kw["check_vma"] = kw.pop("check_rep", False)
+            return _sm(f, **kw) if f is not None else _sm(**kw)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
 
     M, N, bs, _ = diag.shape
     nP = mesh.shape[axis_name]
@@ -151,7 +158,14 @@ def pipelined_batched_srif_qr(
     (apply ops/srif._fix_padding per instance for padded tails).
     """
     from functools import partial
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map as _sm
+
+        def shard_map(f=None, **kw):
+            kw["check_vma"] = kw.pop("check_rep", False)
+            return _sm(f, **kw) if f is not None else _sm(**kw)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
     from diffeqgmrfs_tpu.ops.ata_windows import dense_rows_from_slots
 
     if plan.split != 1:
