@@ -120,7 +120,8 @@ def relay_alive(timeout=600):
              "x = jnp.ones((256,256)); print(float((x@x).sum()))"],
             capture_output=True, timeout=timeout, text=True,
         )
-        return r.returncode == 0 and "65536" in r.stdout
+        # sum(ones(256,256) @ ones(256,256)) = 256**3 = 16777216
+        return r.returncode == 0 and "16777216" in r.stdout
     except Exception:
         return False
 
