@@ -6,6 +6,7 @@
 # captures them unattended.
 set -u
 cd /root/repo
+echo $$ > /tmp/tpuq.pid
 OUT=results/tpu_queue
 mkdir -p "$OUT"
 STATUS="$OUT/status.tsv"
@@ -24,13 +25,14 @@ run_job() {
   done
 }
 
+# probes first: their numbers steer this round's kernel work
+run_job srif_qr_probe      2400  python experiments/probe_srif_qr.py
+run_job front_rates        3600  python experiments/probe_front_rates.py
 run_job elliptic_N100      2400  python experiments/chen24/elliptic_chen24.py --N_el_xy 100 --sqrt
+run_job chen24_N1000       5400  python experiments/chen24/burgers_chen24.py --N_x 1000 --sqrt --stepwise
 run_job darcy_N300_probe   7200  python experiments/darcy/solve_darcy_gmrf_fem.py --N_xy 300 --grid 241 --N_instances 1 --sqrt --phase_probe --mean_only
 run_job darcy_N300_full3   10800 python experiments/darcy/solve_darcy_gmrf_fem.py --N_xy 300 --grid 241 --N_instances 3 --sqrt
 run_job darcy_N128_b8      7200  python experiments/darcy/solve_darcy_gmrf_fem.py --N_xy 128 --N_instances 64 --batch 8 --sqrt
-run_job srif_qr_probe      2400  python experiments/probe_srif_qr.py
-run_job front_rates        3600  python experiments/probe_front_rates.py
-run_job chen24_N1000       5400  python experiments/chen24/burgers_chen24.py --N_x 1000 --sqrt --stepwise
 run_job flagship_N800x100  14400 python experiments/burgers/solve_burgers_gmrf_fem.py --N_x 800 --n_t_data 100 --N_instances 3 --sqrt --stepwise --damping --pad_block 128
 run_job burgers_2048_sweep 21600 python experiments/burgers/solve_burgers_gmrf_fem.py --N_x 128 --n_t_data 100 --N_instances 2048 --batch 4 --sqrt --stepwise
 
