@@ -359,12 +359,16 @@ def discretize_matern(
                     sqrt_cs0 = jnp.asarray(
                         1.0 / np.sqrt(np.asarray(diag64)), dtype=jnp.float32
                     )
+                    # plan threaded through the jit SIGNATURE, not the
+                    # closure: closed-over arrays lower as HLO constants,
+                    # and at N_xy=300 the ~100 MB of window-plan indices
+                    # overflow the relay's compile-request body (HTTP 413)
                     sqrt_R32 = jax.jit(
-                        lambda v, c: srif_packed_qr(
-                            [(sqrt_plan, v)], n, Nb, bs_p,
+                        lambda p, v, c: srif_packed_qr(
+                            [(p, v)], n, Nb, bs_p,
                             dtype=jnp.float32, col_scale=c,
                         )
-                    )(sqrt32.vals, sqrt_cs0)
+                    )(sqrt_plan, sqrt32.vals, sqrt_cs0)
             inner = CompactGMRF(
                 mu,
                 ShapeOnly(n, -(-n // bs_p), bs_p),

@@ -130,6 +130,84 @@ def _bhh_qr_r(T, panel: int = 512, reorth: bool = True):
     return R
 
 
+def _tshh_qr_r(T, panel: int = 512, reorth: bool = True, max_chunks: int = 8):
+    """R factor of T [m, n]: blocked Householder panels where each PANEL is
+    factored by a two-stage TSQR tree instead of one tall serialized
+    Householder QR.
+
+    `_bhh_qr_r` already moves the trailing updates onto the MXU, but its
+    panel factorization `qr([m, panel])` remains XLA's column-serialized
+    Householder over the FULL m rows — at the Darcy-N300 window shape
+    ([22272, 7424], panel 512) the 15 panel QRs are ~8% of the flops yet
+    dominate wall-clock. Here each panel splits into K row chunks factored
+    by ONE batched QR ([K, m/K, p] — XLA's per-column sweep then processes
+    all K chunks simultaneously), and the chunk R factors reduce through a
+    single small QR ([K*p, p]). The panel Q is never formed: with
+    Q_panel = blkdiag(Qc) @ Q2, the trailing projection/update are batched
+    GEMMs through the (Qc, Q2) pair. Orthonormality is Householder-quality
+    (a product of exactly-orthonormal factors), so the factor error keeps
+    the ~eps sqrt(cond) SRIF bound; `reorth` adds the BCGS2 second pass.
+    """
+    m, n = T.shape
+    A = T
+    R = jnp.zeros((n, n), T.dtype)
+    for j in range(0, n, panel):
+        pj = min(panel, n - j)
+        # chunk count: keep chunks at least 2*pj tall so the tree pays off
+        K = max(1, min(max_chunks, m // max(2 * pj, 1)))
+        if K == 1:
+            Qp, Rp = jnp.linalg.qr(A[:, j : j + pj], mode="reduced")
+            R = R.at[j : j + pj, j : j + pj].set(Rp[:pj])
+            if j + pj < n:
+                Tr = A[:, j + pj :]
+                S = Qp.T @ Tr
+                Tr = Tr - Qp @ S
+                if reorth:
+                    S2 = Qp.T @ Tr
+                    Tr = Tr - Qp @ S2
+                    S = S + S2
+                A = A.at[:, j + pj :].set(Tr)
+                R = R.at[j : j + pj, j + pj :].set(S[:pj])
+            continue
+        mc = -(-m // K)  # chunk height; zero-pad below (R is unchanged)
+        mp = mc * K
+        P = A[:, j : j + pj]
+        if mp != m:
+            P = jnp.concatenate(
+                [P, jnp.zeros((mp - m, pj), A.dtype)], axis=0
+            )
+        Qc, Rc = jnp.linalg.qr(P.reshape(K, mc, pj), mode="reduced")
+        Q2, Rp = jnp.linalg.qr(Rc.reshape(K * pj, pj), mode="reduced")
+        R = R.at[j : j + pj, j : j + pj].set(Rp)
+        if j + pj < n:
+            Tr = A[:, j + pj :]
+            nt = Tr.shape[1]
+            if mp != m:
+                Tr = jnp.concatenate(
+                    [Tr, jnp.zeros((mp - m, nt), A.dtype)], axis=0
+                )
+            Q2c = Q2.reshape(K, pj, pj)
+
+            def project(Tr):
+                # S = Q_panel^T Tr ; Tr -= Q_panel S  (all batched GEMMs)
+                W = jnp.einsum("kmp,kmn->kpn", Qc, Tr.reshape(K, mc, nt))
+                S = jnp.einsum("kpq,kpn->qn", Q2c, W)
+                U = jnp.einsum("kpq,qn->kpn", Q2c, S)
+                Tr = (
+                    Tr.reshape(K, mc, nt)
+                    - jnp.einsum("kmp,kpn->kmn", Qc, U)
+                ).reshape(mp, nt)
+                return Tr, S
+
+            Tr, S = project(Tr)
+            if reorth:
+                Tr, S2 = project(Tr)
+                S = S + S2
+            A = A.at[:, j + pj :].set(Tr[:m])
+            R = R.at[j : j + pj, j + pj :].set(S)
+    return R
+
+
 def _bcgs_qr_r(T, panel: int = 512, passes: int = 3):
     """R factor of T [m, n] by right-looking block Gram-Schmidt with
     shifted-CholQR panels — QR built ENTIRELY from GEMM/TRSM (MXU-rate,
@@ -338,6 +416,8 @@ def srif_packed_qr(
             return _bcgs_qr_r(T, panel=panel)[:W]
         if qr_impl == "bhh":
             return _bhh_qr_r(T, panel=panel)[:W]
+        if qr_impl == "tshh":
+            return _tshh_qr_r(T, panel=panel)[:W]
         return jnp.linalg.qr(T, mode="r")[:W]
 
     def reduce_window(b, carry, extra=None):

@@ -98,6 +98,9 @@ class IncrementalSaver:
 
     def __init__(self, path_base: str):
         self.path = path_base + ".partial.jsonl"
+        d = os.path.dirname(self.path)
+        if d:
+            os.makedirs(d, exist_ok=True)
         self.done: dict[int, dict] = {}
         if os.path.exists(self.path):
             with open(self.path) as f:

@@ -61,15 +61,18 @@ def main():
 
     print(f"{'front':>6} {'batch':>6} {'chol TF/s':>10} {'qr TF/s':>10}",
           flush=True)
+    # memory budget: ~2 GB of batched operands per timed program. The jit
+    # holds input + output + the perturbed loop copy (~4 buffers of the
+    # operand size) — without this cap the constant-work rule puts 20+ GB
+    # on a 16 GB chip at front=64 (observed HBM OOM in the round-2 queue).
+    mem_budget = 2e9
+
     for m in args.fronts:
         chol_fl = m**3 / 3
         qr_fl = 4 * m**3 / 3  # [2m, m] Householder QR
         B = max(1, int(args.work / (chol_fl * 8)))
-        A = jax.random.normal(key, (B, m, m), dtype=jnp.float32) * 0.01
-        A = 0.5 * (A + A.transpose(0, 2, 1)) + 2.0 * jnp.eye(
-            m, dtype=jnp.float32
-        )
-        T = jax.random.normal(key, (B, 2 * m, m), dtype=jnp.float32)
+        B_c = max(1, min(B, int(mem_budget / (4 * m * m * 4))))
+        B_q = max(1, min(B, int(mem_budget / (4 * 2 * m * m * 4))))
 
         def chol(a):
             L = jnp.linalg.cholesky(a)
@@ -79,11 +82,18 @@ def main():
             R = jax.vmap(lambda x: jnp.linalg.qr(x, mode="r"))(t)
             return jnp.sum(jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1)))
 
+        A = jax.random.normal(key, (B_c, m, m), dtype=jnp.float32) * 0.01
+        A = 0.5 * (A + A.transpose(0, 2, 1)) + 2.0 * jnp.eye(
+            m, dtype=jnp.float32
+        )
         dt_c = slope(chol, (A,))
+        del A  # free before the QR operand lands (both live would OOM)
+        T = jax.random.normal(key, (B_q, 2 * m, m), dtype=jnp.float32)
         dt_q = slope(qr, (T,))
+        del T
         print(
-            f"{m:6d} {B:6d} {B * chol_fl / dt_c / 1e12:10.2f} "
-            f"{B * qr_fl / dt_q / 1e12:10.2f}",
+            f"{m:6d} {B_c:6d}/{B_q:<6d} {B_c * chol_fl / dt_c / 1e12:10.2f} "
+            f"{B_q * qr_fl / dt_q / 1e12:10.2f}",
             flush=True,
         )
 

@@ -75,13 +75,17 @@ def main():
     )
 
     # engine comparison at the window shape
-    from diffeqgmrfs_tpu.ops.srif import _bhh_qr_r, _bcgs_qr_r
+    from diffeqgmrfs_tpu.ops.srif import _bhh_qr_r, _bcgs_qr_r, _tshh_qr_r
 
     for name, f in [
         ("bhh p512 reorth", lambda t: _bhh_qr_r(t, 512, True)),
         ("bhh p512 noreorth", lambda t: _bhh_qr_r(t, 512, False)),
         ("bhh p1024 noreorth", lambda t: _bhh_qr_r(t, 1024, False)),
         ("bcgs p512", lambda t: _bcgs_qr_r(t, 512)),
+        ("tshh p512 reorth", lambda t: _tshh_qr_r(t, 512, True)),
+        ("tshh p512 noreorth", lambda t: _tshh_qr_r(t, 512, False)),
+        ("tshh p512 k16", lambda t: _tshh_qr_r(t, 512, False, 16)),
+        ("tshh p256 noreorth", lambda t: _tshh_qr_r(t, 256, False)),
     ]:
         try:
             slope(name, lambda t, f=f: jnp.sum(f(t)[: 2 * bs]), T,

@@ -738,3 +738,44 @@ def test_ata_window_plan_fused_matches_numpy():
     cols = np.zeros((40, 3), dtype=np.int64)
     cols[:, 1] = np.arange(40) % 8
     compare(cols, 32, 16, None, 1)
+
+
+def test_tshh_qr_r_matches_householder():
+    """TSQR-panel blocked Householder engine: R^T R == T^T T to eps-level
+    and the triangle matches LAPACK up to row signs, at shapes that
+    exercise multi-chunk panels, row padding, and the K=1 fallback."""
+    from diffeqgmrfs_tpu.ops.srif import _tshh_qr_r
+
+    rng = np.random.default_rng(7)
+    for m, ncol, panel in [(500, 48, 16), (137, 24, 16), (40, 24, 16),
+                           (513, 64, 32)]:
+        T = jnp.asarray(rng.normal(size=(m, ncol)))
+        R = np.asarray(_tshh_qr_r(T, panel=panel))
+        assert np.allclose(np.triu(R), R)
+        R0 = np.linalg.qr(np.asarray(T), mode="r")
+        # sign-normalize both triangles
+        s = np.sign(np.diag(R))
+        s0 = np.sign(np.diag(R0))
+        assert np.allclose(s[:, None] * R, s0[:, None] * R0,
+                           rtol=1e-9, atol=1e-9)
+
+
+def test_srif_tshh_engine_matches():
+    """tshh engine through srif_packed_qr matches the XLA factor."""
+    rng = np.random.default_rng(22)
+    ops, H, N = _setup(rng)
+    n, bs = 50, 16
+    F0 = srif_packed_qr(ops, n, N, bs, dtype=jnp.float64)
+    F = srif_packed_qr(ops, n, N, bs, dtype=jnp.float64, qr_impl="tshh",
+                       panel=8)
+    b = rng.normal(size=n)
+    x0 = np.asarray(F0.solve(jnp.asarray(b)))
+    x = np.asarray(F.solve(jnp.asarray(b)))
+    assert np.allclose(x, x0, rtol=1e-9, atol=1e-10)
+    assert np.isclose(float(F.log_det()), float(F0.log_det()), rtol=1e-10)
+    F32 = srif_packed_qr(ops, n, N, bs, dtype=jnp.float32, qr_impl="tshh",
+                         panel=8)
+    x32 = np.asarray(F32.solve(jnp.asarray(b).astype(jnp.float32)))
+    x_ref = np.linalg.solve(H, b)
+    rel = np.linalg.norm(x32 - x_ref) / np.linalg.norm(x_ref)
+    assert rel < 1e-3, rel
