@@ -71,9 +71,8 @@ class DarcyDataset:
                 for _ in range(n_instances)
             ]
         )
-        sols = np.stack(
-            [_darcy_fem_solution(c, n_xy_fem, beta, grid) for c in coeffs]
-        )
+        solver = _DarcyTruthSolver(n_xy_fem, beta, grid)
+        sols = np.stack([solver.solve(c) for c in coeffs])
         ds = cls(sol=sols, coeff=coeffs)
         if cache:
             os.makedirs(os.path.dirname(cache) or ".", exist_ok=True)
@@ -113,42 +112,71 @@ def _threshold_grf(rng, grid, contrast, smoothness):
     return np.where(field >= 0, hi, lo).astype(np.float64)
 
 
+class _DarcyTruthSolver:
+    """Classical FEM solver for -div(a grad u) = beta, u=0 on the boundary
+    (host NumPy/scipy — this is the *data generator*, deliberately
+    independent of the JAX solve path).
+
+    Everything coefficient-independent (mesh, quadrature products, scatter
+    indices, grid-evaluation operator) is built ONCE and reused across
+    instances: on this class of host a per-instance rebuild dominated the
+    1024-instance dataset generation.
+    """
+
+    def __init__(self, n_xy, beta, grid):
+        from diffeqgmrfs_tpu.fem import (
+            evaluation_matrix,
+            uniform_unit_square_discretization,
+        )
+
+        disc = uniform_unit_square_discretization(n_xy, element_order=2)
+        g = disc.geometry
+        gx = np.linspace(0, 1, grid)
+        qc = g.qcoords.reshape(-1, 2)
+        self.xi = np.abs(gx[None, :] - qc[:, 0:1]).argmin(axis=1)
+        self.yi = np.abs(gx[None, :] - qc[:, 1:2]).argmin(axis=1)
+        self.qshape = g.qcoords.shape[:2]
+        # weighted gradient outer products: Ke = einsum('cqij,cq', G2w, a_q)
+        self.G2w = np.einsum(
+            "cq,cqid,cqjd->cqij", g.w_detJ, g.grad, g.grad, optimize=True
+        )
+        fe = beta * np.einsum("cq,qi->ci", g.w_detJ, g.phi)
+        cd = disc.dof_handler.cell_dofs_field("u")
+        self.n = disc.ndofs
+        nd = cd.shape[1]
+        self.r = np.repeat(cd[:, :, None], nd, axis=2).reshape(-1)
+        self.c = np.repeat(cd[:, None, :], nd, axis=1).reshape(-1)
+        self.free = disc.constraint_handler.free_dofs
+        f = np.zeros(self.n)
+        np.add.at(f, cd.reshape(-1), fe.reshape(-1))
+        self.f_free = f[self.free]
+        pts = np.stack(np.meshgrid(gx, gx, indexing="xy"), -1).reshape(-1, 2)
+        E = evaluation_matrix(disc, pts)
+        # pure-numpy ELL evaluation (no device round-trip per instance)
+        self.E_cols = np.asarray(E.cols)
+        self.E_vals = np.asarray(E.vals)
+        self.grid = grid
+
+    def solve(self, coeff):
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        coeff_q = coeff[self.xi, self.yi].reshape(self.qshape)
+        Ke = np.einsum("cqij,cq->cij", self.G2w, coeff_q, optimize=True)
+        K = sp.coo_matrix(
+            (Ke.reshape(-1), (self.r, self.c)), shape=(self.n, self.n)
+        ).tocsr()
+        u = np.zeros(self.n)
+        # two-step slicing: np.ix_ on csr materializes a (n_free x n_free)
+        # index temp and overflows scipy's int32 nnz math beyond ~45k free
+        u[self.free] = spla.spsolve(
+            K[self.free][:, self.free].tocsc(), self.f_free
+        )
+        # evaluate on the grid: sol[iy, ix] = u(x_ix, y_iy)
+        vals = (self.E_vals * u[self.E_cols]).sum(axis=1)
+        return vals.reshape(self.grid, self.grid)
+
+
 def _darcy_fem_solution(coeff, n_xy, beta, grid):
-    """Classical FEM solve of -div(a grad u) = beta, u=0 on the boundary,
-    evaluated back on the coefficient grid (host NumPy/scipy — this is the
-    *data generator*, deliberately independent of the JAX solve path)."""
-    import scipy.sparse as sp
-    import scipy.sparse.linalg as spla
-
-    from diffeqgmrfs_tpu.fem import uniform_unit_square_discretization
-
-    disc = uniform_unit_square_discretization(n_xy, element_order=2)
-    g = disc.geometry
-    gx = np.linspace(0, 1, grid)
-    qc = g.qcoords.reshape(-1, 2)
-    xi = np.abs(gx[None, :] - qc[:, 0:1]).argmin(axis=1)
-    yi = np.abs(gx[None, :] - qc[:, 1:2]).argmin(axis=1)
-    coeff_q = coeff[xi, yi].reshape(g.qcoords.shape[:2])
-    Ke = np.einsum("cq,cq,cqid,cqjd->cij", g.w_detJ, coeff_q, g.grad, g.grad)
-    fe = beta * np.einsum("cq,qi->ci", g.w_detJ, g.phi)
-    cd = disc.dof_handler.cell_dofs_field("u")
-    n = disc.ndofs
-    nd = cd.shape[1]
-    r = np.repeat(cd[:, :, None], nd, axis=2).reshape(-1)
-    c = np.repeat(cd[:, None, :], nd, axis=1).reshape(-1)
-    K = sp.coo_matrix((Ke.reshape(-1), (r, c)), shape=(n, n)).tocsr()
-    f = np.zeros(n)
-    np.add.at(f, cd.reshape(-1), fe.reshape(-1))
-    free = disc.constraint_handler.free_dofs
-    u = np.zeros(n)
-    # two-step slicing: np.ix_ on csr materializes a (n_free x n_free)
-    # index temp and overflows scipy's int32 nnz math beyond ~45k free dofs
-    u[free] = spla.spsolve(K[free][:, free].tocsc(), f[free])
-    # evaluate on the grid: sol[iy, ix] = u(x_ix, y_iy)
-    from diffeqgmrfs_tpu.fem import evaluation_matrix
-    import jax.numpy as jnp
-
-    pts = np.stack(np.meshgrid(gx, gx, indexing="xy"), -1).reshape(-1, 2)
-    E = evaluation_matrix(disc, pts)
-    vals = np.asarray(E.matvec(jnp.asarray(u)))
-    return vals.reshape(grid, grid)
+    """One-shot wrapper around _DarcyTruthSolver (kept for tests)."""
+    return _DarcyTruthSolver(n_xy, beta, grid).solve(coeff)

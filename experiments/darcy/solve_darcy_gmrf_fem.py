@@ -35,6 +35,12 @@ def parse_cmd():
     p.add_argument("--boundary_width", type=float, default=0.0)
     p.add_argument("--N_instances", type=int, default=8)
     p.add_argument("--grid", type=int, default=61, help="dataset grid resolution")
+    p.add_argument("--truth_N_xy", type=int, default=0,
+                   help="synthetic-truth FEM mesh resolution (0 = "
+                        "max(N_xy, 40)). Lower it for large-instance-count "
+                        "throughput sweeps: this host generates reference "
+                        "solutions on ONE slow core, and a 1024-instance "
+                        "dataset at truth fidelity N300 would take days")
     p.add_argument("--batch", type=int, default=1, help="vmap batch size")
     p.add_argument("--mixed_precision", action="store_true",
                    help="f32 MXU factorization + f64 refinement (TPU path)")
@@ -135,12 +141,15 @@ def main():
     else:
         if args.datasetname != "synthetic":
             log.warning("dataset %s not found; generating synthetic", mat_path)
+        truth_n = args.truth_N_xy or max(args.N_xy, 40)
+        truth_tag = f"_t{truth_n}" if args.truth_N_xy else ""
         ds = DarcyDataset.synthetic(
             n_instances=args.N_instances,
             grid=args.grid,
-            n_xy_fem=max(args.N_xy, 40),
+            n_xy_fem=truth_n,
             cache=datadir("input_data", "synthetic",
-                          f"darcy_g{args.grid}_n{args.N_instances}.npz"),
+                          f"darcy_g{args.grid}_n{args.N_instances}"
+                          f"{truth_tag}.npz"),
         )
     log.info("%s", ds)
     inflated = args.boundary_width > 0.0
