@@ -39,6 +39,12 @@ run_job() {
   done
 }
 
+# controlled elliptic re-run first (idle host): resolves whether the
+# queue's 13.1 -> 46.3 s elliptic N100 wall-clock regression was real or
+# contention (RESULTS.md footnote)
+run_job elliptic_N100_ctrl 2400 python experiments/chen24/elliptic_chen24.py \
+  --N_el_xy 100 --sqrt
+
 run_job darcy_1024_sweep 21600 python experiments/darcy/solve_darcy_gmrf_fem.py \
   --N_xy 128 --grid 241 --N_instances 1024 --truth_N_xy 64 --batch 8 --sqrt
 
