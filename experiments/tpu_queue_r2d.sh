@@ -45,6 +45,13 @@ run_job() {
 run_job elliptic_N100_ctrl 2400 python experiments/chen24/elliptic_chen24.py \
   --N_el_xy 100 --sqrt
 
+# re-run of queue A's darcy_N128_b8: the original started before the
+# truth-generator hoist landed and would have burned its whole timeout in
+# host-side dataset generation (64 x 129 s); with the hoisted generator
+# the same dataset builds in ~10 min
+run_job darcy_N128_b8_v2 7200 python experiments/darcy/solve_darcy_gmrf_fem.py \
+  --N_xy 128 --N_instances 64 --batch 8 --sqrt --grid 241
+
 run_job darcy_1024_sweep 21600 python experiments/darcy/solve_darcy_gmrf_fem.py \
   --N_xy 128 --grid 241 --N_instances 1024 --truth_N_xy 64 --batch 8 --sqrt
 
