@@ -38,6 +38,13 @@ os.environ["XLA_FLAGS"] = (
 ).strip()
 
 import jax  # noqa: E402
+
+# the axon TPU plugin force-registers itself over JAX_PLATFORMS=cpu; pin
+# the CPU backend via config BEFORE any device query initializes a backend
+# (tests/conftest.py does the same) — without this the script would run
+# on the TPU relay and collide with the measurement queue
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
@@ -80,7 +87,7 @@ def main():
     from diffeqgmrfs_tpu.ops.cholesky import btd_cholesky
     from diffeqgmrfs_tpu.ops.dist_btd import dist_btd_cholesky
     from diffeqgmrfs_tpu.ops.dist_srif import dist_srif_qr
-    from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan
+    from diffeqgmrfs_tpu.ops.srif import rowop_window_plan
     from diffeqgmrfs_tpu.fem.operators import RowOp
     import scipy.sparse as sp
 
@@ -130,7 +137,7 @@ def main():
         vals += list(v)
     S = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
     Sop = RowOp.from_csr(S, dtype=jnp.float32)
-    plan = make_ata_window_plan(Sop.cols, n, bs).to_device()
+    plan = rowop_window_plan(Sop, n, bs).to_device()
     H = (S.T @ S).toarray()
     x_ref2 = np.linalg.solve(H, np.asarray(b, np.float64))
     print(f"{'P':>3} {'k':>4} {'flops':>11} {'wall ms':>8} {'rel err':>9}")
