@@ -549,10 +549,12 @@ class SRIFNewtonFactor:
 
     def __init__(self, q_ell, q_diag, sqrt_ops, j_plan, Jc, tau,
                  n, N, bs, refine_iters: int = 4, chunk="auto",
-                 qr_impl: str = "xla", prior_R=None, prior_cs0=None):
+                 qr_impl: str = "xla", prior_R=None, prior_cs0=None,
+                 sub_dtype: str = "cond"):
         from diffeqgmrfs_tpu.ops.srif import srif_packed_qr
 
         self.q_ell = q_ell
+        self.sub_dtype = sub_dtype
         self.Jc = Jc
         self.tau = tau
         self.refine_iters = refine_iters
@@ -596,9 +598,31 @@ class SRIFNewtonFactor:
         return self._apply_H(y / self.d) / self.d
 
     def _solve32(self, b):
-        # f64 substitution through the f32 factor (O(N bs^2) — negligible
-        # vs the QR; avoids the TPU f32 triangular overflow at high cond)
-        return self.F32.solve(b)
+        """Substitution dtype policy (`sub_dtype`):
+
+        - 'f32': cast rhs, sweep in f32 (fastest; overflows to NaN on TPU
+          at cond(R) ~ 1e8 — the N800 x 100 fine-dt ST systems).
+        - 'f64': sweep in the rhs dtype. Flop count is O(N bs^2) but TPU
+          f64 triangular solves are EMULATED — measured 2.5-4.3x per-step
+          regressions (chen24 N1000 155 -> 383 s, elliptic N100 13 -> 56 s)
+          when this ran unconditionally.
+        - 'cond' (default): f32 sweep, with an XLA conditional f64 re-sweep
+          ONLY when the f32 result is non-finite. Unbatched programs pay
+          f32 cost on the healthy path; under vmap lax.cond degrades to
+          both-branch execution — batched drivers that know their range
+          should pass 'f32'."""
+        if self.sub_dtype == "f64" or b.dtype == jnp.float32:
+            return self.F32.solve(b)
+        y32 = self.F32.solve(b.astype(jnp.float32)).astype(b.dtype)
+        if self.sub_dtype == "f32":
+            return y32
+        from jax import lax
+
+        return lax.cond(
+            jnp.all(jnp.isfinite(y32)),
+            lambda: y32,
+            lambda: self.F32.solve(b),
+        )
 
     def solve(self, b):
         """Monotone (safeguarded) refinement: a correction is kept only if

@@ -85,6 +85,12 @@ class CholeskySolverBlueprint:
     # Householder panels + GEMM trailing updates — MXU-rate bulk), "bcgs"
     # (experimental all-GEMM Gram-Schmidt)
     srif_qr_impl: str = "xla"
+    # substitution sweep dtype through the f32 SRIF factor: "cond"
+    # (default: f32 sweep, XLA-conditional f64 re-sweep only when the f32
+    # result overflows — the healthy path never pays TPU's emulated-f64
+    # rate), "f32", or "f64" (always; 2.5-4.3x per-Newton-step regression
+    # measured when this ran unconditionally, RESULTS.md round 2)
+    sub_dtype: str = "cond"
     # BTD factor-sweep options for the f32 MXU factor (ops/cholesky.py
     # btd_cholesky kwargs): `factor_winv_trsm` replaces the sweep TRSM
     # with a panel-inverse GEMM chain of this panel size (slope-measured

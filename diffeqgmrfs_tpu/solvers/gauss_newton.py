@@ -181,7 +181,10 @@ def blueprint_gn_kwargs(bp, Q, aux=None) -> dict:
         kw["final_factor"] = aux.get("final_factor", True)
         kw["final_gemm"] = getattr(bp, "gemm_solves", False)
         kw["srif_qr_impl"] = getattr(bp, "srif_qr_impl", "xla")
+        kw["sub_dtype"] = getattr(bp, "sub_dtype", "cond")
         kw["materialize_H"] = False
+        if aux.get("srif_prefactor") is not None:
+            kw["prefactor"] = bool(aux["srif_prefactor"])
     else:
         kw["mixed_precision"] = getattr(bp, "mixed_precision", False)
         if getattr(bp, "toeplitz", False):
@@ -325,6 +328,8 @@ def gauss_newton_solve(
     factor_opts=None,
     prior_R=None,
     prior_cs0=None,
+    prefactor: bool = True,
+    sub_dtype: str = "cond",
 ) -> GaussNewtonResult:
     """Functional Gauss-Newton loop (jit/vmap-friendly).
 
@@ -468,7 +473,8 @@ def gauss_newton_solve(
     # R_Q rows must replace substantially more raw prior rows per window.
     srif_prior_R, srif_prior_cs0 = prior_R, prior_cs0
     if (
-        srif_prior_R is None
+        prefactor
+        and srif_prior_R is None
         and sqrt_ops is not None
         and ata_window_plan is not None
         and Q.N > 1
@@ -519,6 +525,7 @@ def gauss_newton_solve(
                 q_ell, q_diag, sqrt_ops, ata_window_plan, Jc, tau,
                 Q.n, Q.N, Q.bs, qr_impl=srif_qr_impl,
                 prior_R=srif_prior_R, prior_cs0=srif_prior_cs0,
+                sub_dtype=sub_dtype,
             )
             x_new = F.solve(rhs)
             dx = x_new - x
@@ -613,6 +620,7 @@ def gauss_newton_solve(
             q_ell, q_diag, sqrt_ops, ata_window_plan, Jc_fin, tau,
             Q.n, Q.N, Q.bs, qr_impl=srif_qr_impl,
             prior_R=srif_prior_R, prior_cs0=srif_prior_cs0,
+            sub_dtype=sub_dtype,
         )
         if final_gemm:
             from diffeqgmrfs_tpu.ops.packed import PackedBTDRFullFactor

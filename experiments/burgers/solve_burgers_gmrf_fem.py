@@ -68,6 +68,12 @@ def parse_cmd():
                         "(panel size; 0 = monolithic chol)")
     p.add_argument("--srif_qr_impl", type=str, default="xla",
                    help="SRIF window-QR engine: xla | bhh | bcgs")
+    p.add_argument("--sub_dtype", type=str, default="cond",
+                   help="substitution dtype through the f32 SRIF factor: "
+                        "cond (f32 + conditional f64 re-sweep on overflow) "
+                        "| f32 | f64. Batched (vmap) runs should pass f32 "
+                        "when in range — under vmap lax.cond executes both "
+                        "branches")
     p.add_argument("--factor_prec", type=str, default="float32",
                    help="matmul precision in the f32 BTD factor sweep: "
                         "float32 | tensorfloat32")
@@ -76,6 +82,18 @@ def parse_cmd():
                         "assembly + IC conditioning + Gauss-Newton + "
                         "sampling/std) per XLA program — the DP "
                         "chip-saturation axis (SURVEY.md 2.4)")
+    p.add_argument("--warm_start", action="store_true",
+                   help="initialize Gauss-Newton at the deterministic "
+                        "implicit-Euler forward march from the IC-"
+                        "conditioned mean's first slice (problems/burgers."
+                        "BurgersForwardMarch) — cuts GN steps sharply at "
+                        "fine resolution where the reference's x0=mean(x_ic) "
+                        "start needs >15 steps")
+    p.add_argument("--warm_substeps", type=int, default=2,
+                   help="internal implicit-Euler substeps per observation "
+                        "interval in the warm-start march")
+    p.add_argument("--max_steps", type=int, default=15,
+                   help="Gauss-Newton step cap (StepNumberCriterion)")
     p.add_argument("--stepwise", action="store_true",
                    help="split the per-instance pipeline into separate "
                         "jitted programs (setup / one GN step / posterior) "
@@ -161,7 +179,9 @@ def main():
     kappa = float(np.sqrt(8 * nu_matern) / np.sqrt(1 / args.N_x))
     c = 1.0 / ds.nu
     noise_ic, noise_fem = 1e8, 1e12
-    criterion = OrCriterion([NewtonDecrementCriterion(1e-6), StepNumberCriterion(15)])
+    criterion = OrCriterion(
+        [NewtonDecrementCriterion(1e-6), StepNumberCriterion(args.max_steps)]
+    )
 
     # Prebuild the condensed-Jacobian A^T A pattern (jit argument; the
     # inlined form exceeds remote-compile size limits at production sizes).
@@ -186,6 +206,7 @@ def main():
         damping=args.damping,
         gemm_solves=args.gemm_solves,
         srif_qr_impl=args.srif_qr_impl,
+        sub_dtype=args.sub_dtype,
         factor_winv_trsm=args.factor_winv or None,
         factor_panel=args.factor_panel or None,
         factor_precision=args.factor_prec,
@@ -201,6 +222,22 @@ def main():
         Jc0 = affine_st.condense_rowop(J0)
     n_free_st = affine_st.n_free
     bs_blk = stride if stride else disc.n_free
+
+    if args.warm_start:
+        from diffeqgmrfs_tpu.problems.burgers import BurgersForwardMarch
+
+        march = BurgersForwardMarch(
+            disc, ts, ds.nu, substeps=args.warm_substeps
+        )
+
+        def _warm_x0(mu_ic):
+            # march in f32 (TPU LuDecomposition has no f64 path; precision
+            # is irrelevant for an initial iterate), restrict back to the
+            # padded free layout in the iterate dtype
+            mu_full = affine_st.free_to_full(mu_ic)
+            u0 = mu_full[: disc.ndofs].astype(jnp.float32)
+            W = march.trajectory(u0)
+            return affine_st.restrict(W.reshape(-1)).astype(mu_ic.dtype)
 
     spde_static = dict(
         d=1, kappa=0.0, alpha=1, c=c, tau=0.1 * np.sqrt(c),
@@ -275,13 +312,14 @@ def main():
                 srif_prior_R=pre[0],
                 srif_prior_cs0=pre[1],
             )
+            x0 = _warm_x0(mu_ic) if args.warm_start else mu_ic
             result = gauss_newton(
                 mu_ic,
                 ShapeOnly(q_ic.n, q_ic.N, q_ic.bs),
                 res.f_and_J,
                 noise_fem,
                 jnp.zeros(res.n_rows),
-                mu_ic,
+                x0,
                 blueprint=bp_gn,
                 aux=gn_aux_t,
                 criterion=criterion,
@@ -299,13 +337,17 @@ def main():
         )
         ic_pred = E_st.matvec(x_ic.mean()).reshape(N_t, len(x_coords))
         gn_aux_t = dict(ata_pattern=aux)
+        x0 = (
+            _warm_x0(x_ic.inner_gmrf.mean())
+            if args.warm_start else x_ic.inner_gmrf.mean()
+        )
         result = gauss_newton(
             x_ic.inner_gmrf.mean(),
             x_ic.inner_gmrf.precision,
             res.f_and_J,
             noise_fem,
             jnp.zeros(res.n_rows),
-            x_ic.inner_gmrf.mean(),
+            x0,
             blueprint=bp_gn,
             aux=gn_aux_t,
             criterion=criterion,
@@ -398,7 +440,8 @@ def main():
         sw_step = jax.jit(_sw_step)
         sw_posterior = jax.jit(_sw_posterior)
         sw_icpred = jax.jit(_sw_icpred)
-        max_steps = getattr(criterion, "bound", 15) or 15
+        sw_warm = jax.jit(_warm_x0) if args.warm_start else None
+        max_steps = args.max_steps
 
         if args.batch > 1:
             vsw_setup = jax.jit(jax.vmap(_sw_setup, in_axes=(0, None)))
@@ -410,10 +453,14 @@ def main():
             )
             vsw_icpred = jax.jit(jax.vmap(_sw_icpred))
 
+            vsw_warm = (
+                jax.jit(jax.vmap(_warm_x0)) if args.warm_start else None
+            )
+
             def stepwise_batch_solve(ics, keys):
                 mu_ic, q_ic, eta_ic, gamma, pre = vsw_setup(ics, gn_aux)
                 ic_pred = vsw_icpred(mu_ic)
-                x = mu_ic
+                x = vsw_warm(mu_ic) if args.warm_start else mu_ic
                 B = ics.shape[0]
                 steps_taken = np.full(B, max_steps, dtype=np.int64)
                 for s in range(max_steps):
@@ -435,7 +482,7 @@ def main():
         def solve_jit(ic, key):
             mu_ic, q_ic, eta_ic, gamma, pre = sw_setup(ic, gn_aux)
             ic_pred = sw_icpred(mu_ic)
-            x = mu_ic
+            x = sw_warm(mu_ic) if args.warm_start else mu_ic
             n_steps = 0
             for _ in range(max_steps):
                 x, dec = sw_step(mu_ic, x, gamma, q_ic, eta_ic, pre, gn_aux)

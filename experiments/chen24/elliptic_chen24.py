@@ -63,6 +63,11 @@ def parse_cmd():
                         "[Lambda_Q; sqrt(tau_b) A_b; sqrt(tau) J] — f32 "
                         "stays valid at N_el_xy=100 where the equilibrated "
                         "f32 Cholesky goes indefinite")
+    p.add_argument("--qr_split", type=int, default=0,
+                   help="SRIF window split override (0 = auto_split)")
+    p.add_argument("--no_prefactor", action="store_true",
+                   help="disable the SRIF measurement-update prefactor "
+                        "(regression bisection)")
     p.add_argument("--matern_range", type=float, default=0.1)
     p.add_argument("--matern_smoothness", type=int, default=1)
     p.add_argument("--h_bd", type=float, default=0.001)
@@ -150,7 +155,9 @@ def main():
             from diffeqgmrfs_tpu.ops.ata_windows import auto_split
 
             n, bsz = disc.ndofs, x_bc.precision.bs
-            spl = auto_split(bsz)
+            spl = args.qr_split or auto_split(bsz)
+            log.info("bs=%d qr_split=%d prefactor=%s", bsz, spl,
+                     not args.no_prefactor)
             lam32 = RowOp.from_csr(matern_sqrt_host(spde, disc),
                                    dtype=jnp.float32)
             lam_plan = rowop_window_plan(lam32, n, bsz, split=spl).to_device()
@@ -189,6 +196,7 @@ def main():
                     q_ell=sa["q_ell"],
                     q_diag=sa["q_diag"],
                     final_factor=False,  # only the MAP mean is needed
+                    srif_prefactor=not args.no_prefactor,
                 )
             else:
                 aux = dict(ata_pattern=ata_pattern)

@@ -107,3 +107,61 @@ def test_gauss_newton_window_plan_matches_pattern():
     np.testing.assert_allclose(
         np.asarray(r_win.x_k), np.asarray(r_ref.x_k), rtol=1e-9, atol=1e-10
     )
+
+
+def test_burgers_fem_fold_rows_matches_dense():
+    """fold_rows residual == hand-folded dense Galerkin residual
+    (S^T r with periodic seam rows accumulated into masters)."""
+    from diffeqgmrfs_tpu.fem.assembly import (
+        assemble_mass,
+        assemble_stiffness,
+        assemble_advection_1d,
+    )
+    from diffeqgmrfs_tpu.problems.burgers import _test_row_fold
+
+    disc = periodic_unit_interval_discretization(6, element_order=2)
+    ts = np.linspace(0, 0.3, 4)
+    nu = 0.05
+    res = BurgersFEMResidual(disc, ts, nu)  # fold_rows default True
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.normal(size=4 * disc.ndofs))
+    f, J = res.f_and_J(w)
+    n = disc.ndofs
+    M = np.asarray(assemble_mass(disc).to_rowop().to_dense())
+    G = np.asarray(assemble_stiffness(disc).to_rowop().to_dense())
+    W = np.asarray(w).reshape(4, n)
+    dt = ts[1] - ts[0]
+    row_map, row_coef = _test_row_fold(disc)
+    cell_dofs = np.asarray(disc.dof_handler.cell_dofs_field("u"))
+    expected = []
+    for t in range(1, 4):
+        op = assemble_advection_1d(disc, jnp.asarray(W[t]))
+        v_adv = np.zeros(n)
+        np.add.at(v_adv, cell_dofs.reshape(-1), np.asarray(op.fe).reshape(-1))
+        r = M @ (W[t] - W[t - 1]) + dt * nu * (G @ W[t]) + dt * v_adv
+        out = np.zeros(n)
+        np.add.at(out, row_map, row_coef * r)
+        expected.append(out)
+    np.testing.assert_allclose(
+        np.asarray(f), np.concatenate(expected), atol=1e-12
+    )
+    # Jacobian of the folded residual still matches finite differences
+    Jfd = fd_jacobian(res.f_and_J, w)
+    np.testing.assert_allclose(np.asarray(J.to_dense()), Jfd, atol=5e-7)
+
+
+def test_burgers_forward_march_solves_folded_residual():
+    """The implicit-Euler march trajectory zeroes the folded FEM residual
+    (f64 march on CPU -> machine-level residual)."""
+    from diffeqgmrfs_tpu.problems.burgers import BurgersForwardMarch
+
+    disc = periodic_unit_interval_discretization(12, element_order=2)
+    ts = np.linspace(0, 0.2, 6)
+    nu = 0.05
+    res = BurgersFEMResidual(disc, ts, nu)
+    march = BurgersForwardMarch(disc, ts, nu, n_newton=8)
+    coords = np.linspace(0, 1, disc.ndofs, endpoint=False)
+    u0 = jnp.asarray(0.3 + 0.2 * np.sin(2 * np.pi * coords), jnp.float64)
+    W = march.trajectory(u0)
+    f, _ = res.f_and_J(W.reshape(-1))
+    assert float(jnp.max(jnp.abs(f))) < 1e-10
