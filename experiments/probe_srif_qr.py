@@ -77,6 +77,10 @@ def main():
     # engine comparison at the window shape
     from diffeqgmrfs_tpu.ops.srif import _bhh_qr_r, _bcgs_qr_r, _tshh_qr_r
 
+    def _prec(p, f, *a):
+        with jax.default_matmul_precision(p):
+            return f(*a)
+
     for name, f in [
         ("bhh p512 reorth", lambda t: _bhh_qr_r(t, 512, True)),
         ("bhh p512 noreorth", lambda t: _bhh_qr_r(t, 512, False)),
@@ -86,6 +90,15 @@ def main():
         ("tshh p512 noreorth", lambda t: _tshh_qr_r(t, 512, False)),
         ("tshh p512 k16", lambda t: _tshh_qr_r(t, 512, False, 16)),
         ("tshh p256 noreorth", lambda t: _tshh_qr_r(t, 256, False)),
+        # reduced-precision trailing updates (panel Householder unaffected;
+        # factor error ~ eps_mm * sqrt(cond H), absorbed by refinement
+        # while < 1 — srif_precision blueprint knob)
+        ("bhh p512 reorth tf32",
+         lambda t: _prec("tensorfloat32", _bhh_qr_r, t, 512, True)),
+        ("bhh p512 noreorth tf32",
+         lambda t: _prec("tensorfloat32", _bhh_qr_r, t, 512, False)),
+        ("bhh p512 reorth bf16",
+         lambda t: _prec("bfloat16", _bhh_qr_r, t, 512, True)),
     ]:
         try:
             slope(name, lambda t, f=f: jnp.sum(f(t)[: 2 * bs]), T,
