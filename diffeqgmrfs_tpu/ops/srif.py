@@ -208,19 +208,30 @@ def _tshh_qr_r(T, panel: int = 512, reorth: bool = True, max_chunks: int = 8):
     return R
 
 
-def _bcgs_qr_r(T, panel: int = 512, passes: int = 3):
+def _bcgs_qr_r(T, panel: int = 512, passes: int = 3, reorth: bool = False):
     """R factor of T [m, n] by right-looking block Gram-Schmidt with
     shifted-CholQR panels — QR built ENTIRELY from GEMM/TRSM (MXU-rate,
     and it rides `default_matmul_precision`), unlike Householder QR whose
     panel factorization serializes (XLA qr measured ~11 TF/s vs 22.5 f32 /
     35.5 tf32 GEMM on v5e).
 
-    Single projection pass (block MGS across panels): inter-panel
-    orthogonality degrades as ~eps_mm * cond(T). Measured on the cond~1e10
-    SRIF test (cond(S)~1e5, f32): refinement contracts at ~0.03-0.16/step
-    (vs ~1e-5/step for Householder) — usable but needing ~4x the
-    refinement iterations, so this stays an EXPERIMENTAL engine
-    (qr_impl="bcgs"), not the default.
+    reorth=False (qr_impl="bcgs"): single projection pass (block MGS
+    across panels) — inter-panel orthogonality degrades as
+    ~eps_mm * cond(T). Measured on the cond~1e10 SRIF test (cond(S)~1e5,
+    f32): refinement contracts at ~0.03-0.16/step (vs ~1e-5/step for
+    Householder) — usable but needing ~4x the refinement iterations, so
+    single-pass stays EXPERIMENTAL.
+
+    reorth=True (qr_impl="bcgs2"): the same BCGS2 second projection pass
+    `_bhh_qr_r` uses — with eps-orthonormal panels (shifted CholQR,
+    passes=3 ~ CholeskyQR3: one shifted pass caps the panel condition,
+    two more drive orthonormality to ~m*eps) the two-pass projection
+    restores near-Householder inter-panel orthogonality while every flop
+    stays GEMM/TRSM. The trailing update costs 4 GEMMs per panel instead
+    of 2 (same count as bhh reorth), but the serialized Householder panel
+    factorization — which dominates bhh's wall-clock — is gone. TPU
+    probe (2688x1792 window, f32): bcgs 50.8 TF/s, bhh noreorth 16.6,
+    XLA qr 13.0.
     """
     m, n = T.shape
     A = T
@@ -232,7 +243,12 @@ def _bcgs_qr_r(T, panel: int = 512, passes: int = 3):
         if j + pj < n:
             Tr = A[:, j + pj:]
             S = Qp.T @ Tr
-            A = A.at[:, j + pj:].set(Tr - Qp @ S)
+            Tr = Tr - Qp @ S
+            if reorth:
+                S2 = Qp.T @ Tr
+                Tr = Tr - Qp @ S2
+                S = S + S2
+            A = A.at[:, j + pj:].set(Tr)
             R = R.at[j:j + pj, j + pj:].set(S)
     return R
 
@@ -260,10 +276,12 @@ def srif_packed_qr(
     (symmetric equilibration of H = S^T S). Returns R as a
     `PackedBTDRFactor` (positive diagonal, padding rows set to identity).
 
-    qr_impl: "xla" (Householder via jnp.linalg.qr) or "bcgs" (block
-    Gram-Schmidt + shifted CholQR panels — all-GEMM, faster on MXU and
-    responsive to matmul_precision; factor error ~ eps_mm * cond(S),
-    absorbed by refinement while << 1).
+    qr_impl: "xla" (Householder via jnp.linalg.qr), "bhh" (blocked
+    Householder panels + GEMM trailing updates), "bcgs2" (BCGS2 with
+    shifted-CholQR3 panels — ALL-GEMM, near-Householder stability; the
+    fast stable engine), or "bcgs" (single-pass block Gram-Schmidt —
+    experimental; factor error ~ eps_mm * cond(S), absorbed by
+    refinement while << 1 but needing ~4x the iterations).
 
     matmul_precision: MXU precision for the QR's internal GEMMs.
     "float32" (default) gives factor error ~ eps_f32 sqrt(cond H);
@@ -414,6 +432,8 @@ def srif_packed_qr(
     def qr_r(T):
         if qr_impl == "bcgs":
             return _bcgs_qr_r(T, panel=panel)[:W]
+        if qr_impl == "bcgs2":
+            return _bcgs_qr_r(T, panel=panel, reorth=True)[:W]
         if qr_impl == "bhh":
             return _bhh_qr_r(T, panel=panel)[:W]
         if qr_impl == "tshh":

@@ -82,8 +82,10 @@ class CholeskySolverBlueprint:
     # reduced factor accuracy while 2e-6 * sqrt(cond H) < 1)
     srif_precision: str = "float32"
     # SRIF QR engine: "xla" (monolithic Householder), "bhh" (blocked
-    # Householder panels + GEMM trailing updates — MXU-rate bulk), "bcgs"
-    # (experimental all-GEMM Gram-Schmidt)
+    # Householder panels + GEMM trailing updates — MXU-rate bulk), "bcgs2"
+    # (BCGS2 + shifted-CholQR3 panels — all-GEMM at near-Householder
+    # stability; fastest stable engine on TPU), "bcgs" (experimental
+    # single-pass all-GEMM Gram-Schmidt)
     srif_qr_impl: str = "xla"
     # substitution sweep dtype through the f32 SRIF factor: "cond"
     # (default: f32 sweep, XLA-conditional f64 re-sweep only when the f32

@@ -72,7 +72,8 @@ def parse_cmd():
     p.add_argument("--srif_qr_impl", type=str, default="xla",
                    help="SRIF window-QR engine: xla (monolithic "
                         "Householder) | bhh (blocked Householder panels + "
-                        "GEMM trailing updates) | bcgs (experimental)")
+                        "GEMM trailing updates) | bcgs2 (all-GEMM BCGS2 + "
+                        "shifted-CholQR3 panels) | bcgs (experimental)")
     p.add_argument("--refine_iters", type=int, default=0,
                    help="mean-solve refinement iterations (0 = per-factor "
                         "default; 2 reaches the f64 floor at Darcy N300)")

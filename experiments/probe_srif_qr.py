@@ -86,6 +86,10 @@ def main():
         ("bhh p512 noreorth", lambda t: _bhh_qr_r(t, 512, False)),
         ("bhh p1024 noreorth", lambda t: _bhh_qr_r(t, 1024, False)),
         ("bcgs p512", lambda t: _bcgs_qr_r(t, 512)),
+        ("bcgs2 p512", lambda t: _bcgs_qr_r(t, 512, reorth=True)),
+        ("bcgs2 p1024", lambda t: _bcgs_qr_r(t, 1024, reorth=True)),
+        ("bcgs2 p512 tf32",
+         lambda t: _prec("tensorfloat32", _bcgs_qr_r, t, 512, 3, True)),
         ("tshh p512 reorth", lambda t: _tshh_qr_r(t, 512, True)),
         ("tshh p512 noreorth", lambda t: _tshh_qr_r(t, 512, False)),
         ("tshh p512 k16", lambda t: _tshh_qr_r(t, 512, False, 16)),
