@@ -270,3 +270,82 @@ def test_condition_st_sqrt_matches_f64():
     # mean agrees to refinement accuracy at this (well-conditioned) size
     rel = np.linalg.norm(np.asarray(mu_ic) - mu_ref) / np.linalg.norm(mu_ref)
     assert rel < 1e-6, rel
+
+
+def test_st_srif_gn_qr_engines_agree():
+    """The blocked QR engines (bhh, bcgs2) drive the square-root ST
+    Gauss-Newton loop to the same iterates/posterior as the monolithic
+    Householder (xla) engine — the guard for flipping `srif_qr_impl` on
+    the stepwise/batched sweep drivers (solve_burgers_gmrf_fem --stepwise).
+    Reference workload semantics: `scripts/burgers/solve_burgers_gmrf-fem.jl`.
+    """
+    import pytest
+
+    N_x, N_t, nu = 24, 8, 0.05
+    disc = periodic_unit_interval_discretization(N_x, element_order=2)
+    ts = np.linspace(0.0, 0.5, N_t)
+    xs = np.linspace(0, 1, 33)
+    ic = 0.8 + 0.4 * np.sin(2 * np.pi * xs)
+    bulk = float(np.mean(ic))
+    gamma = -(1.0 / nu) * bulk
+    spde = _spde(N_x, nu=nu, gamma=gamma)
+    noise_ic, noise_fem = 1e8, 1e12
+
+    x = discretize_advection_diffusion(spde, disc, ts, mean_offset=bulk)
+    A_ic = spatial_to_spatiotemporal(evaluation_matrix(disc, xs), 0, N_t)
+    x_ic = condition_on_observations(x, A_ic, noise_ic, jnp.asarray(ic))
+    res = BurgersFEMResidual(disc, ts, nu, scheme="implicit_euler")
+    st = st_sqrt_ops(spde, disc, ts)
+    A_ic_c = x_ic.affine.condense_rowop(A_ic)
+    n_free = x_ic.affine.n_free
+    bs = x_ic.inner_gmrf.precision.bs
+    from diffeqgmrfs_tpu.ops.srif import rowop_window_plan
+    from diffeqgmrfs_tpu.ops.btd import ToeplitzBTD
+
+    ic_plan = rowop_window_plan(A_ic_c, n_free, bs)
+    sqrt_ops = st.sqrt_ops(gamma) + [
+        (ic_plan, A_ic_c.vals * np.sqrt(noise_ic))
+    ]
+    _, J0 = res.f_and_J(jnp.zeros(N_t * disc.ndofs))
+    Jc0 = x_ic.affine.condense_rowop(J0)
+    j_plan = make_ata_window_plan(np.asarray(Jc0.cols), n_free, bs)
+    q_top = ToeplitzBTD.from_btd(x_ic.inner_gmrf.precision)
+
+    def run(engine):
+        return gauss_newton_solve(
+            x_ic.inner_gmrf.mean(),
+            x_ic.inner_gmrf.precision,
+            res.f_and_J,
+            noise_fem,
+            jnp.zeros(res.n_rows),
+            x_ic.inner_gmrf.mean(),
+            criterion=OrCriterion(
+                [NewtonDecrementCriterion(1e-6), StepNumberCriterion(12)]
+            ),
+            affine=x_ic.affine,
+            sqrt_ops=sqrt_ops,
+            ata_window_plan=j_plan,
+            q_ell=q_top,
+            q_diag=q_top.diagonal(),
+            materialize_H=False,
+            final_factor=True,
+            srif_qr_impl=engine,
+        )
+
+    r_ref = run("xla")
+    x_ref = np.asarray(r_ref.x_k)
+    post_ref = r_ref.posterior(affine=x_ic.affine)
+    var_ref = np.asarray(post_ref.inner_gmrf.variance())
+    for engine in ("bhh", "bcgs2"):
+        r = run(engine)
+        assert abs(int(r.n_steps) - int(r_ref.n_steps)) <= 1, (
+            engine, int(r.n_steps), int(r_ref.n_steps)
+        )
+        xe = np.asarray(r.x_k)
+        rel = np.linalg.norm(xe - x_ref) / np.linalg.norm(x_ref)
+        assert rel < 1e-5, (engine, rel)
+        post = r.posterior(affine=x_ic.affine)
+        var = np.asarray(post.inner_gmrf.variance())
+        assert np.allclose(var, var_ref, rtol=1e-3), (
+            engine, np.max(np.abs(var - var_ref) / var_ref)
+        )
