@@ -457,10 +457,18 @@ def main():
                 jax.jit(jax.vmap(_warm_x0)) if args.warm_start else None
             )
 
+            _phase_logs = [0]  # log per-phase wall for the first few batches
+
             def stepwise_batch_solve(ics, keys):
+                import time as _t
+
+                t0 = _t.perf_counter()
                 mu_ic, q_ic, eta_ic, gamma, pre = vsw_setup(ics, gn_aux)
                 ic_pred = vsw_icpred(mu_ic)
                 x = vsw_warm(mu_ic) if args.warm_start else mu_ic
+                jax.block_until_ready(x)
+                t_setup = _t.perf_counter() - t0
+                t0 = _t.perf_counter()
                 B = ics.shape[0]
                 steps_taken = np.full(B, max_steps, dtype=np.int64)
                 # plateau stop: the absolute decrement tolerance rarely
@@ -485,9 +493,21 @@ def main():
                     )
                     if done.all():
                         break
+                t_steps = _t.perf_counter() - t0
+                t0 = _t.perf_counter()
                 pred, std, smp = vsw_posterior(
                     mu_ic, x, gamma, q_ic, eta_ic, pre, gn_aux, keys
                 )
+                jax.block_until_ready(pred)
+                if _phase_logs[0] < 3:
+                    _phase_logs[0] += 1
+                    log.info(
+                        "batch phases: setup %.2fs, %d steps %.2fs "
+                        "(%.2fs/step), posterior %.2fs",
+                        t_setup, int(np.max(steps_taken)), t_steps,
+                        t_steps / max(int(np.max(steps_taken)), 1),
+                        _t.perf_counter() - t0,
+                    )
                 return pred, ic_pred, std, smp, jnp.asarray(steps_taken)
 
         def solve_jit(ic, key):
