@@ -177,10 +177,16 @@ def condition_on_observations(
         if getattr(bp, "sqrt_factor", False):
             # SRIF path: QR of the stacked [Λ; sqrt(tau) A] — f32-valid at
             # cond(H) up to ~1/eps_f32^2 (ops/srif.py)
-            if x.sqrt32 is None:
+            ri = getattr(bp, "refine_iters", None)
+            use_pre = (
+                x.sqrt_R32 is not None
+                and getattr(bp, "sqrt_prefactor", True)
+            )
+            if x.sqrt32 is None and not use_pre:
                 raise ValueError(
                     "sqrt_factor blueprint requires a prior discretized "
-                    "with sqrt=True (no Λ operand on this CompactGMRF)"
+                    "with sqrt=True (no Λ operand on this CompactGMRF), "
+                    "or an active sqrt prefactor (sqrt_R32)"
                 )
             if not hasattr(pat, "local_cols"):
                 raise ValueError(
@@ -188,12 +194,6 @@ def condition_on_observations(
                     "pattern for the observation operator"
                 )
             from diffeqgmrfs_tpu.ops.refine import SRIFConditionFactor
-
-            ri = getattr(bp, "refine_iters", None)
-            use_pre = (
-                x.sqrt_R32 is not None
-                and getattr(bp, "sqrt_prefactor", True)
-            )
             factor = SRIFConditionFactor(
                 H_op, pat, x.sqrt32, x.sqrt_plan,
                 x.precision.n, x.precision.N, x.precision.bs,

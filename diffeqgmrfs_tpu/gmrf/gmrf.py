@@ -229,6 +229,25 @@ class CompactGMRF(GMRF):
         d = jnp.asarray(v) - self.mu
         return jnp.dot(d, self.precision64.matvec(d))
 
+    def drop_sqrt_operands(self):
+        """Copy without the raw sqrt operand (sqrt32 rows + window plan).
+
+        When the SRIF measurement-update prefactor (sqrt_R32) is active,
+        conditioning never touches the raw Λ rows — but `device_put` on the
+        whole pytree would still make them HBM-resident (~1 GB at Darcy
+        N300: 0.25 GB values + 0.75 GB window-plan indices), on top of the
+        5.35 GB prefactor + 5.35 GB per-instance factor that define the
+        16 GB budget. Drivers prune before `device_put`; the original
+        (host) object keeps the operands for non-prefactor fallbacks.
+        """
+        if self.sqrt_R32 is None:
+            raise ValueError("no prefactor present; sqrt operands are live")
+        return CompactGMRF(
+            self.mu, self.precision, self.factor, self.blueprint,
+            self.precision64, self.diag64, self.q_pack_idx,
+            None, None, self.sqrt_R32, self.sqrt_cs0,
+        )
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass

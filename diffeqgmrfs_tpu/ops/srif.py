@@ -72,25 +72,39 @@ def _window_panel(plan, vals, b, bs, dtype, col_scale=None, rows_slice=None):
     return dense_rows_from_slots(v, lcols[b], plan.width)
 
 
-def _shifted_cholqr(P, passes: int = 2):
+def _shifted_cholqr(P, passes: int = 2, shift_passes: int | None = None):
     """Panel orthonormalization by shifted CholeskyQR: -> (Q, R) with
     Q R = P EXACTLY (per-pass Q := P R^{-1}, so reconstruction never
     degrades) and Q orthonormal to ~m*eps after `passes` passes.
 
     The shift s ~ m*eps*||G|| keeps the f32 Cholesky of the Gram valid for
-    panel conditions up to ~1/(m*eps); it bounds the achievable
-    orthonormality at ~s, which only sets the FACTOR error level — the SRIF
-    refinement loop contracts at that rate per iteration, so ~1e-3
-    orthonormality still converges to f64 accuracy in a few steps.
+    panel conditions up to ~1/(m*eps); it ALSO bounds the achievable
+    orthonormality at ~s (Q^T Q = I - s R^{-T}R^{-1} + ...), which is what
+    capped the all-shifted bcgs2 engine at ~1e-2/1e-3 panel orthogonality
+    (~3 lost factor digits at the cond~1e4-1e5 production windows,
+    RESULTS.md "QR engine accuracy").
+
+    shift_passes (default: all): number of INITIAL passes that use the
+    full m-scaled shift; the remaining passes use a ~m/p-smaller floor
+    shift (8*eps*maxdiag). Each full-shift pass contracts the panel
+    condition by ~sqrt(s) (cond_k+1 ~ cond_k * sqrt(s)); once
+    cond^2 < 1/eps the unshifted-class Cholesky of the near-identity Gram
+    is safe and one-two floor-shift passes drive orthonormality to the
+    ~eps representation level — Householder-grade panels from pure
+    GEMM/TRSM. Two full + two floor passes cover window cond up to ~1e5
+    (the measured production range) in f32.
     All-zero columns (structural padding) get Q = 0 and a sqrt(s)-level
     diagonal, below the rounding floor of the assembled system.
     """
     m, p = P.shape
     eps = jnp.finfo(P.dtype).eps
+    if shift_passes is None:
+        shift_passes = passes
     R_acc = None
-    for _ in range(passes):
+    for k in range(passes):
         G = P.T @ P
-        s = 8.0 * m * eps * jnp.max(jnp.diagonal(G))
+        scale = m if k < shift_passes else 1.0
+        s = 8.0 * scale * eps * jnp.max(jnp.diagonal(G))
         Rp = jnp.linalg.cholesky(
             G + (s + 1e-30) * jnp.eye(p, dtype=P.dtype)
         ).T
@@ -208,7 +222,13 @@ def _tshh_qr_r(T, panel: int = 512, reorth: bool = True, max_chunks: int = 8):
     return R
 
 
-def _bcgs_qr_r(T, panel: int = 512, passes: int = 3, reorth: bool = False):
+def _bcgs_qr_r(
+    T,
+    panel: int = 512,
+    passes: int = 3,
+    reorth: bool = False,
+    shift_passes: int | None = None,
+):
     """R factor of T [m, n] by right-looking block Gram-Schmidt with
     shifted-CholQR panels — QR built ENTIRELY from GEMM/TRSM (MXU-rate,
     and it rides `default_matmul_precision`), unlike Householder QR whose
@@ -232,13 +252,20 @@ def _bcgs_qr_r(T, panel: int = 512, passes: int = 3, reorth: bool = False):
     factorization — which dominates bhh's wall-clock — is gone. TPU
     probe (2688x1792 window, f32): bcgs 50.8 TF/s, bhh noreorth 16.6,
     XLA qr 13.0.
+
+    shift_passes: staged shifts (see _shifted_cholqr) — qr_impl="bcgs4"
+    uses (passes=4, shift_passes=2): two full-shift passes contract the
+    panel condition below the f32-Cholesky range, two floor-shift passes
+    drive orthonormality to ~eps, removing bcgs2's ~s-level panel
+    orthogonality cap (its 3-lost-digits / 12-refinement-iteration cost)
+    while staying all-GEMM.
     """
     m, n = T.shape
     A = T
     R = jnp.zeros((n, n), T.dtype)
     for j in range(0, n, panel):
         pj = min(panel, n - j)
-        Qp, Rp = _shifted_cholqr(A[:, j:j + pj], passes)
+        Qp, Rp = _shifted_cholqr(A[:, j:j + pj], passes, shift_passes)
         R = R.at[j:j + pj, j:j + pj].set(Rp)
         if j + pj < n:
             Tr = A[:, j + pj:]
@@ -434,6 +461,10 @@ def srif_packed_qr(
             return _bcgs_qr_r(T, panel=panel)[:W]
         if qr_impl == "bcgs2":
             return _bcgs_qr_r(T, panel=panel, reorth=True)[:W]
+        if qr_impl == "bcgs4":
+            return _bcgs_qr_r(
+                T, panel=panel, passes=4, reorth=True, shift_passes=2
+            )[:W]
         if qr_impl == "bhh":
             return _bhh_qr_r(T, panel=panel)[:W]
         if qr_impl == "tshh":

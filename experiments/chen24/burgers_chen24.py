@@ -59,6 +59,9 @@ def parse_cmd():
                         "smallest-memory TPU path and a structurally "
                         "different program from the chol/scatter one that "
                         "faults the relay at N_x=1000)")
+    p.add_argument("--srif_qr_impl", type=str, default="xla",
+                   help="SRIF window-QR engine: xla | bhh | bcgs2 | bcgs "
+                        "(see solve_darcy_gmrf_fem.py)")
     p.add_argument("--stepwise", action="store_true",
                    help="per-step dispatch: each Newton step is its own "
                         "jitted XLA program (compiled once, invoked in a "
@@ -239,7 +242,9 @@ def main():
             )
             mu_dev = jax.device_put(mu_ic, tpu0)
             q_shape = ShapeOnly(q_top.n, q_top.N, q_top.bs)
-            bp_gn = GNCholeskySolverBlueprint(sqrt_factor=True)
+            bp_gn = GNCholeskySolverBlueprint(
+                sqrt_factor=True, srif_qr_impl=args.srif_qr_impl
+            )
 
             # stage-1 SRIF prefactor: pre-reduce the (step-invariant) prior
             # rows ONCE; every Newton-step program then QRs only

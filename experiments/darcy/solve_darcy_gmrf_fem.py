@@ -73,7 +73,9 @@ def parse_cmd():
                    help="SRIF window-QR engine: xla (monolithic "
                         "Householder) | bhh (blocked Householder panels + "
                         "GEMM trailing updates) | bcgs2 (all-GEMM BCGS2 + "
-                        "shifted-CholQR3 panels) | bcgs (experimental)")
+                        "shifted-CholQR3 panels) | bcgs4 (all-GEMM BCGS2 + "
+                        "staged-shift CholQR4 panels: Householder-grade "
+                        "orthonormality) | bcgs (experimental)")
     p.add_argument("--refine_iters", type=int, default=0,
                    help="mean-solve refinement iterations (0 = per-factor "
                         "default; 2 reaches the f64 floor at Darcy N300)")
@@ -228,7 +230,24 @@ def main():
         pat = ata_pattern_cached(
             A0c, inner_prior.precision.n, inner_prior.precision.bs
         ).to_device()
-    prior_dev = jax.device_put(prior)
+    prior_put = prior
+    inner0 = prior.inner_gmrf if hasattr(prior, "inner_gmrf") else prior
+    if (
+        getattr(inner0, "sqrt_R32", None) is not None
+        and args.sqrt_prefactor != "off"
+    ):
+        # prefactor-active conditioning never reads the raw Λ operand;
+        # keep its ~1 GB (values + window plan) off the 16 GB chip. The
+        # packed-Cholesky scatter plan (q_pack_idx, 0.15 GB at N300) is
+        # likewise dead on the SRIF path.
+        pruned = inner0.drop_sqrt_operands()
+        if args.sqrt:
+            pruned.q_pack_idx = None
+        prior_put = (
+            type(prior)(pruned, prior.affine)
+            if hasattr(prior, "affine") else pruned
+        )
+    prior_dev = jax.device_put(prior_put)
     geom_dev = jax.device_put(obs.geom_arrays())
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         obs_st = obs.structure_arrays()
@@ -321,20 +340,36 @@ def main():
 
     if args.phase_probe:
         # phase-split instance timing: separate jits per phase (assembly /
-        # conditioning factor+mean / evaluation), 2 warm passes then timed
+        # conditioning factor+mean / evaluation), 2 warm passes then timed.
+        # The factor NEVER leaves a program as an output: with the SRIF
+        # prefactor resident (4.98 GiB at N300) a factor-output copy of
+        # the conditioning program (another 4.98 GiB on top of the
+        # internal loop carry) is what pushed queue J's probes past the
+        # 15.75 GiB HBM budget (RESOURCE_EXHAUSTED). Extra-rhs resolve
+        # cost is measured as the delta of a fused cond+mean+resolve
+        # program instead.
         f_asm = jax.jit(
             lambda c: obs(c, geom=geom_dev, structure=obs_st)
         )
-        def _cond(pr, pt, A, ys):
-            post = condition_on_observations(
+
+        def _post(pr, pt, A, ys):
+            return condition_on_observations(
                 pr, A, Q_eps, ys, solver_blueprint=bp, pattern=pt
             )
+
+        def _cond(pr, pt, A, ys):
+            return _post(pr, pt, A, ys).mean()
+
+        def _cond_resolve(pr, pt, A, ys):
+            post = _post(pr, pt, A, ys)
             inner = post.inner_gmrf if hasattr(post, "inner_gmrf") else post
-            return post.mean(), inner.factor
+            mu = post.mean()
+            x = inner.factor.solve(jnp.ones((inner.n,), dtype=mu.dtype))
+            return mu, x
 
         f_cond = jax.jit(_cond)
+        f_cond_resolve = jax.jit(_cond_resolve)
         f_eval = jax.jit(lambda mu: E.matvec(mu))
-        f_resolve = jax.jit(lambda F, b: F.solve(b))
 
         for it in range(3):
             cur = PhaseTimers()
@@ -342,21 +377,20 @@ def main():
                 A_, ys_ = f_asm(coeff0)
                 cur.sync(A_.vals)
             with cur("cond+mean"):
-                mu_, F_ = f_cond(prior_dev, pat, A_, ys_)
+                mu_ = f_cond(prior_dev, pat, A_, ys_)
                 cur.sync(mu_)
-            with cur("resolve"):
-                x_ = f_resolve(F_, jnp.ones((F_.n,), dtype=jnp.float64))
+            with cur("cond+mean+resolve"):
+                mu2_, x_ = f_cond_resolve(prior_dev, pat, A_, ys_)
                 cur.sync(x_)
             with cur("eval"):
                 pr_ = f_eval(mu_)
                 cur.sync(pr_)
-            log.info(
-                "phase_probe pass %d: %s", it,
-                {k: round(v / 1e9, 2) for k, v in cur.as_dict().items()},
+            d = {k: round(v / 1e9, 2) for k, v in cur.as_dict().items()}
+            d["resolve(delta)"] = round(
+                d["cond+mean+resolve"] - d["cond+mean"], 2
             )
-            # drop the ~5 GB factor before the next pass re-runs the
-            # conditioning program (two live factors OOM a 16 GB chip)
-            F_ = x_ = None  # noqa: F841
+            log.info("phase_probe pass %d: %s", it, d)
+            mu_ = mu2_ = x_ = pr_ = None  # noqa: F841
         return
     with to("Conditioning + Node reordering"):
         out = solve_jit(coeff0, key, soln0.reshape(-1))

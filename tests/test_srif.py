@@ -288,6 +288,79 @@ def test_srif_conditioning_prefactor_matches():
     assert np.max(np.abs(s_p[mask] - s_s[mask]) / s_s[mask]) < 1e-3
 
 
+def test_srif_conditioning_pruned_operands_matches():
+    """`CompactGMRF.drop_sqrt_operands()` (HBM pruning when the prefactor
+    is active: the raw Λ rows + window plan + packed-Cholesky scatter plan
+    are dead on the SRIF path — queue J's N300 RESOURCE_EXHAUSTED fix)
+    conditions to the identical posterior."""
+    from diffeqgmrfs_tpu.fem import uniform_unit_square_discretization
+    from diffeqgmrfs_tpu.models import MaternSPDE, discretize_matern
+    from diffeqgmrfs_tpu.gmrf import condition_on_observations
+    from diffeqgmrfs_tpu.problems import DarcyFEMObservations
+    from diffeqgmrfs_tpu.solvers import CholeskySolverBlueprint
+    from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan
+
+    N_xy = 10
+    disc = uniform_unit_square_discretization(N_xy, element_order=2)
+    gx = np.linspace(0, 1, 21)
+    rng = np.random.default_rng(7)
+    coeff = jnp.asarray(np.where(rng.normal(size=(21, 21)) > 0, 12.0, 3.0))
+    spde = MaternSPDE(d=2, range=1 / np.sqrt(N_xy), smoothness=2)
+    prior_p = discretize_matern(spde, disc, sqrt=True, sqrt_prefactor=True)
+    pruned_inner = prior_p.inner_gmrf.drop_sqrt_operands()
+    pruned_inner.q_pack_idx = None
+    assert pruned_inner.sqrt32 is None and pruned_inner.sqrt_plan is None
+    prior_pruned = type(prior_p)(pruned_inner, prior_p.affine)
+    obs = DarcyFEMObservations(
+        disc, gx, gx, beta=1.0,
+        prescribed_dofs=disc.constraint_handler.prescribed_dofs,
+    )
+    A, ys = obs(coeff)
+    inner = prior_p.inner_gmrf
+    A_c = prior_p.affine.condense_rowop(A)
+    zs = np.asarray(prior_p.affine.s_coef)[A.cols] == 0.0
+    pat = make_ata_window_plan(
+        A_c.cols, inner.precision.n, inner.precision.bs, zero_slots=zs
+    )
+    bp = CholeskySolverBlueprint(sqrt_factor=True)
+    post_ref = condition_on_observations(
+        prior_p, A, 1e8, ys, solver_blueprint=bp, pattern=pat
+    )
+    post_pr = condition_on_observations(
+        prior_pruned, A, 1e8, ys, solver_blueprint=bp, pattern=pat
+    )
+    m_ref = np.asarray(post_ref.mean())
+    m_pr = np.asarray(post_pr.mean())
+    assert np.linalg.norm(m_pr - m_ref) / np.linalg.norm(m_ref) < 1e-12
+    s_ref = np.asarray(post_ref.std())
+    s_pr = np.asarray(post_pr.std())
+    np.testing.assert_allclose(s_pr, s_ref, rtol=1e-10, atol=1e-12)
+
+
+def test_staged_shift_cholqr_panel_orthonormality():
+    """bcgs4's staged-shift CholQR panels: full shifts on every pass cap
+    orthonormality at ~s ~ 1e-2 (the measured 3-lost-digit bcgs2 failure,
+    RESULTS.md); two full + two floor passes reach the f32 Gram-
+    accumulation floor (~m*eps) at the production window condition ~1e5."""
+    from diffeqgmrfs_tpu.ops.srif import _shifted_cholqr
+
+    rng = np.random.default_rng(0)
+    m, p = 2048, 128
+    U, _ = np.linalg.qr(rng.normal(size=(m, p)))
+    V, _ = np.linalg.qr(rng.normal(size=(p, p)))
+    s = np.logspace(0, -5, p)  # cond 1e5
+    P = jnp.asarray((U * s) @ V.T, dtype=jnp.float32)
+    Q_all, _ = _shifted_cholqr(P, 3, None)
+    Q_stg, R_stg = _shifted_cholqr(P, 4, 2)
+    eye = np.eye(p)
+    orth_all = np.linalg.norm(np.asarray(Q_all.T @ Q_all) - eye, 2)
+    orth_stg = np.linalg.norm(np.asarray(Q_stg.T @ Q_stg) - eye, 2)
+    assert orth_stg < 3 * m * np.finfo(np.float32).eps
+    assert orth_stg < orth_all / 20
+    rec = np.linalg.norm(np.asarray(Q_stg @ R_stg) - np.asarray(P))
+    assert rec / np.linalg.norm(np.asarray(P)) < 1e-2
+
+
 def test_srif_gauss_newton_matches_f64():
     """GN with SRIF square-root Newton systems (sqrt_ops path) matches the
     default f64 GN on a mini elliptic Chen24 problem — the regime the path
