@@ -63,6 +63,9 @@ def parse_cmd():
                         "[Lambda_Q; sqrt(tau_b) A_b; sqrt(tau) J] — f32 "
                         "stays valid at N_el_xy=100 where the equilibrated "
                         "f32 Cholesky goes indefinite")
+    p.add_argument("--srif_qr_impl", type=str, default="xla",
+                   help="SRIF window-QR engine: xla | bhh | bcgs2 | bcgs4 "
+                        "(see solve_darcy_gmrf_fem.py)")
     p.add_argument("--qr_split", type=int, default=0,
                    help="SRIF window split override (0 = auto_split)")
     p.add_argument("--no_prefactor", action="store_true",
@@ -183,7 +186,8 @@ def main():
             pat = j_struct.ata_pattern(bs=x_bc.precision.bs).to_device()
 
         bp_gn = GNCholeskySolverBlueprint(
-            mixed_precision=args.mixed_precision, sqrt_factor=args.sqrt
+            mixed_precision=args.mixed_precision, sqrt_factor=args.sqrt,
+            srif_qr_impl=args.srif_qr_impl,
         )
 
         # the conditioned prior (Q is hundreds of MB at production size) and

@@ -68,4 +68,11 @@ run_job darcy_N300_bcgs4_acc 4200 python experiments/darcy/solve_darcy_gmrf_fem.
   --N_xy 300 --grid 241 --N_instances 2 --sqrt --mean_only \
   --srif_qr_impl bcgs4
 
+# chen24 flagships with the bcgs4 engine (SRIF QR dominates both; current
+# committed numbers: elliptic N100 15.7 s, burgers N1000 126.8 s)
+run_job elliptic_N100_bcgs4 2400 python experiments/chen24/elliptic_chen24.py \
+  --N_el_xy 100 --sqrt --srif_qr_impl bcgs4
+run_job chen24_N1000_bcgs4 3600 python experiments/chen24/burgers_chen24.py \
+  --N_x 1000 --sqrt --stepwise --srif_qr_impl bcgs4
+
 echo "QUEUE K COMPLETE $(date)" >> "$STATUS"
