@@ -4,4 +4,8 @@ from diffeqgmrfs_tpu.parallel.multichip import (
     batch_sharding,
 )
 from diffeqgmrfs_tpu.parallel.batched import batched_solver, run_in_batches
-from diffeqgmrfs_tpu.parallel.tp_factor import TPBTDCholesky, tp_btd_cholesky
+from diffeqgmrfs_tpu.parallel.tp_factor import (
+    TPBTDCholesky,
+    tp_bcgs_qr_r,
+    tp_btd_cholesky,
+)

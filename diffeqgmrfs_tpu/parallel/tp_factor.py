@@ -242,6 +242,69 @@ class TPBTDCholesky:
         return self.to_btd_cholesky().solve(b)
 
 
+def tp_bcgs_qr_r(
+    T_loc,
+    axis: str,
+    panel: int = 512,
+    passes: int = 4,
+    shift_passes: int = 2,
+):
+    """R factor of a ROW-sharded tall matrix — the TP form of the SRIF
+    window QR (`ops/srif.srif_packed_qr`'s per-window reduction, rows
+    sharded over `axis`).
+
+    The bcgs4 engine (staged-shift CholQR panels + BCGS2 two-pass block
+    projections, `ops/srif._bcgs_qr_r`) is built ENTIRELY from GEMMs whose
+    reduction dim is the ROW axis — so sharding rows turns every
+    cross-device contraction into a psum: the panel Gram ([p, p] — tiny)
+    and the two projection coefficient blocks ([p, n_trail]). Panel
+    orthonormalization and trailing updates stay local. This is the
+    classic distributed tall-skinny CholeskyQR; Householder-grade factor
+    quality comes from the staged shifts exactly as in the single-device
+    engine (RESULTS.md "bcgs4").
+
+    T_loc [m_loc, n]: this device's row shard (any row partition — QR's R
+    is row-permutation invariant). Returns R [n, n] upper-triangular with
+    positive diagonal, REPLICATED on every device.
+
+    Per panel: 1 psum [p, p] + `passes-1` more + 2 psums [p, n_trail];
+    local flops ~ (4 m_loc p^2 + 8 m_loc p n_trail) — compute/comm
+    ~ m_loc, so the layout wants the production-tall windows
+    (m ~ 5.5 bs ~ 20k rows at Darcy N300).
+    """
+    m_loc, n = T_loc.shape
+    P_ax = lax.psum(1, axis)
+    m_tot = m_loc * P_ax
+    eps = jnp.finfo(T_loc.dtype).eps
+    A = T_loc
+    R = jnp.zeros((n, n), T_loc.dtype)
+    for j in range(0, n, panel):
+        pj = min(panel, n - j)
+        Pl = A[:, j : j + pj]
+        R_acc = None
+        for k in range(passes):
+            G = lax.psum(Pl.T @ Pl, axis)
+            scale = m_tot if k < shift_passes else 1.0
+            s = 8.0 * scale * eps * jnp.max(jnp.diagonal(G))
+            Rp = jnp.linalg.cholesky(
+                G + (s + 1e-30) * jnp.eye(pj, dtype=G.dtype)
+            ).T
+            Pl = lax.linalg.triangular_solve(
+                Rp, Pl, left_side=False, lower=False
+            )
+            R_acc = Rp if R_acc is None else Rp @ R_acc
+        R = R.at[j : j + pj, j : j + pj].set(R_acc)
+        if j + pj < n:
+            Tr = A[:, j + pj :]
+            S = lax.psum(Pl.T @ Tr, axis)
+            Tr = Tr - Pl @ S
+            S2 = lax.psum(Pl.T @ Tr, axis)
+            Tr = Tr - Pl @ S2
+            R = R.at[j : j + pj, j + pj :].set(S + S2)
+            A = A.at[:, j + pj :].set(Tr)
+    return R
+
+
 def tp_btd_cholesky(
     diag,
     lower,

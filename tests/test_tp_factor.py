@@ -79,6 +79,36 @@ def test_tp_factor_is_column_sharded():
         assert sh.data.shape == (N, bs, bs // P)
 
 
+def test_tp_bcgs_qr_r_matches_reference():
+    """Row-sharded distributed window QR (the TP SRIF kernel): R^T R must
+    reproduce the Gram of the full stack, R upper-triangular with positive
+    diagonal, identical on every device."""
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+    from diffeqgmrfs_tpu.parallel.tp_factor import _shard_map, tp_bcgs_qr_r
+
+    P_ax = 8
+    mesh = _mesh(P_ax)
+    rng = np.random.default_rng(11)
+    m, n = 512, 96
+    # ill-conditioned stack (the SRIF regime): scale columns over 5 decades
+    T = rng.normal(size=(m, n)) * np.logspace(0, -5, n)[None, :]
+    T = jnp.asarray(T)
+
+    f = _shard_map(
+        lambda t: tp_bcgs_qr_r(t, "tp", panel=16),
+        mesh, in_specs=(PS("tp", None),), out_specs=PS(None, None),
+    )
+    R = np.asarray(f(T))
+    assert np.allclose(R, np.triu(R))
+    assert (np.diag(R) > 0).all()
+    G_ref = np.asarray(T.T @ T)
+    assert np.allclose(R.T @ R, G_ref, rtol=1e-9, atol=1e-12)
+    # R matches a dense QR up to row signs
+    R_ref = np.linalg.qr(np.asarray(T), mode="r")
+    R_ref = R_ref * np.sign(np.diag(R_ref))[:, None]
+    assert np.allclose(R, R_ref, rtol=1e-7, atol=1e-10)
+
+
 def test_tp_rejects_misaligned_bs():
     diag, lower = _random_btd(2, 24, seed=7)
     with pytest.raises(ValueError):
