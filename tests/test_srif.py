@@ -496,6 +496,30 @@ def test_srif_bcgs2_engine_matches():
     assert rel < 1e-3, rel
 
 
+def test_srif_bcgs4_engine_matches():
+    """bcgs4 (staged-shift CholQR4 panels + BCGS2 projections) matches the
+    monolithic Householder factor in f64 and keeps f32 quality — the
+    engine that reaches the Householder floor with zero refinement at
+    production conditions (RESULTS.md)."""
+    rng = np.random.default_rng(23)
+    ops, H, N = _setup(rng)
+    n, bs = 50, 16
+    F0 = srif_packed_qr(ops, n, N, bs, dtype=jnp.float64)
+    F = srif_packed_qr(ops, n, N, bs, dtype=jnp.float64, qr_impl="bcgs4",
+                       panel=8)
+    b = rng.normal(size=n)
+    x0 = np.asarray(F0.solve(jnp.asarray(b)))
+    x = np.asarray(F.solve(jnp.asarray(b)))
+    assert np.allclose(x, x0, rtol=1e-9, atol=1e-10)
+    assert np.isclose(float(F.log_det()), float(F0.log_det()), rtol=1e-9)
+    F32 = srif_packed_qr(ops, n, N, bs, dtype=jnp.float32, qr_impl="bcgs4",
+                         panel=8)
+    x32 = np.asarray(F32.solve(jnp.asarray(b).astype(jnp.float32)))
+    x_ref = np.linalg.solve(H, b)
+    rel = np.linalg.norm(x32 - x_ref) / np.linalg.norm(x_ref)
+    assert rel < 1e-3, rel
+
+
 def test_srif_bcgs2_contraction_householder_grade():
     """On the cond ~ 1e10 squared-Laplacian system (the regime that makes
     single-pass bcgs need ~4x refinement iterations), the f32 BCGS2 factor
