@@ -550,7 +550,7 @@ class SRIFNewtonFactor:
     def __init__(self, q_ell, q_diag, sqrt_ops, j_plan, Jc, tau,
                  n, N, bs, refine_iters: int = 4, chunk="auto",
                  qr_impl: str = "xla", prior_R=None, prior_cs0=None,
-                 sub_dtype: str = "cond"):
+                 sub_dtype: str = "cond", qr_dtype: str = "f32"):
         from diffeqgmrfs_tpu.ops.srif import srif_packed_qr
 
         self.q_ell = q_ell
@@ -564,7 +564,22 @@ class SRIFNewtonFactor:
             diagH = q_diag + tau * rowop_col_sumsq(Jc, n)
         self.d = jnp.sqrt(diagH)
         cs = 1.0 / self.d
-        if prior_R is not None:
+        if qr_dtype == "f64":
+            # exact-direction arm: windows QR in (TPU-emulated, ~47x) f64,
+            # for systems beyond even the sqrt-factor's f32 validity
+            # (cond(H) > ~1e14 — the flagship N800x100 fine-dt ST Newton
+            # systems where f32 directions are garbage and the alpha=0
+            # damping safeguard pins GN at its warm start). The f32
+            # prefactor (prior_R) is bypassed — the full stack is reduced
+            # each step so no f32 error enters the factor.
+            ops = list(sqrt_ops) + [(j_plan, Jc.vals * jnp.sqrt(tau))]
+            self.F32 = srif_packed_qr(
+                ops, n, N, bs, dtype=jnp.float64, col_scale=cs,
+                chunk_rows=None if chunk == "off" else chunk,
+                qr_impl=qr_impl,
+            ).clamp_diag()
+            self.sub_dtype = "f64"
+        elif prior_R is not None:
             # measurement-update form: the prior rows S_Q are Newton-step
             # invariant — pre-reduced ONCE (gauss_newton_solve hoists the
             # stage-1 QR out of the while_loop); each step QRs only

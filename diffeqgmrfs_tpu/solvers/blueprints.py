@@ -87,6 +87,11 @@ class CholeskySolverBlueprint:
     # stability; fastest stable engine on TPU), "bcgs" (experimental
     # single-pass all-GEMM Gram-Schmidt)
     srif_qr_impl: str = "xla"
+    # SRIF window-QR factor dtype: "f32" (default; valid to cond(H)~1e14)
+    # or "f64" (TPU-emulated, ~47x QR cost — the exact-direction arm for
+    # systems beyond the f32 sqrt validity, e.g. the flagship N800x100
+    # fine-dt ST Newton systems; bypasses the f32 prefactor)
+    srif_qr_dtype: str = "f32"
     # substitution sweep dtype through the f32 SRIF factor: "cond"
     # (default: f32 sweep, XLA-conditional f64 re-sweep only when the f32
     # result overflows — the healthy path never pays TPU's emulated-f64

@@ -181,6 +181,7 @@ def blueprint_gn_kwargs(bp, Q, aux=None) -> dict:
         kw["final_factor"] = aux.get("final_factor", True)
         kw["final_gemm"] = getattr(bp, "gemm_solves", False)
         kw["srif_qr_impl"] = getattr(bp, "srif_qr_impl", "xla")
+        kw["srif_qr_dtype"] = getattr(bp, "srif_qr_dtype", "f32")
         kw["sub_dtype"] = getattr(bp, "sub_dtype", "cond")
         kw["materialize_H"] = False
         if aux.get("srif_prefactor") is not None:
@@ -324,6 +325,7 @@ def gauss_newton_solve(
     final_factor: bool = False,
     final_gemm: bool = False,
     srif_qr_impl: str = "xla",
+    srif_qr_dtype: str = "f32",
     q_mu=None,
     factor_opts=None,
     prior_R=None,
@@ -492,6 +494,8 @@ def gauss_newton_solve(
             )
         else:
             eligible = p_splits == {1} and ata_window_plan.split == 1
+        if srif_qr_dtype == "f64":
+            eligible = False  # f64 windows rebuild the full stack per step
         if eligible and rows_per_win >= 2 * Q.bs:
             from diffeqgmrfs_tpu.ops.srif import srif_packed_qr
 
@@ -525,7 +529,7 @@ def gauss_newton_solve(
                 q_ell, q_diag, sqrt_ops, ata_window_plan, Jc, tau,
                 Q.n, Q.N, Q.bs, qr_impl=srif_qr_impl,
                 prior_R=srif_prior_R, prior_cs0=srif_prior_cs0,
-                sub_dtype=sub_dtype,
+                sub_dtype=sub_dtype, qr_dtype=srif_qr_dtype,
             )
             x_new = F.solve(rhs)
             dx = x_new - x
@@ -566,26 +570,41 @@ def gauss_newton_solve(
                     return q_ell.matvec(t)
                 return Q.matvec(t)
 
-            def phi(xc):
-                f_c, _ = f_and_J(full(xc))  # J is dead -> DCE'd
+            def quad(xc):
                 if q_mu is not None:
                     # (x-mu)'Q(x-mu) = x'Qx - 2 x'eta + const(mu)
-                    quad = jnp.dot(xc, q_matvec(xc)) - 2.0 * jnp.dot(xc, Qmu)
-                else:
-                    dmu = xc - mu_prior
-                    quad = jnp.dot(dmu, q_matvec(dmu))
-                return tau * jnp.sum((f_c - y) ** 2) + quad
+                    return jnp.dot(xc, q_matvec(xc)) - 2.0 * jnp.dot(xc, Qmu)
+                dmu = xc - mu_prior
+                return jnp.dot(dmu, q_matvec(dmu))
+
+            def phi(xc):
+                f_c, _ = f_and_J(full(xc))  # J is dead -> DCE'd
+                return tau * jnp.sum((f_c - y) ** 2) + quad(xc)
 
             alphas = (1.0, 0.5, 0.25, 0.125)
             cands = jnp.stack([x + a * dx for a in alphas])
             phis = jnp.stack([phi(c) for c in cands])
             phis = jnp.where(jnp.isnan(phis), jnp.inf, phis)
             k = jnp.argmin(phis)
-            x_new = cands[k]
+            # alpha=0 safeguard: when EVERY candidate worsens the true
+            # objective (a garbage Newton direction — e.g. the factor is
+            # beyond its f32 validity range at the N800x100 ST systems),
+            # REJECT the step instead of being forced to move 0.125*dx.
+            # Without this, GN warm-started at a near-optimal iterate
+            # (forward march, rel_err 1.75e-2) walked away to rel_err ~1.3
+            # at the flagship config (queue K flagship_damped). phi at the
+            # current iterate reuses the body's residual eval (f at x).
+            phi0 = tau * jnp.sum((f - y) ** 2) + quad(x)
+            x_new = jnp.where(phis[k] < phi0, cands[k], x)
         # decrement from the UNSCALED dx/Hdx: it measures proximity of the
         # full Newton model — scaling by the damping fraction would shrink
         # it 8x per 1/8 backtrack and stop while phi still decreases
         decrement = jnp.sqrt(jnp.abs(jnp.dot(dx, Hdx)))
+        if damping:
+            # a rejected step (x_new == x) is a fixed point: the same
+            # linearization reproduces the same rejected dx forever —
+            # zero the decrement so the stopping criterion fires now
+            decrement = jnp.where(phis[k] < phi0, decrement, 0.0)
         return (x_new, decrement, step + 1, hist, r_norm)
 
     def cond(carry):
@@ -620,7 +639,7 @@ def gauss_newton_solve(
             q_ell, q_diag, sqrt_ops, ata_window_plan, Jc_fin, tau,
             Q.n, Q.N, Q.bs, qr_impl=srif_qr_impl,
             prior_R=srif_prior_R, prior_cs0=srif_prior_cs0,
-            sub_dtype=sub_dtype,
+            sub_dtype=sub_dtype, qr_dtype=srif_qr_dtype,
         )
         if final_gemm:
             from diffeqgmrfs_tpu.ops.packed import PackedBTDRFullFactor

@@ -67,7 +67,12 @@ def parse_cmd():
                    help="blocked-panel POTRF in the f32 BTD factor sweep "
                         "(panel size; 0 = monolithic chol)")
     p.add_argument("--srif_qr_impl", type=str, default="xla",
-                   help="SRIF window-QR engine: xla | bhh | bcgs")
+                   help="SRIF window-QR engine: xla | bhh | bcgs2 | bcgs4 "
+                        "| bcgs")
+    p.add_argument("--srif_qr_dtype", type=str, default="f32",
+                   help="SRIF window-QR factor dtype: f32 | f64 (exact-"
+                        "direction arm for cond(H) beyond f32 sqrt "
+                        "validity — flagship N800x100; ~47x QR cost)")
     p.add_argument("--sub_dtype", type=str, default="cond",
                    help="substitution dtype through the f32 SRIF factor: "
                         "cond (f32 + conditional f64 re-sweep on overflow) "
@@ -206,6 +211,7 @@ def main():
         damping=args.damping,
         gemm_solves=args.gemm_solves,
         srif_qr_impl=args.srif_qr_impl,
+        srif_qr_dtype=args.srif_qr_dtype,
         sub_dtype=args.sub_dtype,
         factor_winv_trsm=args.factor_winv or None,
         factor_panel=args.factor_panel or None,

@@ -33,6 +33,54 @@ from diffeqgmrfs_tpu.solvers import (
 from diffeqgmrfs_tpu.metrics import rel_err, rmse
 
 
+def test_damped_gn_rejects_garbage_directions():
+    """alpha=0 damping safeguard: a Newton direction from a broken solve
+    (here: a WRONG-SIGN Jacobian — the stand-in for a factor beyond its
+    f32 validity range, cf. the flagship N800x100 divergence where GN
+    walked from a rel_err 1.75e-2 warm start to ~1.3) must be REJECTED
+    when every backtracking candidate worsens the true MAP objective,
+    leaving the iterate at the warm start, and the zeroed decrement must
+    stop the loop immediately."""
+    N = 8
+    disc = unit_square_discretization(N, element_order=2)
+    coords = np.asarray(disc.mesh.coords)
+    qc = disc.geometry.qcoords
+
+    def u_star(p):
+        return np.sin(np.pi * p[..., 0]) * np.sin(np.pi * p[..., 1])
+
+    rhs_q = 2 * np.pi**2 * u_star(qc) + u_star(qc) ** 3
+    spde = MaternSPDE(d=2, range=0.3, smoothness=1)
+    x = discretize_matern(spde, disc)
+    bpts = coords[disc.mesh.node_sets["boundary"]]
+    A_b = evaluation_matrix(disc, bpts)
+    x_bc = condition_on_observations(x, A_b, 1e12, jnp.zeros(A_b.n_rows))
+    prescribed = disc.dof_handler.node_dofs(
+        "u", disc.mesh.node_sets["boundary"]
+    )
+    res = EllipticCubicResidual(disc, rhs_q, prescribed, alpha=1.0)
+    crit = OrCriterion(
+        [NewtonDecrementCriterion(1e-7), StepNumberCriterion(10)]
+    )
+    good = gauss_newton_solve(
+        x_bc.mean(), x_bc.precision, res.f_and_J, 3e13,
+        jnp.zeros(res.n_rows), x_bc.mean(), criterion=crit,
+    )
+    x_map = good.x_k
+
+    def broken_f_and_J(w):
+        f, J = res.f_and_J(w)
+        return f, type(J)(J.cols, -3.0 * J.vals, J.n_cols)
+
+    bad = gauss_newton_solve(
+        x_bc.mean(), x_bc.precision, broken_f_and_J, 3e13,
+        jnp.zeros(res.n_rows), x_map, criterion=crit, damping=True,
+    )
+    # iterate pinned at the warm start, loop stopped at the first step
+    assert np.allclose(np.asarray(bad.x_k), np.asarray(x_map))
+    assert int(bad.n_steps) == 1
+
+
 def test_elliptic_cubic_end_to_end():
     """-Delta u + u^3 = f, manufactured truth u* = sin(pi x) sin(pi y).
 
