@@ -101,13 +101,27 @@ def _shifted_cholqr(P, passes: int = 2, shift_passes: int | None = None):
     if shift_passes is None:
         shift_passes = passes
     R_acc = None
+    eye = jnp.eye(p, dtype=P.dtype)
     for k in range(passes):
         G = P.T @ P
-        scale = m if k < shift_passes else 1.0
-        s = 8.0 * scale * eps * jnp.max(jnp.diagonal(G))
-        Rp = jnp.linalg.cholesky(
-            G + (s + 1e-30) * jnp.eye(p, dtype=P.dtype)
-        ).T
+        s_full = 8.0 * m * eps * jnp.max(jnp.diagonal(G))
+        if k < shift_passes:
+            Rp = jnp.linalg.cholesky(G + (s_full + 1e-30) * eye).T
+        else:
+            # floor-shift pass: reaches ~eps orthonormality, but the
+            # Cholesky goes indefinite (NaN fill) when the panel condition
+            # entering this pass still exceeds the f32 range (measured:
+            # elliptic N100 TPU windows) — fall back to the full shift for
+            # THAT pass only (those panels keep the ~s-level cap; the SRIF
+            # refinement loop absorbs it). NaN at the last diagonal flags
+            # any failed pivot (NaN propagates down the factorization).
+            s_floor = 8.0 * eps * jnp.max(jnp.diagonal(G))
+            Rp = jnp.linalg.cholesky(G + (s_floor + 1e-30) * eye).T
+            Rp = jnp.where(
+                jnp.isnan(Rp[p - 1, p - 1]),
+                jnp.linalg.cholesky(G + (s_full + 1e-30) * eye).T,
+                Rp,
+            )
         P = lax.linalg.triangular_solve(Rp, P, left_side=False, lower=False)
         R_acc = Rp if R_acc is None else Rp @ R_acc
     return P, R_acc

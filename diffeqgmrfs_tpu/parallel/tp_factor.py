@@ -282,13 +282,22 @@ def tp_bcgs_qr_r(
         pj = min(panel, n - j)
         Pl = A[:, j : j + pj]
         R_acc = None
+        eye = jnp.eye(pj, dtype=T_loc.dtype)
         for k in range(passes):
             G = lax.psum(Pl.T @ Pl, axis)
-            scale = m_tot if k < shift_passes else 1.0
-            s = 8.0 * scale * eps * jnp.max(jnp.diagonal(G))
-            Rp = jnp.linalg.cholesky(
-                G + (s + 1e-30) * jnp.eye(pj, dtype=G.dtype)
-            ).T
+            s_full = 8.0 * m_tot * eps * jnp.max(jnp.diagonal(G))
+            if k < shift_passes:
+                Rp = jnp.linalg.cholesky(G + (s_full + 1e-30) * eye).T
+            else:
+                # floor-shift pass with full-shift fallback on indefinite
+                # Gram (mirrors ops/srif._shifted_cholqr)
+                s_fl = 8.0 * eps * jnp.max(jnp.diagonal(G))
+                Rp = jnp.linalg.cholesky(G + (s_fl + 1e-30) * eye).T
+                Rp = jnp.where(
+                    jnp.isnan(Rp[pj - 1, pj - 1]),
+                    jnp.linalg.cholesky(G + (s_full + 1e-30) * eye).T,
+                    Rp,
+                )
             Pl = lax.linalg.triangular_solve(
                 Rp, Pl, left_side=False, lower=False
             )
