@@ -550,7 +550,8 @@ class SRIFNewtonFactor:
     def __init__(self, q_ell, q_diag, sqrt_ops, j_plan, Jc, tau,
                  n, N, bs, refine_iters: int = 4, chunk="auto",
                  qr_impl: str = "xla", prior_R=None, prior_cs0=None,
-                 sub_dtype: str = "cond", qr_dtype: str = "f32"):
+                 sub_dtype: str = "cond", qr_dtype: str = "f32",
+                 solve_method: str = "refine", pcg_iters: int = 32):
         from diffeqgmrfs_tpu.ops.srif import srif_packed_qr
 
         self.q_ell = q_ell
@@ -558,6 +559,8 @@ class SRIFNewtonFactor:
         self.Jc = Jc
         self.tau = tau
         self.refine_iters = refine_iters
+        self.solve_method = solve_method
+        self.pcg_iters = pcg_iters
         if getattr(j_plan, "colsq_inv", None) is not None:
             diagH = q_diag + tau * j_plan.colsq(Jc.vals)
         else:
@@ -644,10 +647,22 @@ class SRIFNewtonFactor:
         it reduces the true residual. Beyond the sqrt-factor's f32 range
         (fine-dt ST systems at N_x >= 800 x N_t = 100, RESULTS.md round 2)
         plain refinement DIVERGES at ~2x/iter; the safeguard pins the
-        solve at first-solve quality instead of amplifying to NaN."""
+        solve at first-solve quality instead of amplifying to NaN.
+
+        solve_method="pcg" upgrades the Richardson refinement to
+        preconditioned CG on the equilibrated system (preconditioner
+        M = R32^T R32, applied via the same two triangular sweeps):
+        Richardson diverges whenever rho(I - M^{-1}Hs) > 1, i.e. the f32
+        factor is beyond its validity, but M^{-1}Hs stays SPD-similar, so
+        CG still converges at the sqrt(cond(M^{-1}Hs)) Krylov rate — the
+        garbage-direction fix for the flagship N800x100 systems. Breakdown
+        (non-finite or non-positive curvature) is guarded; the iterate
+        with the best true residual is returned."""
         b = jnp.asarray(b)
         bs_ = b / self.d
         y = self._solve32(bs_)
+        if self.solve_method == "pcg":
+            return self._solve_pcg(bs_, y) / self.d
         r = bs_ - self._apply_Hs(y)
         rn = jnp.linalg.norm(r)
         for _ in range(self.refine_iters):
@@ -659,6 +674,51 @@ class SRIFNewtonFactor:
             r = jnp.where(keep, r_new, r)
             rn = jnp.where(keep, rn_new, rn)
         return y / self.d
+
+    def _solve_pcg(self, bs_, y0):
+        """PCG on Hs y = bs_ from the first-sweep iterate y0, preconditioned
+        by the f32 factor. Fixed-trip lax.fori_loop (constant program size);
+        all Krylov arithmetic in the rhs dtype (f64 on the production path),
+        preconditioner applications through the f32 sweeps."""
+        from jax import lax
+
+        def finite(v, alt):
+            return jnp.where(jnp.isfinite(v), v, alt)
+
+        y0 = jnp.where(jnp.isfinite(y0), y0, jnp.zeros_like(y0))
+        r0 = bs_ - self._apply_Hs(y0)
+        z0 = self._solve32(r0)
+        z0 = jnp.where(jnp.isfinite(z0), z0, r0)
+        rz0 = jnp.vdot(r0, z0)
+        rn0 = jnp.linalg.norm(r0)
+
+        def body(_, carry):
+            y, r, p, rz, best_y, best_rn = carry
+            Ap = self._apply_Hs(p)
+            pAp = jnp.vdot(p, Ap)
+            ok = jnp.isfinite(pAp) & (pAp > 0.0)
+            alpha = jnp.where(ok, rz / pAp, 0.0)
+            alpha = finite(alpha, 0.0)
+            y = y + alpha * p
+            r = r - alpha * Ap
+            rn = jnp.linalg.norm(r)
+            better = jnp.isfinite(rn) & (rn < best_rn)
+            best_y = jnp.where(better, y, best_y)
+            best_rn = jnp.where(better, rn, best_rn)
+            z = self._solve32(r)
+            z = jnp.where(jnp.isfinite(z), z, r)
+            rz_new = jnp.vdot(r, z)
+            beta = jnp.where(
+                jnp.isfinite(rz_new) & (jnp.abs(rz) > 0.0), rz_new / rz, 0.0
+            )
+            beta = finite(beta, 0.0)
+            p = z + beta * p
+            rz = finite(rz_new, rz)
+            return (y, r, p, rz, best_y, best_rn)
+
+        init = (y0, r0, z0, rz0, y0, finite(rn0, jnp.inf))
+        out = lax.fori_loop(0, self.pcg_iters, body, init)
+        return out[4]
 
     # -- posterior-factor surface (drop-in for GMRF.factor) ------------------
     # H = D^{1/2} H~ D^{1/2} => H^{-1} = D^{-1/2} H~^{-1} D^{-1/2},

@@ -98,6 +98,12 @@ class CholeskySolverBlueprint:
     # rate), "f32", or "f64" (always; 2.5-4.3x per-Newton-step regression
     # measured when this ran unconditionally, RESULTS.md round 2)
     sub_dtype: str = "cond"
+    # SRIF solve strategy: "refine" (monotone Richardson refinement against
+    # the f32 factor) or "pcg" (preconditioned CG — converges at the Krylov
+    # rate where Richardson diverges, i.e. factors beyond f32 validity:
+    # the flagship Burgers N800x100 fine-dt ST Newton systems)
+    srif_solve: str = "refine"
+    srif_pcg_iters: int = 32
     # BTD factor-sweep options for the f32 MXU factor (ops/cholesky.py
     # btd_cholesky kwargs): `factor_winv_trsm` replaces the sweep TRSM
     # with a panel-inverse GEMM chain of this panel size (slope-measured

@@ -183,6 +183,8 @@ def blueprint_gn_kwargs(bp, Q, aux=None) -> dict:
         kw["srif_qr_impl"] = getattr(bp, "srif_qr_impl", "xla")
         kw["srif_qr_dtype"] = getattr(bp, "srif_qr_dtype", "f32")
         kw["sub_dtype"] = getattr(bp, "sub_dtype", "cond")
+        kw["srif_solve"] = getattr(bp, "srif_solve", "refine")
+        kw["srif_pcg_iters"] = getattr(bp, "srif_pcg_iters", 32)
         kw["materialize_H"] = False
         if aux.get("srif_prefactor") is not None:
             kw["prefactor"] = bool(aux["srif_prefactor"])
@@ -332,6 +334,8 @@ def gauss_newton_solve(
     prior_cs0=None,
     prefactor: bool = True,
     sub_dtype: str = "cond",
+    srif_solve: str = "refine",
+    srif_pcg_iters: int = 32,
 ) -> GaussNewtonResult:
     """Functional Gauss-Newton loop (jit/vmap-friendly).
 
@@ -530,6 +534,7 @@ def gauss_newton_solve(
                 Q.n, Q.N, Q.bs, qr_impl=srif_qr_impl,
                 prior_R=srif_prior_R, prior_cs0=srif_prior_cs0,
                 sub_dtype=sub_dtype, qr_dtype=srif_qr_dtype,
+                solve_method=srif_solve, pcg_iters=srif_pcg_iters,
             )
             x_new = F.solve(rhs)
             dx = x_new - x

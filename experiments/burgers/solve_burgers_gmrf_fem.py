@@ -73,6 +73,11 @@ def parse_cmd():
                    help="SRIF window-QR factor dtype: f32 | f64 (exact-"
                         "direction arm for cond(H) beyond f32 sqrt "
                         "validity — flagship N800x100; ~47x QR cost)")
+    p.add_argument("--srif_solve", type=str, default="refine",
+                   choices=("refine", "pcg"),
+                   help="SRIF direction solve: Richardson refinement or "
+                        "preconditioned CG (factors beyond f32 validity)")
+    p.add_argument("--srif_pcg_iters", type=int, default=32)
     p.add_argument("--sub_dtype", type=str, default="cond",
                    help="substitution dtype through the f32 SRIF factor: "
                         "cond (f32 + conditional f64 re-sweep on overflow) "
@@ -213,6 +218,8 @@ def main():
         srif_qr_impl=args.srif_qr_impl,
         srif_qr_dtype=args.srif_qr_dtype,
         sub_dtype=args.sub_dtype,
+        srif_solve=args.srif_solve,
+        srif_pcg_iters=args.srif_pcg_iters,
         factor_winv_trsm=args.factor_winv or None,
         factor_panel=args.factor_panel or None,
         factor_precision=args.factor_prec,

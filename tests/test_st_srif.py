@@ -349,3 +349,71 @@ def test_st_srif_gn_qr_engines_agree():
         assert np.allclose(var, var_ref, rtol=1e-3), (
             engine, np.max(np.abs(var - var_ref) / var_ref)
         )
+
+
+def test_srif_pcg_solve_beats_diverging_refinement():
+    """solve_method="pcg" (preconditioned CG on the equilibrated Newton
+    system) must converge where Richardson refinement is beyond the f32
+    factor's validity — the regime of the flagship Burgers N800x100
+    systems, where refinement diverges and the monotone safeguard pins the
+    solve at first-sweep quality (RESULTS.md round 2).
+
+    On this raw implicit-Euler ST Newton system (no IC conditioning, a
+    random rhs) cond(H) ~ 7e10 already at N_x=24: the safeguarded
+    refinement returns rel. error O(10) against the known solution, while
+    PCG through the SAME f32 factor reaches ~3e-6 in <= 16 iterations —
+    near the f64 dense-solve floor (1.6e-6 at this conditioning)."""
+    N_x, N_t, nu = 24, 8, 0.05
+    disc = periodic_unit_interval_discretization(N_x, element_order=2)
+    ts = np.linspace(0.0, 0.5, N_t)
+    bulk = 0.8
+    c = 1.0 / nu
+    gamma = -c * bulk
+    spde = _spde(N_x, nu=nu, gamma=gamma)
+
+    x = discretize_advection_diffusion(spde, disc, ts, mean_offset=bulk)
+    aff = AffineMap.from_constraint_handler(disc.constraint_handler).replicate(
+        N_t
+    )
+    res = BurgersFEMResidual(disc, ts, nu, scheme="implicit_euler")
+    mu = x.inner_gmrf.mean()
+    _, J = res.f_and_J(aff.free_to_full(mu))
+    Jc = aff.condense_rowop(J)
+
+    from diffeqgmrfs_tpu.ops.btd import ToeplitzBTD
+    from diffeqgmrfs_tpu.ops.refine import SRIFNewtonFactor
+
+    st = st_sqrt_ops(spde, disc, ts)
+    sqrt_ops = st.sqrt_ops(gamma)
+    n_free = aff.n_free
+    q_btd = x.inner_gmrf.precision
+    j_plan = make_ata_window_plan(np.asarray(Jc.cols), n_free, q_btd.bs)
+    q_top = ToeplitzBTD.from_btd(q_btd)
+
+    rng = np.random.default_rng(0)
+    x_known = jnp.asarray(rng.standard_normal(n_free))
+    xn = np.linalg.norm(np.asarray(x_known))
+
+    for noise_fem, floor in ((1e4, 3e-5), (1e8, 1e-5)):
+        tau = jnp.asarray(noise_fem, dtype=jnp.float64)
+
+        def make_factor(**kw):
+            return SRIFNewtonFactor(
+                q_top, q_top.diagonal(), sqrt_ops, j_plan, Jc, tau,
+                q_btd.n, q_btd.N, q_btd.bs, **kw,
+            )
+
+        # known-solution rhs: errors are measured against x_known directly
+        F0 = make_factor()
+        b = F0.matvec_H(x_known)
+
+        def err(F):
+            return np.linalg.norm(np.asarray(F.solve(b)) - x_known) / xn
+
+        e_ref = err(F0)
+        e_pcg = err(make_factor(solve_method="pcg", pcg_iters=16))
+        assert np.isfinite(e_pcg)
+        assert e_pcg < floor, (noise_fem, e_pcg)
+        # refinement is pinned at first-sweep garbage here; PCG must be
+        # orders of magnitude better
+        assert e_pcg < e_ref / 1e4, (noise_fem, e_pcg, e_ref)
