@@ -62,6 +62,11 @@ def parse_cmd():
     p.add_argument("--srif_qr_impl", type=str, default="xla",
                    help="SRIF window-QR engine: xla | bhh | bcgs2 | bcgs "
                         "(see solve_darcy_gmrf_fem.py)")
+    p.add_argument("--srif_solve", type=str, default="refine",
+                   choices=("refine", "pcg"),
+                   help="SRIF direction solve: Richardson refinement or "
+                        "preconditioned CG (factors beyond f32 validity)")
+    p.add_argument("--srif_pcg_iters", type=int, default=32)
     p.add_argument("--stepwise", action="store_true",
                    help="per-step dispatch: each Newton step is its own "
                         "jitted XLA program (compiled once, invoked in a "
@@ -243,7 +248,9 @@ def main():
             mu_dev = jax.device_put(mu_ic, tpu0)
             q_shape = ShapeOnly(q_top.n, q_top.N, q_top.bs)
             bp_gn = GNCholeskySolverBlueprint(
-                sqrt_factor=True, srif_qr_impl=args.srif_qr_impl
+                sqrt_factor=True, srif_qr_impl=args.srif_qr_impl,
+                srif_solve=args.srif_solve,
+                srif_pcg_iters=args.srif_pcg_iters,
             )
 
             # stage-1 SRIF prefactor: pre-reduce the (step-invariant) prior
