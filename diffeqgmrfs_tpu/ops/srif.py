@@ -318,7 +318,13 @@ def srif_packed_qr(
     `PackedBTDRFactor` (positive diagonal, padding rows set to identity).
 
     qr_impl: "xla" (Householder via jnp.linalg.qr), "bhh" (blocked
-    Householder panels + GEMM trailing updates), "bcgs2" (BCGS2 with
+    Householder panels + GEMM trailing updates; BCGS2 reorth pass),
+    "bhh1" (bhh without the reorthogonalization pass — single-pass block
+    Gram-Schmidt with Householder panels: the fastest Householder-grade
+    engine measured on the v5e [~19.9 TF/s actual flops vs xla's 13.0 at
+    the N300 window shape]; inter-panel orthogonality degrades as
+    ~eps*cond(panel-block) like classical BGS, so validate accuracy at
+    the target condition before production use), "bcgs2" (BCGS2 with
     shifted-CholQR3 panels — ALL-GEMM, near-Householder stability; the
     fast stable engine), or "bcgs" (single-pass block Gram-Schmidt —
     experimental; factor error ~ eps_mm * cond(S), absorbed by
@@ -481,6 +487,8 @@ def srif_packed_qr(
             )[:W]
         if qr_impl == "bhh":
             return _bhh_qr_r(T, panel=panel)[:W]
+        if qr_impl == "bhh1":
+            return _bhh_qr_r(T, panel=panel, reorth=False)[:W]
         if qr_impl == "tshh":
             return _tshh_qr_r(T, panel=panel)[:W]
         return jnp.linalg.qr(T, mode="r")[:W]

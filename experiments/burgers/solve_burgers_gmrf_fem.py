@@ -67,8 +67,8 @@ def parse_cmd():
                    help="blocked-panel POTRF in the f32 BTD factor sweep "
                         "(panel size; 0 = monolithic chol)")
     p.add_argument("--srif_qr_impl", type=str, default="xla",
-                   help="SRIF window-QR engine: xla | bhh | bcgs2 | bcgs4 "
-                        "| bcgs")
+                   help="SRIF window-QR engine: xla | bhh | bhh1 | bcgs2 "
+                        "| bcgs4 | bcgs")
     p.add_argument("--srif_qr_dtype", type=str, default="f32",
                    help="SRIF window-QR factor dtype: f32 | f64 (exact-"
                         "direction arm for cond(H) beyond f32 sqrt "

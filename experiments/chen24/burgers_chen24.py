@@ -60,8 +60,8 @@ def parse_cmd():
                         "different program from the chol/scatter one that "
                         "faults the relay at N_x=1000)")
     p.add_argument("--srif_qr_impl", type=str, default="xla",
-                   help="SRIF window-QR engine: xla | bhh | bcgs2 | bcgs "
-                        "(see solve_darcy_gmrf_fem.py)")
+                   help="SRIF window-QR engine: xla | bhh | bhh1 | bcgs2 "
+                        "| bcgs (see solve_darcy_gmrf_fem.py)")
     p.add_argument("--srif_solve", type=str, default="refine",
                    choices=("refine", "pcg"),
                    help="SRIF direction solve: Richardson refinement or "

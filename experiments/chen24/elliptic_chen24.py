@@ -64,8 +64,8 @@ def parse_cmd():
                         "stays valid at N_el_xy=100 where the equilibrated "
                         "f32 Cholesky goes indefinite")
     p.add_argument("--srif_qr_impl", type=str, default="xla",
-                   help="SRIF window-QR engine: xla | bhh | bcgs2 | bcgs4 "
-                        "(see solve_darcy_gmrf_fem.py)")
+                   help="SRIF window-QR engine: xla | bhh | bhh1 | bcgs2 "
+                        "| bcgs4 (see solve_darcy_gmrf_fem.py)")
     p.add_argument("--qr_split", type=int, default=0,
                    help="SRIF window split override (0 = auto_split)")
     p.add_argument("--no_prefactor", action="store_true",

@@ -72,7 +72,9 @@ def parse_cmd():
     p.add_argument("--srif_qr_impl", type=str, default="xla",
                    help="SRIF window-QR engine: xla (monolithic "
                         "Householder) | bhh (blocked Householder panels + "
-                        "GEMM trailing updates) | bcgs2 (all-GEMM BCGS2 + "
+                        "GEMM trailing updates) | bhh1 (bhh without the "
+                        "reorth pass — fastest Householder-grade engine) "
+                        "| bcgs2 (all-GEMM BCGS2 + "
                         "shifted-CholQR3 panels) | bcgs4 (all-GEMM BCGS2 + "
                         "staged-shift CholQR4 panels: Householder-grade "
                         "orthonormality) | bcgs (experimental)")

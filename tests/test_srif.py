@@ -473,6 +473,29 @@ def test_srif_bhh_engine_matches():
     assert rel < 1e-3, rel
 
 
+def test_srif_bhh1_engine_matches():
+    """bhh1 (blocked-Householder panels, single projection pass — the
+    fastest Householder-grade engine on the v5e) matches the monolithic
+    Householder factor in f64 and keeps refinement-grade f32 quality."""
+    rng = np.random.default_rng(27)
+    ops, H, N = _setup(rng)
+    n, bs = 50, 16
+    F0 = srif_packed_qr(ops, n, N, bs, dtype=jnp.float64)
+    F = srif_packed_qr(ops, n, N, bs, dtype=jnp.float64, qr_impl="bhh1",
+                       panel=8)
+    b = rng.normal(size=n)
+    x0 = np.asarray(F0.solve(jnp.asarray(b)))
+    x = np.asarray(F.solve(jnp.asarray(b)))
+    assert np.allclose(x, x0, rtol=1e-9, atol=1e-10)
+    assert np.isclose(float(F.log_det()), float(F0.log_det()), rtol=1e-9)
+    F32 = srif_packed_qr(ops, n, N, bs, dtype=jnp.float32, qr_impl="bhh1",
+                         panel=8)
+    x32 = np.asarray(F32.solve(jnp.asarray(b).astype(jnp.float32)))
+    x_ref = np.linalg.solve(H, b)
+    rel = np.linalg.norm(x32 - x_ref) / np.linalg.norm(x_ref)
+    assert rel < 1e-3, rel
+
+
 def test_srif_bcgs2_engine_matches():
     """BCGS2 engine (shifted-CholQR3 panels + two-pass block projections,
     all-GEMM) matches the monolithic Householder factor in f64 and keeps
