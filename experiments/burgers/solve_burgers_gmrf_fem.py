@@ -110,6 +110,13 @@ def parse_cmd():
                         "with a host-side convergence loop — the workaround "
                         "for the relay kernel fault on large fused "
                         "while_loop programs (requires --sqrt, batch=1)")
+    p.add_argument("--gn_diag", action="store_true",
+                   help="per-step diagnostics (stepwise, batch=1): log the "
+                        "f64 MAP objective phi and the trajectory rel_err "
+                        "at the warm start and after every Newton step — "
+                        "separates 'bad warm start' from 'bad directions' "
+                        "from 'objective minimized away from the truth' "
+                        "(flagship N800x100 divergence triage)")
     return finalize_args(p.parse_args())
 
 
@@ -453,6 +460,33 @@ def main():
         sw_step = jax.jit(_sw_step)
         sw_posterior = jax.jit(_sw_posterior)
         sw_icpred = jax.jit(_sw_icpred)
+
+        def _sw_phi(x_cur, q_ic, eta_ic):
+            # the GN body's damping objective, in f64: noise_fem*||F(x)||^2
+            # + x'Qx - 2 x'eta (constant-in-x terms dropped — comparisons
+            # only). J is dead -> DCE'd.
+            f_c, _ = res.f_and_J(affine_st.free_to_full(x_cur))
+            f64 = f_c.astype(jnp.float64)
+            x64 = x_cur.astype(jnp.float64)
+            return (
+                noise_fem * jnp.sum(f64 * f64)
+                + jnp.dot(x64, q_ic.matvec(x_cur).astype(jnp.float64))
+                - 2.0 * jnp.dot(x64, jnp.asarray(eta_ic, jnp.float64))
+            )
+
+        sw_phi = jax.jit(_sw_phi)
+        _diag_truth = [None]  # set per instance by the host loop
+
+        def _gn_diag(tag, xd, q_ic, eta_ic):
+            if not args.gn_diag:
+                return
+            phi = float(sw_phi(xd, q_ic, eta_ic))
+            t = _diag_truth[0]
+            re = float("nan")
+            if t is not None:
+                pred_d = np.asarray(sw_icpred(xd))
+                re = float(rel_err(pred_d[1:], t[1:]))
+            log.info("  gn_diag %s: phi=%.10e rel_err=%.4e", tag, phi, re)
         sw_warm = jax.jit(_warm_x0) if args.warm_start else None
         max_steps = args.max_steps
 
@@ -527,11 +561,15 @@ def main():
             mu_ic, q_ic, eta_ic, gamma, pre = sw_setup(ic, gn_aux)
             ic_pred = sw_icpred(mu_ic)
             x = sw_warm(mu_ic) if args.warm_start else mu_ic
+            _gn_diag("x0 (warm)" if args.warm_start else "x0 (mu_ic)",
+                     x, q_ic, eta_ic)
             n_steps = 0
             best, stall = np.inf, 0
             for _ in range(max_steps):
                 x, dec = sw_step(mu_ic, x, gamma, q_ic, eta_ic, pre, gn_aux)
                 n_steps += 1
+                _gn_diag(f"step {n_steps} (dec {float(dec):.3e})",
+                         x, q_ic, eta_ic)
                 d = float(dec)
                 if d < 1e-6:
                     break
@@ -554,6 +592,8 @@ def main():
             return _solve(ic, key, gn_aux)
 
     key = jax.random.PRNGKey(345903459)
+    if args.gn_diag and args.stepwise and args.batch == 1:
+        _diag_truth[0] = np.asarray(ds.get_solution(0))
     if args.batch == 1:
         with to("Prior construction + first solve (compile)"):
             out = solve_jit(jnp.asarray(ds.get_initial_condition(0)), key)
@@ -637,6 +677,8 @@ def main():
                 _log_row(i, saver.get(i))
                 continue
             ic = jnp.asarray(ds.get_initial_condition(i))
+            if args.gn_diag and args.stepwise:
+                _diag_truth[0] = np.asarray(ds.get_solution(i))
             cur = PhaseTimers()
             with cur("Optimization"):
                 pred, ic_pred, std, smp, n_steps = solve_jit(
