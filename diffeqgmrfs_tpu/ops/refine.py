@@ -390,6 +390,18 @@ class MatFreeConditionFactor:
         return self.F32.nnz()
 
 
+def srif_condition_scale(H_op, a_plan):
+    """Equilibration scale d = sqrt(diag(H)) for the SRIF conditioning
+    stack — the single definition shared by SRIFConditionFactor and
+    external (chunked / host-orchestrated) factor builders, so a
+    `prefactored` factor's col_scale (1/d) matches the solve surface's."""
+    if getattr(a_plan, "colsq_inv", None) is not None:
+        diagH = H_op.diag_Q + H_op.tau * a_plan.colsq(H_op.A.vals)
+    else:
+        diagH = H_op.diagonal()
+    return jnp.sqrt(diagH)
+
+
 @jax.tree_util.register_pytree_node_class
 class SRIFConditionFactor(MatFreeConditionFactor):
     """Square-root-information factor of H = Q + tau A^T A: windowed QR of
@@ -410,20 +422,23 @@ class SRIFConditionFactor(MatFreeConditionFactor):
     def __init__(self, H_op: SymSumOp, a_plan, sqrt_op, lam_plan, n, N, bs,
                  refine_iters: int = 4, chunk="auto",
                  matmul_precision: str = "float32", qr_impl: str = "xla",
-                 gemm_solves: bool = False, prior_R=None, prior_cs0=None):
+                 gemm_solves: bool = False, prior_R=None, prior_cs0=None,
+                 prefactored=None):
         from diffeqgmrfs_tpu.ops.srif import srif_packed_qr
 
         self.H_op = H_op
         self.n = n
         self.refine_iters = refine_iters
-        if getattr(a_plan, "colsq_inv", None) is not None:
-            diagH = H_op.diag_Q + H_op.tau * a_plan.colsq(H_op.A.vals)
-        else:
-            diagH = H_op.diagonal()
-        self.d = jnp.sqrt(diagH)
+        self.d = srif_condition_scale(H_op, a_plan)
         Av = H_op.A.vals * jnp.sqrt(H_op.tau)
         cs = 1.0 / self.d
-        if prior_R is not None:
+        if prefactored is not None:
+            # factor built outside (host-orchestrated chunked sweep,
+            # ops/srif.srif_packed_qr_chunked) with col_scale == 1/d from
+            # srif_condition_scale on the SAME (H_op, a_plan) — only the
+            # solve/refine/posterior surface is constructed here
+            self.F32 = prefactored
+        elif prior_R is not None:
             # SRIF measurement-update form: the instance-independent prior
             # rows were pre-reduced once into R_Λ = qr(Λ·diag(cs0)); stack
             # only [R_Λ·(cs/cs0); sqrt(tau) A] here (~2x fewer QR flops

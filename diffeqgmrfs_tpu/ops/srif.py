@@ -37,6 +37,8 @@ MXU instead of ~47x-slower emulated f64.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -308,6 +310,9 @@ def srif_packed_qr(
     full_offdiag="auto",
     prior_factor: PackedBTDRFactor | None = None,
     prior_rescale=None,
+    window_range=None,
+    state=None,
+    finalize: bool = True,
 ) -> PackedBTDRFactor:
     """QR-factor the stacked banded system into a packed R-form factor.
 
@@ -348,6 +353,21 @@ def srif_packed_qr(
     two-stage QR computes the same R as the one-shot stack (TSQR
     associativity), up to the f32 error of R_Λ which the refinement
     loop absorbs. Banded (strictly-lower) packing only.
+
+    window_range / state / finalize: stepped-sweep surface for
+    host-orchestrated chunked dispatch (`srif_packed_qr_chunked`). When
+    `window_range=(b0, b1)` is given (ints or traced scalars), only loop
+    iterations [b0, b1) of the window sweep run, starting from `state`
+    (the raw loop carry of a previous call; zeros when None) — banded
+    state is (P, carry), full-offdiagonal state is (P, U, carry).  With
+    `finalize=False` the raw state is returned instead of a factor; the
+    last chunk (or a trailing call with an empty range) passes
+    `finalize=True` to fold the final diagonal block and fix padding.
+    One XLA program serves every chunk (traced bounds), so a jitted
+    chunk function with a DONATED state bounds peak HBM at
+    [state + one chunk's QR workspace] instead of the whole sweep's
+    live set — the v5e fit for the N300 measurement-update prefactor
+    (RESULTS.md queue K/L: the fused program needs 18.7 GiB vs 15.75).
 
     chunk_rows: when set, each window's tall stack is triangularized by
     SEQUENTIAL row-block QRs of at most (2bs + chunk_rows) rows —
@@ -513,6 +533,8 @@ def srif_packed_qr(
 
     with jax.default_matmul_precision(matmul_precision):
         if N == 1:
+            if window_range is not None or state is not None:
+                raise ValueError("window_range/state require N > 1")
             T = jnp.concatenate(panels(0), axis=0)[:, :bs]
             if T.shape[0] < bs:
                 T = jnp.pad(T, ((0, bs - T.shape[0]), (0, 0)))
@@ -554,7 +576,11 @@ def srif_packed_qr(
                 )
                 return P, U, jnp.pad(R_T[bs:, bs:], ((0, 0), (0, bs)))
 
-            P, U, carry = lax.fori_loop(0, Nw, body, (P0, U0, carry0))
+            b_lo, b_hi = (0, Nw) if window_range is None else window_range
+            st0 = (P0, U0, carry0) if state is None else state
+            P, U, carry = lax.fori_loop(b_lo, b_hi, body, st0)
+            if not finalize:
+                return P, U, carry
             carry_last = carry[:, :bs]
             if prior_factor is not None:
                 # fold in the prefactor's final diagonal block (its rows
@@ -602,7 +628,11 @@ def srif_packed_qr(
             P = lax.dynamic_update_slice(P, slot.reshape(1, -1), (B, 0))
             return P, carry
 
-        P, carry = lax.fori_loop(0, N - 1, body, (P0, carry0))
+        b_lo, b_hi = (0, N - 1) if window_range is None else window_range
+        st0 = (P0, carry0) if state is None else state
+        P, carry = lax.fori_loop(b_lo, b_hi, body, st0)
+        if not finalize:
+            return P, carry
         # final block: carry's left half is R[N-1, N-1] (upper-tri; right
         # half is structurally zero — no operand column reaches past n_pad)
         carry_last = carry[:, :bs]
@@ -622,6 +652,107 @@ def srif_packed_qr(
         Rlast = jnp.triu(s[:, None] * carry_last)
         P = lax.dynamic_update_slice(P, Rlast.reshape(1, -1), (N - 1, 0))
         return _fix_padding(PackedBTDRFactor(P, n, bs))
+
+
+@functools.lru_cache(maxsize=32)
+def _chunked_programs(n, N, bs, dtype_name, full_eff, kw_key):
+    """Jitted (step, final) chunk programs for srif_packed_qr_chunked,
+    cached on the static configuration so repeated per-instance calls hit
+    the SAME jit cache (fresh closures per call would recompile the big
+    chunk program for every instance)."""
+    dtype = jnp.dtype(dtype_name)
+    kw = dict(kw_key)
+
+    def _run(ops, cs, pf, rs, state, rng, fin):
+        return srif_packed_qr(
+            list(ops), n, N, bs, dtype=dtype, col_scale=cs,
+            prior_factor=pf, prior_rescale=rs, full_offdiag=full_eff,
+            window_range=rng, state=state, finalize=fin, **kw,
+        )
+
+    step = jax.jit(functools.partial(_run, fin=False), donate_argnums=(4,))
+    final = jax.jit(functools.partial(_run, fin=True), donate_argnums=(4,))
+    return step, final
+
+
+def srif_packed_qr_chunked(
+    operands,
+    n: int,
+    N: int,
+    bs: int,
+    *,
+    chunk_windows: int = 16,
+    dtype=jnp.float32,
+    col_scale=None,
+    prior_factor=None,
+    prior_rescale=None,
+    full_offdiag="auto",
+    **kw,
+):
+    """Host-orchestrated chunked window sweep: the SAME factor as
+    `srif_packed_qr`, built by ceil((N-1)/chunk_windows) dispatches of one
+    jitted chunk program with a DONATED loop state (P[, U], carry).
+
+    Peak device memory per dispatch = resident inputs (operand values,
+    window plans, optional prefactor) + the state (aliased in/out via
+    donation) + ONE chunk's QR workspace — instead of the fused sweep's
+    whole live set. At Darcy N300 with the measurement-update prefactor
+    the fused conditioning program needs 18.7 GiB (> the v5e's 15.75,
+    RESULTS.md queue K); the chunked sweep fits with headroom, re-enabling
+    the prefactor's ~2.4x per-instance QR-flop cut on 16 GB chips.
+
+    Values must be CONCRETE (host orchestration dispatches per chunk) —
+    call outside jit. Traced chunk bounds keep it ONE compile; the window
+    plans and all operand arrays thread through the jit signature (never
+    baked as constants — the relay's HTTP compile-request limit,
+    docs/RELAY_FAULT_REPORT.md).
+    """
+    if N == 1:
+        return srif_packed_qr(
+            operands, n, N, bs, dtype=dtype, col_scale=col_scale,
+            prior_factor=prior_factor, prior_rescale=prior_rescale,
+            full_offdiag=full_offdiag, **kw,
+        )
+    plans = tuple(p for p, _ in operands)
+    spans = [p.max_span for p in plans]
+    needs_full = any(s < 0 or s >= bs for s in spans)
+    prior_full = isinstance(prior_factor, PackedBTDRFullFactor)
+    full_eff = (
+        (needs_full or prior_full)
+        if full_offdiag == "auto"
+        else bool(full_offdiag)
+    )
+    splits = {p.split for p in plans}
+    if len(splits) != 1:
+        raise ValueError(f"operand plans disagree on split: {splits}")
+    W = bs + bs // splits.pop()
+
+    kw_key = tuple(sorted(kw.items()))
+    step, final = _chunked_programs(
+        n, N, bs, np.dtype(dtype).name, bool(full_eff), kw_key
+    )
+
+    nloop = N - 1
+    P0 = jnp.zeros((N, bs * bs), dtype)
+    carry0 = jnp.zeros((bs, W), dtype)
+    state = (
+        (P0, jnp.zeros((nloop, bs * bs), dtype), carry0)
+        if full_eff
+        else (P0, carry0)
+    )
+    cs = None if col_scale is None else jnp.asarray(col_scale)
+    rs = None if prior_rescale is None else jnp.asarray(prior_rescale)
+    ops = tuple(operands)
+    for b0 in range(0, nloop, chunk_windows):
+        b1 = min(b0 + chunk_windows, nloop)
+        state = step(
+            ops, cs, prior_factor, rs, state,
+            (jnp.asarray(b0), jnp.asarray(b1)),
+        )
+    return final(
+        ops, cs, prior_factor, rs, state,
+        (jnp.asarray(nloop), jnp.asarray(nloop)),
+    )
 
 
 def _fix_padding(F: PackedBTDRFactor) -> PackedBTDRFactor:

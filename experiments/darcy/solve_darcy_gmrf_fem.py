@@ -97,10 +97,17 @@ def parse_cmd():
                    help="matmul precision in the f32 BTD factor sweep: "
                         "float32 | tensorfloat32")
     p.add_argument("--sqrt_prefactor", type=str, default="auto",
-                   choices=("auto", "on", "off"),
+                   choices=("auto", "on", "off", "chunked"),
                    help="SRIF measurement-update prefactor: pre-reduce the "
                         "prior rows once at discretization (auto: on at "
-                        "bs >= 512)")
+                        "bs >= 512). 'chunked': prefactor ON with the "
+                        "window sweep run as host-orchestrated chunked "
+                        "dispatches (donated factor state) — the v5e HBM "
+                        "fit at N_xy=300 where the fused prefactor program "
+                        "needs 18.7 GiB (requires --sqrt --mean_only, "
+                        "batch=1)")
+    p.add_argument("--srif_chunk_windows", type=int, default=16,
+                   help="windows per dispatch in the chunked sweep")
     p.add_argument("--sqrt", action="store_true",
                    help="SRIF square-root factorization: windowed QR of the "
                         "stacked [Lambda_Q; sqrt(tau) A] (implies --packed); "
@@ -180,9 +187,9 @@ def main():
         prior = discretize_matern(
             spde, disc, compact=args.compact, packed=args.packed,
             sqrt=args.sqrt,
-            sqrt_prefactor={"auto": "auto", "on": True, "off": False}[
-                args.sqrt_prefactor
-            ],
+            sqrt_prefactor={
+                "auto": "auto", "on": True, "off": False, "chunked": True,
+            }[args.sqrt_prefactor],
         )
     obs = DarcyFEMObservations(
         disc,
@@ -333,12 +340,140 @@ def main():
     def solve_jit(coeff, key, soln_flat):
         return _solve(prior_dev, pat, pat_E, geom_dev, obs_st, coeff, key, soln_flat)
 
+    use_chunked = args.sqrt and args.sqrt_prefactor == "chunked"
+    if use_chunked:
+        # host-orchestrated conditioning: (A) assembly+equilibration+rhs,
+        # (B) chunked prefactor window sweep with a donated factor state
+        # (ops/srif.srif_packed_qr_chunked — the v5e HBM fit at N300),
+        # (C) refined mean solve on the prebuilt factor.
+        if args.batch > 1 or args.nll or not args.mean_only:
+            raise SystemExit(
+                "--sqrt_prefactor chunked requires --mean_only, batch=1, "
+                "no --nll (host-orchestrated mean pipeline)"
+            )
+        from diffeqgmrfs_tpu.ops.refine import (
+            SymSumOp,
+            SRIFConditionFactor,
+            srif_condition_scale,
+        )
+        from diffeqgmrfs_tpu.ops.srif import srif_packed_qr_chunked
+
+        def _ck_asm(coeff):
+            return obs(coeff, geom=geom_dev, structure=obs_st)
+
+        def _ck_h_op(prior_arg, pattern, A_free):
+            x = (
+                prior_arg.inner_gmrf
+                if hasattr(prior_arg, "affine")
+                else prior_arg
+            )
+            tau64 = jnp.asarray(Q_eps, dtype=x.precision64.vals.dtype)
+            return x, tau64, SymSumOp(
+                x.precision64, A_free, tau64, diag_Q=x.diag64,
+                a_plan=pattern if hasattr(pattern, "t_rows") else None,
+            )
+
+        def _ck_stage_a(prior_arg, pattern, A, ys):
+            if hasattr(prior_arg, "affine"):
+                A_free = prior_arg.affine.condense_rowop(A)
+                y_free = jnp.asarray(ys) - prior_arg.affine.offset_shift(A)
+            else:
+                A_free, y_free = A, jnp.asarray(ys)
+            x, tau64, H_op = _ck_h_op(prior_arg, pattern, A_free)
+            d = srif_condition_scale(H_op, pattern)
+            cs = 1.0 / d
+            rs = cs.astype(jnp.float32) / jnp.asarray(
+                x.sqrt_cs0, jnp.float32
+            )
+            Av = A_free.vals * jnp.sqrt(tau64)
+            rhs = x.precision64.matvec(x.mu) + tau64 * A_free.rmatvec(
+                jnp.asarray(y_free, dtype=tau64.dtype)
+            )
+            return A_free, Av, cs, rs, rhs
+
+        def _ck_stage_c(prior_arg, pattern, A_free, F32, rhs):
+            x, _, H_op = _ck_h_op(prior_arg, pattern, A_free)
+            ri = args.refine_iters or None
+            factor = SRIFConditionFactor(
+                H_op, pattern, None, None,
+                x.precision.n, x.precision.N, x.precision.bs,
+                **({} if ri is None else {"refine_iters": int(ri)}),
+                gemm_solves=args.gemm_solves,
+                prefactored=F32,
+            )
+            mu_free = factor.solve(rhs)
+            mu_full = (
+                prior_arg.affine.free_to_full(mu_free)
+                if hasattr(prior_arg, "affine")
+                else mu_free
+            )
+            return E.matvec(mu_full).reshape(ny, nx)
+
+        ck_asm = jax.jit(_ck_asm)
+        ck_a = jax.jit(_ck_stage_a)
+        ck_c = jax.jit(_ck_stage_c)
+        _x_host = (
+            prior_put.inner_gmrf
+            if hasattr(prior_put, "affine")
+            else prior_put
+        )
+        _ck_shape = (
+            _x_host.precision.n, _x_host.precision.N, _x_host.precision.bs
+        )
+        _ck_prior_R = _x_host.sqrt_R32
+        assert _ck_prior_R is not None, (
+            "--sqrt_prefactor chunked needs a prior discretized with an "
+            "active sqrt prefactor (sqrt_R32)"
+        )
+
+        def _ck_cond_mean(A_, ys_):
+            A_free, Av, cs, rs, rhs = ck_a(prior_dev, pat, A_, ys_)
+            nq, Nq, bsq = _ck_shape
+            F32 = srif_packed_qr_chunked(
+                [(pat, Av)], nq, Nq, bsq, dtype=jnp.float32,
+                col_scale=cs, prior_factor=_ck_prior_R, prior_rescale=rs,
+                chunk_windows=args.srif_chunk_windows,
+                chunk_rows=(
+                    args.srif_chunk if args.srif_chunk in ("auto",)
+                    else None if args.srif_chunk == "off"
+                    else int(args.srif_chunk)
+                ),
+                matmul_precision=args.srif_precision,
+                qr_impl=args.srif_qr_impl,
+            )
+            return ck_c(prior_dev, pat, A_free, F32, rhs)
+
+        def solve_jit(coeff, key, soln_flat):  # noqa: F811
+            A_, ys_ = ck_asm(coeff)
+            pred = _ck_cond_mean(A_, ys_)
+            z = jnp.zeros(())
+            return pred, z, z, z, z
+
     def _solve_batch(vsolve, prior_arg, pattern, pattern_E, coeffs, keys, solns):
         return vsolve(prior_arg, pattern, pattern_E, geom_dev, obs_st, coeffs, keys, solns)
 
     # warm-up compile (reference "Trigger precompilation")
     key = jax.random.PRNGKey(523802340)
     soln0, coeff0 = (jnp.asarray(v) for v in ds.get_problem(0))
+
+    if args.phase_probe and use_chunked:
+        # chunked-prefactor probe: assembly program + host-orchestrated
+        # conditioning (stage A + chunked QR dispatches + refined mean)
+        f_asm = jax.jit(
+            lambda c: obs(c, geom=geom_dev, structure=obs_st)
+        )
+        for it in range(3):
+            cur = PhaseTimers()
+            with cur("assembly"):
+                A_, ys_ = f_asm(coeff0)
+                cur.sync(A_.vals)
+            with cur("cond+mean"):
+                mu_ = _ck_cond_mean(A_, ys_)
+                cur.sync(mu_)
+            d = {k: round(v / 1e9, 2) for k, v in cur.as_dict().items()}
+            log.info("phase_probe pass %d: %s", it, d)
+            mu_ = None  # noqa: F841
+        return
 
     if args.phase_probe:
         # phase-split instance timing: separate jits per phase (assembly /

@@ -8,7 +8,11 @@ import jax.numpy as jnp
 import pytest
 
 from diffeqgmrfs_tpu.fem.operators import RowOp
-from diffeqgmrfs_tpu.ops.srif import srif_packed_qr, rowop_window_plan
+from diffeqgmrfs_tpu.ops.srif import (
+    srif_packed_qr,
+    srif_packed_qr_chunked,
+    rowop_window_plan,
+)
 
 
 def _banded_random(rng, n, lo, up, scale=1.0, m=None):
@@ -774,6 +778,67 @@ def test_ata_btd_windows_split():
         refs = np.tril(np.asarray(G1.to_dense())[:n, :n])
         assert np.allclose(np.tril(Gd), refs, rtol=1e-10, atol=1e-10)
         assert np.allclose(np.tril(Gd), np.tril(ref), rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("split", [1, 2])
+@pytest.mark.parametrize("chunk_windows", [1, 2])
+def test_srif_chunked_dispatch_matches(split, chunk_windows):
+    """Host-orchestrated chunked window sweep (donated state, traced chunk
+    bounds — the v5e HBM fit for the N300 prefactor) produces the
+    entrywise-identical factor to the fused one-shot sweep: banded,
+    split-window, measurement-update-prefactor, and full-offdiagonal
+    forms."""
+    rng = np.random.default_rng(31)
+    n, bs, tau = 50, 16, 2.0
+    Lam = _banded_random(rng, n, 3, 5) + 3.0 * sp.eye(n)
+    A = _banded_random(rng, n, 4, 4)
+    N = -(-n // bs)
+    Lam_op, A_op = RowOp.from_csr(Lam), RowOp.from_csr(A)
+    H = (Lam.T @ Lam + tau * A.T @ A).toarray()
+    cs = 1.0 / np.sqrt(np.diag(H))
+    lam_plan = rowop_window_plan(Lam_op, n, bs, split=split)
+    a_plan = rowop_window_plan(A_op, n, bs, split=split)
+    ops = [(lam_plan, Lam_op.vals), (a_plan, A_op.vals * np.sqrt(tau))]
+    F1 = srif_packed_qr(ops, n, N, bs, dtype=jnp.float64,
+                        col_scale=jnp.asarray(cs))
+    Fc = srif_packed_qr_chunked(
+        ops, n, N, bs, dtype=jnp.float64, col_scale=jnp.asarray(cs),
+        chunk_windows=chunk_windows,
+    )
+    assert np.allclose(np.asarray(Fc.P), np.asarray(F1.P),
+                       rtol=1e-12, atol=1e-12)
+    # measurement-update prefactor through the chunked sweep
+    cs0 = 1.0 / np.sqrt((Lam.T @ Lam).diagonal())
+    R0 = srif_packed_qr([(lam_plan, Lam_op.vals)], n, N, bs,
+                        dtype=jnp.float64, col_scale=jnp.asarray(cs0))
+    F2 = srif_packed_qr(
+        [(a_plan, A_op.vals * np.sqrt(tau))], n, N, bs, dtype=jnp.float64,
+        col_scale=jnp.asarray(cs), prior_factor=R0,
+        prior_rescale=jnp.asarray(cs / cs0),
+    )
+    F2c = srif_packed_qr_chunked(
+        [(a_plan, A_op.vals * np.sqrt(tau))], n, N, bs, dtype=jnp.float64,
+        col_scale=jnp.asarray(cs), prior_factor=R0,
+        prior_rescale=jnp.asarray(cs / cs0), chunk_windows=chunk_windows,
+    )
+    assert np.allclose(np.asarray(F2c.P), np.asarray(F2.P),
+                       rtol=1e-12, atol=1e-12)
+    if split == 1:
+        # full-offdiagonal packing (forced; banded operands -> U exercised)
+        Ff = srif_packed_qr(ops, n, N, bs, dtype=jnp.float64,
+                            col_scale=jnp.asarray(cs), full_offdiag=True)
+        Ffc = srif_packed_qr_chunked(
+            ops, n, N, bs, dtype=jnp.float64, col_scale=jnp.asarray(cs),
+            full_offdiag=True, chunk_windows=chunk_windows,
+        )
+        assert np.allclose(np.asarray(Ffc.P), np.asarray(Ff.P),
+                           rtol=1e-12, atol=1e-12)
+        assert np.allclose(np.asarray(Ffc.U), np.asarray(Ff.U),
+                           rtol=1e-12, atol=1e-12)
+    b = rng.normal(size=n)
+    x = np.asarray(Fc.solve(jnp.asarray(b)))
+    xs_ref = np.linalg.solve(H / (1 / cs)[:, None] / (1 / cs)[None, :], b)
+    assert np.allclose(x, xs_ref, rtol=1e-9, atol=1e-9)
 
 
 def test_srif_prior_prefactor_matches_oneshot():
