@@ -83,10 +83,14 @@ class RowOp:
         return jnp.einsum("rk,...rk->...r", self.vals, x[..., self.cols])
 
     def rmatvec(self, y):
-        """A^T @ y, y [..., n_rows] -> [..., n_cols] (batched)."""
+        """A^T @ y, y [..., n_rows] -> [..., n_cols] (batched).
+
+        Accumulates in the promoted dtype: an f64 y against f32 vals must
+        NOT be downcast by the scatter-add buffer (the f64-Krylov PCG path
+        applies H through this with f32 operator values)."""
         y = jnp.asarray(y)
         contrib = self.vals * y[..., :, None]  # [..., n_rows, K]
-        out = jnp.zeros(y.shape[:-1] + (self.n_cols,), dtype=self.vals.dtype)
+        out = jnp.zeros(y.shape[:-1] + (self.n_cols,), dtype=contrib.dtype)
         cols = jnp.asarray(self.cols).reshape(-1)
         return out.at[..., cols].add(
             contrib.reshape(*contrib.shape[:-2], -1)

