@@ -31,6 +31,22 @@ run_job() {
   echo "=== [$(date +%H:%M:%S)] $name done rc=$rc (${dt}s)" >> "$OUT/queue_o_runner.log"
 }
 
+# 0. THE FLAGSHIP under the delta-form GN + f64-Krylov PCG + f64 line
+#    search (commit faeccce): every prior arm diverged because (a) the
+#    direct-form solve amplified direction error by ||x||/||dx|| from the
+#    warm start, (b) f32 PCG never fired the overflow-rescued
+#    preconditioner sweeps, (c) the f32 damping objective carried ~1e2
+#    noise. gn_diag logs the per-step f64 MAP objective + trajectory
+#    rel_err (instance 0) as the evidence chain.
+run_job flagship_fix 3600 python experiments/burgers/solve_burgers_gmrf_fem.py \
+  --N_x 800 --n_t_data 100 --N_instances 3 --sqrt --stepwise --warm_start \
+  --damping --max_steps 25 --pad_block 128 --srif_solve pcg --gn_diag
+
+# 0b. The N400x100 rung (its queue-M arm crashed the relay mid-run).
+run_job sweep_N400x100_fix 1800 python experiments/burgers/solve_burgers_gmrf_fem.py \
+  --N_x 400 --n_t_data 100 --N_instances 3 --sqrt --stepwise --warm_start \
+  --damping --max_steps 25 --pad_block 128 --srif_solve pcg
+
 # 1. N300 chunked-prefactor rate (phase probe, xla engine).
 run_job darcy_N300_chunked 2700 python experiments/darcy/solve_darcy_gmrf_fem.py \
   --N_xy 300 --grid 241 --N_instances 2 --sqrt --sqrt_prefactor chunked \
