@@ -111,8 +111,11 @@ def main():
         Jc = affine.condense_rowop(J)
         H = add_ata(Q, Jc, tau)
         F = btd_cholesky(H)
-        w_new = F.solve(Qmu + tau * Jc.rmatvec(Jc.matvec(w) - f))
-        step = float(jnp.linalg.norm(w_new - w))
+        # delta form (H dx = -grad): numerically preferable to solving for
+        # w_new directly — see solvers/gauss_newton.py body
+        dx = F.solve(Qmu - Q.matvec(w) - tau * Jc.rmatvec(f))
+        w_new = w + dx
+        step = float(jnp.linalg.norm(dx))
         r = float(jnp.linalg.norm(f))
         log.info("newton %d: |f| = %.3e, |dx| = %.3e", it, r, step)
         w = w_new
