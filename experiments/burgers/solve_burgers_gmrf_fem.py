@@ -102,6 +102,14 @@ def parse_cmd():
     p.add_argument("--warm_substeps", type=int, default=2,
                    help="internal implicit-Euler substeps per observation "
                         "interval in the warm-start march")
+    p.add_argument("--warm_src", choices=("fit", "posterior"), default="fit",
+                   help="march IC source: 'fit' = dense-grid least-squares "
+                        "fit of the OBSERVED IC (march_check.py; robust at "
+                        "every N_x), 'posterior' = slice 0 of the f32 "
+                        "IC-conditioned posterior mean (the round-2 "
+                        "default; garbage at N_x=800 where the f32 "
+                        "conditioning sweep is beyond validity — "
+                        "RESULTS.md queue P)")
     p.add_argument("--max_steps", type=int, default=15,
                    help="Gauss-Newton step cap (StepNumberCriterion)")
     p.add_argument("--stepwise", action="store_true",
@@ -249,13 +257,37 @@ def main():
         march = BurgersForwardMarch(
             disc, ts, ds.nu, substeps=args.warm_substeps
         )
+        if args.warm_src == "fit":
+            # dense-grid least-squares IC fit (march_check.py): a bare
+            # lstsq on the coarse data grid is underdetermined at
+            # N_x >= 64 (min-norm oscillation Burgers amplifies), so fit
+            # a periodic interp of the data on a 2049-point grid. The
+            # pinv is built once per mesh on the CPU backend (the host
+            # numpy here has no SIMD).
+            _x_fine = np.linspace(0.0, 1.0, 2049)
+            _E_fine = np.asarray(
+                evaluation_matrix(disc, _x_fine).to_dense()
+            )
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                _P_fit_h = np.asarray(
+                    jnp.linalg.pinv(jnp.asarray(_E_fine, jnp.float64))
+                )
+            _P_fit = jnp.asarray(_P_fit_h, jnp.float32)
+            _xf_j = jnp.asarray(_x_fine, jnp.float32)
+            _xc_j = jnp.asarray(np.asarray(x_coords), jnp.float32)
 
-        def _warm_x0(mu_ic):
+        def _warm_x0(mu_ic, ic_obs):
             # march in f32 (TPU LuDecomposition has no f64 path; precision
             # is irrelevant for an initial iterate), restrict back to the
             # padded free layout in the iterate dtype
-            mu_full = affine_st.free_to_full(mu_ic)
-            u0 = mu_full[: disc.ndofs].astype(jnp.float32)
+            if args.warm_src == "fit":
+                ic_f = jnp.interp(
+                    _xf_j, _xc_j, ic_obs.astype(jnp.float32), period=1.0
+                )
+                u0 = _P_fit @ ic_f
+            else:
+                mu_full = affine_st.free_to_full(mu_ic)
+                u0 = mu_full[: disc.ndofs].astype(jnp.float32)
             W = march.trajectory(u0)
             return affine_st.restrict(W.reshape(-1)).astype(mu_ic.dtype)
 
@@ -332,7 +364,7 @@ def main():
                 srif_prior_R=pre[0],
                 srif_prior_cs0=pre[1],
             )
-            x0 = _warm_x0(mu_ic) if args.warm_start else mu_ic
+            x0 = _warm_x0(mu_ic, ic) if args.warm_start else mu_ic
             result = gauss_newton(
                 mu_ic,
                 ShapeOnly(q_ic.n, q_ic.N, q_ic.bs),
@@ -358,7 +390,7 @@ def main():
         ic_pred = E_st.matvec(x_ic.mean()).reshape(N_t, len(x_coords))
         gn_aux_t = dict(ata_pattern=aux)
         x0 = (
-            _warm_x0(x_ic.inner_gmrf.mean())
+            _warm_x0(x_ic.inner_gmrf.mean(), ic)
             if args.warm_start else x_ic.inner_gmrf.mean()
         )
         result = gauss_newton(
@@ -512,7 +544,7 @@ def main():
                 t0 = _t.perf_counter()
                 mu_ic, q_ic, eta_ic, gamma, pre = vsw_setup(ics, gn_aux)
                 ic_pred = vsw_icpred(mu_ic)
-                x = vsw_warm(mu_ic) if args.warm_start else mu_ic
+                x = vsw_warm(mu_ic, ics) if args.warm_start else mu_ic
                 jax.block_until_ready(x)
                 t_setup = _t.perf_counter() - t0
                 t0 = _t.perf_counter()
@@ -560,7 +592,7 @@ def main():
         def solve_jit(ic, key):
             mu_ic, q_ic, eta_ic, gamma, pre = sw_setup(ic, gn_aux)
             ic_pred = sw_icpred(mu_ic)
-            x = sw_warm(mu_ic) if args.warm_start else mu_ic
+            x = sw_warm(mu_ic, ic) if args.warm_start else mu_ic
             _gn_diag("x0 (warm)" if args.warm_start else "x0 (mu_ic)",
                      x, q_ic, eta_ic)
             n_steps = 0
