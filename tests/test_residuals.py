@@ -165,3 +165,31 @@ def test_burgers_forward_march_solves_folded_residual():
     W = march.trajectory(u0)
     f, _ = res.f_and_J(W.reshape(-1))
     assert float(jnp.max(jnp.abs(f))) < 1e-10
+
+
+def test_dense_grid_lstsq_ic_fit_underdetermined_regime():
+    """The warm-start march IC: a dense-grid (periodic-interp) lstsq fit
+    of the observed IC stays accurate AND bounded when the FEM dofs
+    outnumber the data points — the regime where (a) a bare coarse-grid
+    lstsq is underdetermined (min-norm oscillation Burgers amplifies) and
+    (b) slice 0 of the f32-conditioned ST posterior mean went to garbage
+    at the flagship N_x=800 (RESULTS.md queue P). Mirrors the sweep
+    driver's `--warm_src fit` construction."""
+    from diffeqgmrfs_tpu.fem import evaluation_matrix
+
+    disc = periodic_unit_interval_discretization(96, element_order=2)
+    x_data = np.linspace(0.0, 1.0, 129)  # 129 obs < 192 free dofs
+    ic = 0.4 + 0.3 * np.sin(2 * np.pi * x_data) + 0.1 * np.cos(
+        6 * np.pi * x_data
+    )
+    x_fine = np.linspace(0.0, 1.0, 2049)
+    E_fine = np.asarray(evaluation_matrix(disc, x_fine).to_dense())
+    ic_fine = np.interp(x_fine, x_data, ic, period=1.0)
+    u0, *_ = np.linalg.lstsq(E_fine, ic_fine, rcond=None)
+    # reproduces the data
+    E_data = np.asarray(evaluation_matrix(disc, x_data).to_dense())
+    err = np.max(np.abs(E_data @ u0 - ic))
+    assert err < 5e-4, err
+    # bounded (no min-norm oscillation): coefficients stay near the
+    # function range
+    assert np.max(np.abs(u0)) < 1.0, np.max(np.abs(u0))
