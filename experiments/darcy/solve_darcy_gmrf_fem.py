@@ -87,6 +87,15 @@ def parse_cmd():
     p.add_argument("--mean_only", action="store_true",
                    help="skip posterior std/sampling (memory bisection / "
                         "mean-benchmark mode)")
+    p.add_argument("--phase_split", action="store_true",
+                   help="host-orchestrated FULL posterior: factor+mean, "
+                        "Takahashi std, and sampling run as separate jitted "
+                        "dispatches with the factor pytree crossing the jit "
+                        "boundaries. The fused mean+std+sample program needs "
+                        "18.8 GiB at N_xy=300 (queue-L darcy_N300_full "
+                        "RESOURCE_EXHAUSTED); the split keeps peak HBM at "
+                        "~(prior args + one factor + scan carries). "
+                        "Requires --sqrt, batch=1, no --nll")
     p.add_argument("--factor_winv", type=int, default=0,
                    help="panel-inverse GEMM-chain TRSM in the f32 BTD "
                         "factor sweep (panel size; 0 = monolithic TRSM)")
@@ -448,6 +457,52 @@ def main():
             pred = _ck_cond_mean(A_, ys_)
             z = jnp.zeros(())
             return pred, z, z, z, z
+
+    if args.phase_split:
+        if args.batch > 1 or args.nll or args.mean_only or use_chunked:
+            raise SystemExit(
+                "--phase_split requires batch=1, no --nll/--mean_only/"
+                "--sqrt_prefactor chunked (host-orchestrated full posterior)"
+            )
+
+        ps_asm = jax.jit(lambda c: obs(c, geom=geom_dev, structure=obs_st))
+
+        def _ps_cond(pr, pt, A, ys):
+            post = condition_on_observations(
+                pr, A, Q_eps, ys, solver_blueprint=bp, pattern=pt
+            )
+            inner = post.inner_gmrf if hasattr(post, "inner_gmrf") else post
+            # factor is a pytree: H_op children alias the jit INPUTS
+            # (zero-copy pass-through), so the only fresh output buffer is
+            # the packed R itself
+            return inner.factor, inner.mu, post.mean()
+
+        def _ps_std_smp_full(pr, stdf, smpf):
+            if hasattr(pr, "affine"):
+                var_full = jnp.asarray(pr.affine.s_coef) ** 2 * (
+                    (stdf**2)[..., pr.affine.s_col]
+                )
+                return jnp.sqrt(var_full), pr.affine.free_to_full(smpf)
+            return stdf, smpf
+
+        ps_cond = jax.jit(_ps_cond)
+        ps_eval = jax.jit(lambda mu: E.matvec(mu))
+        ps_std = jax.jit(lambda factor: jnp.sqrt(factor.variance_diag()))
+        ps_smp = jax.jit(
+            lambda factor, mu_free, k: mu_free[None, :]
+            + factor.sample_zero_mean(k, 1)
+        )
+        ps_full = jax.jit(_ps_std_smp_full)
+
+        def solve_jit(coeff, key, soln_flat):  # noqa: F811
+            A_, ys_ = ps_asm(coeff)
+            factor, mu_free, mu_full = ps_cond(prior_dev, pat, A_, ys_)
+            pred = ps_eval(mu_full).reshape(ny, nx)
+            std_free = ps_std(factor)
+            smp_free = ps_smp(factor, mu_free, key)
+            std_full, smp_full = ps_full(prior_dev, std_free, smp_free)
+            z = jnp.zeros(())
+            return pred, std_full, smp_full, z, z
 
     def _solve_batch(vsolve, prior_arg, pattern, pattern_E, coeffs, keys, solns):
         return vsolve(prior_arg, pattern, pattern_E, geom_dev, obs_st, coeffs, keys, solns)

@@ -1031,3 +1031,76 @@ def test_srif_tshh_engine_matches():
     x_ref = np.linalg.solve(H, b)
     rel = np.linalg.norm(x32 - x_ref) / np.linalg.norm(x_ref)
     assert rel < 1e-3, rel
+
+
+def test_srif_phase_split_factor_crosses_jit_boundary():
+    """Host-orchestrated full posterior (driver --phase_split): the SRIF
+    condition factor pytree is RETURNED from one jitted program and
+    CONSUMED by separate jitted std/sample/solve programs, with exact
+    parity to the fused in-jit posterior. This is the HBM-limit execution
+    mode at Darcy N_xy=300 where the fused mean+std+sample program
+    exceeds 15.75 GiB (queue-L darcy_N300_full)."""
+    import jax
+    from diffeqgmrfs_tpu.fem import uniform_unit_square_discretization
+    from diffeqgmrfs_tpu.models import MaternSPDE, discretize_matern
+    from diffeqgmrfs_tpu.gmrf import condition_on_observations
+    from diffeqgmrfs_tpu.problems import DarcyFEMObservations
+    from diffeqgmrfs_tpu.solvers import CholeskySolverBlueprint
+    from diffeqgmrfs_tpu.ops.ata_windows import make_ata_window_plan
+
+    N_xy = 8
+    disc = uniform_unit_square_discretization(N_xy, element_order=2)
+    gx = np.linspace(0, 1, 17)
+    rng = np.random.default_rng(3)
+    coeff = jnp.asarray(np.where(rng.normal(size=(17, 17)) > 0, 12.0, 3.0))
+
+    spde = MaternSPDE(d=2, range=1 / np.sqrt(N_xy), smoothness=2)
+    prior = discretize_matern(spde, disc, sqrt=True, sqrt_prefactor=False)
+    obs = DarcyFEMObservations(
+        disc, gx, gx, beta=1.0,
+        prescribed_dofs=disc.constraint_handler.prescribed_dofs,
+    )
+    A, ys = obs(coeff)
+    inner = prior.inner_gmrf
+    A_c = prior.affine.condense_rowop(A)
+    zs = np.asarray(prior.affine.s_coef)[A.cols] == 0.0
+    pat = make_ata_window_plan(
+        A_c.cols, inner.precision.n, inner.precision.bs, zero_slots=zs
+    )
+    bp = CholeskySolverBlueprint(sqrt_factor=True)
+    key = jax.random.PRNGKey(7)
+
+    # fused reference: everything inside one jit
+    def fused(pr, pt, A_, ys_, k):
+        post = condition_on_observations(
+            pr, A_, 1e8, ys_, solver_blueprint=bp, pattern=pt
+        )
+        return post.mean(), post.std(), post.sample(k, 1)
+
+    mu_f, std_f, smp_f = jax.jit(fused)(prior, pat, A, ys, key)
+
+    # phase-split: factor exported from the conditioning program, consumed
+    # by separate std / sample programs (the driver's --phase_split wiring)
+    def cond(pr, pt, A_, ys_):
+        post = condition_on_observations(
+            pr, A_, 1e8, ys_, solver_blueprint=bp, pattern=pt
+        )
+        return post.inner_gmrf.factor, post.inner_gmrf.mu, post.mean()
+
+    factor, mu_free, mu_full = jax.jit(cond)(prior, pat, A, ys)
+    std_free = jax.jit(lambda f: jnp.sqrt(f.variance_diag()))(factor)
+    smp_free = jax.jit(
+        lambda f, m, k: m[None, :] + f.sample_zero_mean(k, 1)
+    )(factor, mu_free, key)
+
+    def to_full(pr, sf, mf):
+        var_full = jnp.asarray(pr.affine.s_coef) ** 2 * (
+            (sf**2)[..., pr.affine.s_col]
+        )
+        return jnp.sqrt(var_full), pr.affine.free_to_full(mf)
+
+    std_s, smp_s = jax.jit(to_full)(prior, std_free, smp_free)
+
+    assert np.allclose(np.asarray(mu_full), np.asarray(mu_f), rtol=1e-12, atol=1e-12)
+    assert np.allclose(np.asarray(std_s), np.asarray(std_f), rtol=1e-10, atol=1e-12)
+    assert np.allclose(np.asarray(smp_s), np.asarray(smp_f), rtol=1e-10, atol=1e-10)
