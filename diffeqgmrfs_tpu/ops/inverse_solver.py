@@ -246,16 +246,19 @@ class RFullInverseSolver:
         z = jax.random.normal(key, (n_samples, self.n), dtype=self.dtype)
         return self.backward_solve(z)
 
-    def variance_diag(self):
+    def variance_diag(self, compute_dtype=None):
         """Takahashi selected inversion riding the precomputed Us (no
-        per-step triangular solves)."""
+        per-step triangular solves). `compute_dtype` casts per step
+        (overflow-only rescue: the f32 inverses are already formed)."""
+        dt = compute_dtype or self.Us.dtype
         with jax.default_matmul_precision("float32"):
-            V_N = self.Us[-1]
+            V_N = self.Us[-1].astype(dt)
             Sigma_N = V_N @ V_N.T
 
             def step(Sigma_next, inp):
                 V, U_i = inp
-                W2 = V @ U_i
+                V = V.astype(dt)
+                W2 = V @ U_i.astype(dt)
                 Sigma_i = V @ V.T + W2 @ (Sigma_next @ W2.T)
                 return Sigma_i, jnp.diagonal(Sigma_i)
 

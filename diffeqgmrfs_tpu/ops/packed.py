@@ -238,16 +238,24 @@ class PackedBTDCholesky:
         z = jax.random.normal(key, (n_samples, self.n), dtype=self.dtype)
         return self.backward_solve(z)
 
-    def variance_diag(self):
+    def variance_diag(self, compute_dtype=None):
         """Takahashi selected inversion on the packed factor
-        (cf. ops/takahashi.py; step i reads C_{i+1} from slot i+1)."""
+        (cf. ops/takahashi.py; step i reads C_{i+1} from slot i+1).
+
+        `compute_dtype`: run the recursion in this dtype (slots cast per
+        step). The f32 recursion OVERFLOWS on clamped beyond-f32-validity
+        factors (diag floored at 2e-7 rel -> W entries ~5e6 -> Sigma
+        products past 3.4e38 within a few blocks) while the f64 recursion
+        of the SAME factor is finite and correct — the flagship N800x100
+        std NaN, RESULTS.md round 2."""
+        dt = compute_dtype or self.dtype
         with jax.default_matmul_precision("float32"):
             bs = self.bs
-            eye = jnp.eye(bs, dtype=self.dtype)
+            eye = jnp.eye(bs, dtype=dt)
 
             def inv_lower(P_i):
                 return lax.linalg.triangular_solve(
-                    jnp.tril(P_i), eye, left_side=True, lower=True
+                    jnp.tril(P_i).astype(dt), eye, left_side=True, lower=True
                 )
 
             P = self.P
@@ -258,7 +266,7 @@ class PackedBTDCholesky:
                 P_i = lax.dynamic_slice(P, (i, 0, 0), (1, bs, bs))[0]
                 P_ip1 = lax.dynamic_slice(P, (i + 1, 0, 0), (1, bs, bs))[0]
                 W = inv_lower(P_i)
-                G = jnp.triu(P_ip1, 1) @ W
+                G = jnp.triu(P_ip1, 1).astype(dt) @ W
                 Sigma_i = W.T @ W + G.T @ (Sigma_next @ G)
                 return Sigma_i, jnp.diagonal(Sigma_i)
 
@@ -417,16 +425,19 @@ class PackedBTDRFactor:
         z = jax.random.normal(key, (n_samples, self.n), dtype=self.dtype)
         return self.backward_solve(z)
 
-    def variance_diag(self):
+    def variance_diag(self, compute_dtype=None):
         """Takahashi selected inversion in R-form: with L = R^T,
-        W_i = L_i^{-1} = (R_ii^{-1})^T and C_{i+1} = R[i,i+1]^T (slot i)."""
+        W_i = L_i^{-1} = (R_ii^{-1})^T and C_{i+1} = R[i,i+1]^T (slot i).
+        `compute_dtype`: see PackedBTDCholesky.variance_diag (f64 rescue
+        for clamped beyond-f32-validity factors)."""
+        dt = compute_dtype or self.dtype
         with jax.default_matmul_precision("float32"):
             bs = self.block
-            eye = jnp.eye(bs, dtype=self.dtype)
+            eye = jnp.eye(bs, dtype=dt)
 
             def inv_upper(P_i):
                 return lax.linalg.triangular_solve(
-                    jnp.triu(P_i), eye, left_side=True, lower=False
+                    jnp.triu(P_i).astype(dt), eye, left_side=True, lower=False
                 )
 
             V_N = inv_upper(self.P[-1].reshape(bs, bs))  # R_NN^{-1}
@@ -438,7 +449,7 @@ class PackedBTDRFactor:
                 # G = C_{i+1} W = (V tril(P_i,-1))^T; with W2 = V tril(P_i,-1)
                 # the recursion G^T Sigma G = W2 Sigma W2^T needs no
                 # materialized transpose of factor slices
-                W2 = V @ jnp.tril(P_i, -1)
+                W2 = V @ jnp.tril(P_i, -1).astype(dt)
                 Sigma_i = V @ V.T + W2 @ (Sigma_next @ W2.T)
                 return Sigma_i, jnp.diagonal(Sigma_i)
 
@@ -594,16 +605,20 @@ class PackedRInverseSolver(PackedBTDRFactor):
         acc = lax.fori_loop(0, self.N, body, jnp.zeros((), self.dtype))
         return -2.0 * acc
 
-    def variance_diag(self):
+    def variance_diag(self, compute_dtype=None):
         """Takahashi selected inversion reusing the stored inverses
-        (V = triu(slot) directly — no per-slot triangular solve)."""
+        (V = triu(slot) directly — no per-slot triangular solve).
+        `compute_dtype`: casts the stored-inverse slots per step (the
+        f32 INVERSES are already formed, so unlike the factor classes
+        this cannot recover digits — it only prevents product overflow)."""
+        dt = compute_dtype or self.dtype
         with jax.default_matmul_precision("float32"):
             bs = self.block
-            V_N = jnp.triu(self.P[-1].reshape(bs, bs))
+            V_N = jnp.triu(self.P[-1].reshape(bs, bs)).astype(dt)
             Sigma_N = V_N @ V_N.T
 
             def step(Sigma_next, i):
-                P_i = self._slot(i)
+                P_i = self._slot(i).astype(dt)
                 V = jnp.triu(P_i)
                 W2 = V @ jnp.tril(P_i, -1)
                 Sigma_i = V @ V.T + W2 @ (Sigma_next @ W2.T)
@@ -753,16 +768,19 @@ class PackedBTDRFullFactor:
         z = jax.random.normal(key, (n_samples, self.n), dtype=self.dtype)
         return self.backward_solve(z)
 
-    def variance_diag(self):
+    def variance_diag(self, compute_dtype=None):
         """Takahashi selected inversion: with L = R^T, W_i = (R_ii^{-1})^T
-        and C_{i+1} = R[i,i+1]^T."""
+        and C_{i+1} = R[i,i+1]^T. `compute_dtype`: see
+        PackedBTDCholesky.variance_diag (f64 rescue for clamped
+        beyond-f32-validity factors — the flagship N800x100 std NaN)."""
+        dt = compute_dtype or self.dtype
         with jax.default_matmul_precision("float32"):
             bs = self.block
-            eye = jnp.eye(bs, dtype=self.dtype)
+            eye = jnp.eye(bs, dtype=dt)
 
             def inv_upper(P_i):
                 return lax.linalg.triangular_solve(
-                    jnp.triu(P_i), eye, left_side=True, lower=False
+                    jnp.triu(P_i).astype(dt), eye, left_side=True, lower=False
                 )
 
             V_N = inv_upper(self.P[-1].reshape(bs, bs))
@@ -770,7 +788,7 @@ class PackedBTDRFullFactor:
 
             def step(Sigma_next, i):
                 V = inv_upper(self._slot(i))
-                W2 = V @ self._uslot(i)
+                W2 = V @ self._uslot(i).astype(dt)
                 Sigma_i = V @ V.T + W2 @ (Sigma_next @ W2.T)
                 return Sigma_i, jnp.diagonal(Sigma_i)
 

@@ -756,11 +756,56 @@ class SRIFNewtonFactor:
         return self.d.dtype
 
     def variance_diag(self):
-        return self.F32.variance_diag().astype(self.dtype) / (self.d**2)
+        """Marginal variances with the `sub_dtype` overflow policy of
+        `_solve32`: the f32 Takahashi recursion OVERFLOWS on clamped
+        beyond-f32-validity factors (diag floored at 2e-7 rel -> inverse
+        entries ~5e6 -> Sigma products past f32 max within a few blocks
+        — the flagship N800x100 std NaN, RESULTS.md round 2) while the
+        f64 recursion of the SAME clamped factor is finite and correct.
+        'cond' re-runs in f64 only when the f32 pass is non-finite
+        (under vmap lax.cond executes both branches — batched drivers
+        in a known-healthy range pass sub_dtype='f32')."""
+        from jax import lax
+
+        if self.sub_dtype == "f64":
+            v = self.F32.variance_diag(jnp.float64)
+        else:
+            v32 = self.F32.variance_diag()
+            if self.sub_dtype == "f32":
+                v = v32
+            else:  # 'cond'
+                v = lax.cond(
+                    jnp.all(jnp.isfinite(v32)),
+                    lambda: v32.astype(jnp.float64),
+                    lambda: self.F32.variance_diag(jnp.float64),
+                )
+        return v.astype(self.dtype) / (self.d**2)
 
     def sample_zero_mean(self, key, n_samples: int = 1):
-        y = self.F32.sample_zero_mean(key, n_samples).astype(self.dtype)
-        return y * (1.0 / self.d)[None, :]
+        """Posterior samples R^{-1} z with the same overflow policy: the
+        f32 backward sweep through a clamped factor can overflow; the
+        'cond' rescue re-runs the sweep in f64 (substitution honors the
+        rhs dtype) on the SAME white noise."""
+        from jax import lax
+
+        n = self.F32.n
+        if self.sub_dtype == "f64":
+            z = jax.random.normal(key, (n_samples, n), dtype=jnp.float64)
+            y = self.F32.backward_solve(z)
+        else:
+            z = jax.random.normal(key, (n_samples, n), dtype=jnp.float32)
+            y32 = self.F32.backward_solve(z)
+            if self.sub_dtype == "f32":
+                y = y32
+            else:  # 'cond'
+                y = lax.cond(
+                    jnp.all(jnp.isfinite(y32)),
+                    lambda: y32.astype(jnp.float64),
+                    lambda: self.F32.backward_solve(
+                        z.astype(jnp.float64)
+                    ),
+                )
+        return y.astype(self.dtype) * (1.0 / self.d)[None, :]
 
     def log_det(self):
         return self.F32.log_det().astype(self.dtype) + 2.0 * jnp.sum(

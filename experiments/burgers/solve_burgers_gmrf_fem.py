@@ -633,7 +633,7 @@ def main():
 
     N = min(3, len(ds)) if args.dry_run else len(ds)
     KEYS = ("rel_errs", "rmses", "max_errs", "ic_rel_errs", "ic_rmses",
-            "ic_max_errs", "std_norms", "N_newton_steps",
+            "ic_max_errs", "std_norms", "n_std_nonfinite", "N_newton_steps",
             "optimization_times")
     cols = {k: [] for k in KEYS}
     # mid-sweep checkpointing: per-instance JSONL; restarts after a relay
@@ -654,7 +654,14 @@ def main():
             ic_rel_errs=float(rel_err(ic_pred[1:], soln)),
             ic_rmses=float(rmse(ic_pred[1:], soln)),
             ic_max_errs=float(max_err(ic_pred[1:], soln)),
-            std_norms=float(jnp.linalg.norm(std)),
+            # std rides the f32 factor with an f64 overflow rescue
+            # (ops/refine.SRIFNewtonFactor.variance_diag); any dof still
+            # non-finite carries NO f32 variance information — norm over
+            # the finite entries and COUNT the rest (honesty metric)
+            std_norms=float(
+                jnp.linalg.norm(jnp.where(jnp.isfinite(std), std, 0.0))
+            ),
+            n_std_nonfinite=int(jnp.sum(~jnp.isfinite(std))),
             N_newton_steps=int(n_steps),
             optimization_times=opt_time,
         )

@@ -178,3 +178,112 @@ def test_packed_conditioning_matches_compact():
         float(post_c.inner_gmrf.log_det_precision()),
         rtol=1e-4,
     )
+
+
+def _clamped_regime_rfull(rng, bs=8, N=6):
+    """A PackedBTDRFullFactor in the clamped beyond-f32-validity regime:
+    unit-scale diagonals with a few floored at 2e-7 relative (what
+    clamp_diag leaves on a factor whose f32 QR lost those directions) and
+    O(1) dense couplings. N is kept short: floored directions CHAIN
+    multiplicatively through the coupling blocks (~(0.5/2e-7)^2 variance
+    gain per block), so a long chain overflows even f64 — the rescue
+    targets the realistic regime where f32 (max 3.4e38) overflows but
+    f64 (1.8e308) has ~270 orders of headroom."""
+    from diffeqgmrfs_tpu.ops.packed import PackedBTDRFullFactor
+
+    P = np.zeros((N, bs, bs), np.float32)
+    U = np.zeros((N - 1, bs, bs), np.float32)
+    for b in range(N):
+        R = np.triu(rng.normal(size=(bs, bs)) * 0.3).astype(np.float32)
+        d = np.ones(bs)
+        d[::4] = 2e-7
+        np.fill_diagonal(R, d)
+        P[b] = R
+        if b < N - 1:
+            U[b] = (rng.normal(size=(bs, bs)) * 0.5).astype(np.float32)
+    F = PackedBTDRFullFactor(
+        jnp.asarray(P.reshape(N, -1)), jnp.asarray(U.reshape(N - 1, -1)),
+        N * bs, bs,
+    )
+    Rd = np.zeros((N * bs, N * bs))
+    for b in range(N):
+        Rd[b * bs:(b + 1) * bs, b * bs:(b + 1) * bs] = np.triu(P[b])
+        if b < N - 1:
+            Rd[b * bs:(b + 1) * bs, (b + 1) * bs:(b + 2) * bs] = U[b]
+    return F, Rd
+
+
+def test_takahashi_f64_rescue_on_clamped_factor():
+    """The f32 Takahashi recursion overflows to Inf/NaN on a clamped
+    beyond-f32-validity factor (the flagship N800x100 std NaN) while the
+    f64 recursion of the SAME factor matches the dense inverse diagonal."""
+    rng = np.random.default_rng(0)
+    F, Rd = _clamped_regime_rfull(rng)
+    v32 = np.asarray(F.variance_diag())
+    assert not np.isfinite(v32).all()  # the failure mode being fixed
+    v64 = np.asarray(F.variance_diag(jnp.float64))
+    # reference via the factor itself (inv(R^T R) in f64 loses all digits
+    # at cond(H) ~ 1e14+): H^{-1} = R^{-1} R^{-T}
+    import scipy.linalg as sla
+
+    Rinv = sla.solve_triangular(Rd, np.eye(Rd.shape[0]))
+    ref = np.sum(Rinv * Rinv, axis=1)
+    assert np.isfinite(v64).all()
+    assert np.allclose(v64, ref, rtol=5e-4), (
+        np.max(np.abs(v64 - ref) / ref)
+    )
+
+
+def test_srif_newton_factor_cond_rescue_std_and_sample():
+    """SRIFNewtonFactor's sub_dtype='cond' policy: variance_diag and
+    sample_zero_mean re-run in f64 exactly when the f32 pass is
+    non-finite; sub_dtype='f32' preserves the raw (overflowed) behavior
+    for batched drivers."""
+    from diffeqgmrfs_tpu.ops.refine import SRIFNewtonFactor
+
+    rng = np.random.default_rng(1)
+    F, Rd = _clamped_regime_rfull(rng)
+    n = F.n
+    fac = SRIFNewtonFactor.__new__(SRIFNewtonFactor)
+    fac.F32 = F
+    fac.d = jnp.ones(n, dtype=jnp.float64)
+    fac.sub_dtype = "cond"
+    fac.refine_iters = 0
+    fac.solve_method = "refine"
+    import scipy.linalg as sla
+
+    v = np.asarray(fac.variance_diag())
+    Rinv = sla.solve_triangular(Rd, np.eye(Rd.shape[0]))
+    ref = np.sum(Rinv * Rinv, axis=1)
+    assert np.isfinite(v).all()
+    assert np.allclose(v, ref, rtol=5e-4)
+    s = np.asarray(fac.sample_zero_mean(jax.random.PRNGKey(0), 2))
+    assert s.shape == (2, n) and np.isfinite(s).all()
+    fac.sub_dtype = "f32"
+    v_raw = np.asarray(fac.variance_diag())
+    assert not np.isfinite(v_raw).all()
+
+
+def test_takahashi_compute_dtype_noop_on_healthy_factor():
+    """compute_dtype=f64 equals the f32 recursion (at f32 accuracy) on a
+    healthy factor — the rescue changes nothing in the valid regime."""
+    from diffeqgmrfs_tpu.ops.packed import PackedBTDRFullFactor
+
+    rng = np.random.default_rng(2)
+    bs, N = 8, 6
+    P = np.zeros((N, bs, bs), np.float32)
+    U = np.zeros((N - 1, bs, bs), np.float32)
+    for b in range(N):
+        R = np.triu(rng.normal(size=(bs, bs)) * 0.2).astype(np.float32)
+        np.fill_diagonal(R, 1.0 + rng.random(bs))
+        P[b] = R
+        if b < N - 1:
+            U[b] = (rng.normal(size=(bs, bs)) * 0.2).astype(np.float32)
+    F = PackedBTDRFullFactor(
+        jnp.asarray(P.reshape(N, -1)), jnp.asarray(U.reshape(N - 1, -1)),
+        N * bs, bs,
+    )
+    v32 = np.asarray(F.variance_diag())
+    v64 = np.asarray(F.variance_diag(jnp.float64))
+    assert np.isfinite(v32).all()
+    assert np.allclose(v32, v64, rtol=2e-4)
