@@ -132,7 +132,37 @@ LAST_TPU_PATH = os.path.join(
 )
 
 
+def wait_for_tpu_queue(max_wait=1800, poll=30):
+    """One TPU job at a time: if a measurement-queue driver is mid-run
+    (experiments/tpu_queue_r2*.sh), sharing the chip would OOM both.
+    Wait (bounded) for the running job to finish before benching."""
+    import re
+    import subprocess
+
+    pat = re.compile(
+        r"solve_burgers_gmrf_fem|burgers_chen24|solve_darcy_gmrf_fem"
+        r"|elliptic_chen24|probe_resolve|probe_srif_qr"
+    )
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        try:
+            out = subprocess.run(
+                ["ps", "-eo", "cmd"], capture_output=True, text=True,
+                timeout=30,
+            ).stdout
+        except Exception:
+            return
+        if not any(
+            pat.search(line) and "ps -eo" not in line
+            for line in out.splitlines()
+        ):
+            return
+        log("TPU queue job running; waiting...")
+        time.sleep(poll)
+
+
 def main():
+    wait_for_tpu_queue()
     if relay_alive():
         tpu_flops = bench_tpu()
         cpu_flops = bench_cpu()

@@ -33,6 +33,15 @@ from diffeqgmrfs_tpu.solvers.blueprints import DEFAULT_BLUEPRINT
 _ATA_PATTERN_CACHE: dict[tuple, BTDPattern] = {}
 
 
+def _rmatvec_gather(plan, A: RowOp, y):
+    """A^T y through the plan's transpose ELL when it carries one (pure
+    gather — TPU scatter-adds serialize: 430 vs 89 ms at Darcy N300,
+    probe_resolve); falls back to the RowOp scatter-add."""
+    if getattr(plan, "t_rows", None) is not None:
+        return plan.rmatvec(A.vals, y)
+    return A.rmatvec(y)
+
+
 def ata_pattern_cached(A: RowOp, n: int, bs: int) -> BTDPattern:
     """Cache the A^T A -> BTD scatter pattern per (structure, partition)."""
     key = (
@@ -108,9 +117,14 @@ def condition_st_sqrt(
         q_top, q_top.diagonal(), prior_sqrt_ops, a_plan, A_c, tau,
         q_top.n, q_top.N, q_top.bs, refine_iters=refine_iters,
     )
-    eta = q_top.matvec(mu_prior) + tau * A_c.rmatvec(
-        jnp.asarray(y, dtype=q_top.dtype)
-    )
+    y64 = jnp.asarray(y, dtype=q_top.dtype)
+    if getattr(a_plan, "t_rows", None) is not None:
+        # A^T y as a pure gather (TPU scatter-adds serialize; see
+        # SRIFNewtonFactor.j_tplan)
+        aty = a_plan.rmatvec(A_c.vals, y64)
+    else:
+        aty = A_c.rmatvec(y64)
+    eta = q_top.matvec(mu_prior) + tau * aty
     mu_ic = F.solve(eta)
     # observation update on the first block: d_first += tau * A_0^T A_0
     bs = q_top.bs
@@ -205,8 +219,8 @@ def condition_on_observations(
                 prior_R=x.sqrt_R32 if use_pre else None,
                 prior_cs0=x.sqrt_cs0 if use_pre else None,
             )
-            rhs = x.precision64.matvec(x.mu) + tau64 * A.rmatvec(
-                jnp.asarray(y, dtype=tau64.dtype)
+            rhs = x.precision64.matvec(x.mu) + tau64 * _rmatvec_gather(
+                pat, A, jnp.asarray(y, dtype=tau64.dtype)
             )
             return GMRF(factor.solve(rhs), H_op, factor, bp)
         ri = getattr(bp, "refine_iters", None)
@@ -220,8 +234,8 @@ def condition_on_observations(
             factor_dtype=getattr(bp, "factor_dtype", "f32"),
             factor_opts=bp.factor_opts() if hasattr(bp, "factor_opts") else None,
         )
-        rhs = x.precision64.matvec(x.mu) + tau64 * A.rmatvec(
-            jnp.asarray(y, dtype=tau64.dtype)
+        rhs = x.precision64.matvec(x.mu) + tau64 * _rmatvec_gather(
+            pat, A, jnp.asarray(y, dtype=tau64.dtype)
         )
         return GMRF(factor.solve(rhs), H_op, factor, bp)
 

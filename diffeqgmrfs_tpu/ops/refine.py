@@ -576,6 +576,16 @@ class SRIFNewtonFactor:
         self.refine_iters = refine_iters
         self.solve_method = solve_method
         self.pcg_iters = pcg_iters
+        # transpose ELL of J when the window plan carries one: J^T r as a
+        # pure gather instead of a scatter-add. TPU scatters serialize —
+        # probe_resolve measured 430 ms scatter vs 89 ms gather at Darcy
+        # N300 shapes, and _apply_H fires EVERY PCG/refinement iteration
+        # (96x per Newton step on the flagship f64-Krylov path).
+        self.j_tplan = (
+            j_plan
+            if getattr(j_plan, "t_rows", None) is not None
+            else None
+        )
         if getattr(j_plan, "colsq_inv", None) is not None:
             diagH = q_diag + tau * j_plan.colsq(Jc.vals)
         else:
@@ -620,9 +630,12 @@ class SRIFNewtonFactor:
             ).clamp_diag()
 
     def _apply_H(self, t):
-        return self.q_ell.matvec(t) + self.tau * self.Jc.rmatvec(
-            self.Jc.matvec(t)
-        )
+        r = self.Jc.matvec(t)
+        if self.j_tplan is not None:
+            jt_r = self.j_tplan.rmatvec(self.Jc.vals, r)
+        else:
+            jt_r = self.Jc.rmatvec(r)
+        return self.q_ell.matvec(t) + self.tau * jt_r
 
     def matvec_H(self, x):
         return self._apply_H(x)

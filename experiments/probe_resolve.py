@@ -92,17 +92,28 @@ def main():
 
     jax.config.update("jax_enable_x64", False)
     key = jax.random.PRNGKey(0)
-    P = jax.random.normal(key, (N, bs * bs), dtype=jnp.float32) * 0.01
     didx = jnp.arange(bs) * (bs + 1)
-    P = P.at[:, didx].set(3.0 + 0.1 * jax.random.normal(key, (N, bs)))
+    # free the ELL-section device buffers BEFORE allocating the 5.3 GB
+    # production-shape factor (queue-R run OOMed here with them resident)
+    del x64, vals64, cols
+
+    @jax.jit
+    def _make_P(k):
+        # single fused program: one 5.3 GB buffer, no eager .at[].set copy
+        P0 = jax.random.normal(k, (N, bs * bs), dtype=jnp.float32) * 0.01
+        return P0.at[:, didx].set(
+            3.0 + 0.1 * jax.random.normal(k, (N, bs), dtype=jnp.float32)
+        )
+
+    P = _make_P(key)
     F = PackedBTDRFactor(P, n, bs)
     b32 = jax.random.normal(key, (n,), dtype=jnp.float32)
     slope("packed solve TRSV f32", lambda b: jnp.sum(F.solve(b)), b32, K_=4)
-    W = jax.jit(PackedRInverseSolver.from_factor)(F)
+    # donate the factor into the inverse conversion (same-size buffers)
+    W = jax.jit(PackedRInverseSolver.from_factor, donate_argnums=0)(F)
+    del F, P
     W.P.block_until_ready()
     slope("packed solve GEMM f32", lambda b: jnp.sum(W.solve(b)), b32, K_=4)
-    b64v = jax.random.normal(key, (n,), dtype=jnp.float32)
-    del b64v
 
 
 if __name__ == "__main__":
