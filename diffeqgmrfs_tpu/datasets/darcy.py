@@ -72,11 +72,30 @@ class DarcyDataset:
             ]
         )
         solver = _DarcyTruthSolver(n_xy_fem, beta, grid)
-        sols = np.stack([solver.solve(c) for c in coeffs])
+        # truth solves at production fidelity take minutes/instance on a
+        # slow host: shard per instance so a killed generation resumes
+        # instead of restarting (the shards are deterministic in seed)
+        shard_dir = (cache + ".shards") if cache else None
+        if shard_dir:
+            os.makedirs(shard_dir, exist_ok=True)
+        sols = []
+        for i, c in enumerate(coeffs):
+            sp = os.path.join(shard_dir, f"{i}.npy") if shard_dir else None
+            if sp and os.path.exists(sp):
+                sols.append(np.load(sp))
+                continue
+            s = solver.solve(c)
+            if sp:
+                np.save(sp, s)
+            sols.append(s)
+        sols = np.stack(sols)
         ds = cls(sol=sols, coeff=coeffs)
         if cache:
             os.makedirs(os.path.dirname(cache) or ".", exist_ok=True)
             np.savez_compressed(cache, sol=sols, coeff=coeffs)
+            import shutil
+
+            shutil.rmtree(shard_dir, ignore_errors=True)
         return ds
 
 

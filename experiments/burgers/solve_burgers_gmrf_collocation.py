@@ -113,9 +113,17 @@ def main():
         A_ic = spatial_to_spatiotemporal(E, 0, N_t)
         A_soln = E_st
     with to("PDE Discretization (Linear part)"):
-        dx = 1.0 / args.N_collocation
-        coll = np.linspace(x_coords[0] + dx, x_coords[-1] - dx, args.N_collocation)
-        res = BurgersCollocationResidual(disc, ts, ds.nu, coll)
+        # N_collocation = 0 is a legitimate sweep rung (the reference's
+        # collocation-count analysis starts at 0: IC-conditioned prior
+        # only, no PDE information — `_research/burgers_collocation_plot.jl:25`)
+        if args.N_collocation > 0:
+            dx = 1.0 / args.N_collocation
+            coll = np.linspace(
+                x_coords[0] + dx, x_coords[-1] - dx, args.N_collocation
+            )
+            res = BurgersCollocationResidual(disc, ts, ds.nu, coll)
+        else:
+            res = None
 
     c = 1.0 / ds.nu
     nu_matern = 1.5
@@ -149,19 +157,24 @@ def main():
         x = make_prior(ic)
         x_ic = condition_on_observations(x, A_ic, noise_ic, ic)
         ic_pred = E_st.matvec(x_ic.mean()).reshape(N_t, len(x_coords))
-        result = gauss_newton_solve(
-            x_ic.inner_gmrf.mean(),
-            x_ic.inner_gmrf.precision,
-            res.f_and_J,
-            noise_collocation,
-            jnp.zeros(res.n_rows),
-            x_ic.inner_gmrf.mean(),
-            criterion=OrCriterion(
-                [NewtonDecrementCriterion(1e-6), StepNumberCriterion(15)]
-            ),
-            affine=x_ic.affine,
-        )
-        post = result.posterior(affine=x_ic.affine)
+        if res is None:  # N_collocation = 0: the posterior IS x_ic
+            post = x_ic.factorize() if hasattr(x_ic, "factorize") else x_ic
+            n_steps = jnp.zeros((), jnp.int32)
+        else:
+            result = gauss_newton_solve(
+                x_ic.inner_gmrf.mean(),
+                x_ic.inner_gmrf.precision,
+                res.f_and_J,
+                noise_collocation,
+                jnp.zeros(res.n_rows),
+                x_ic.inner_gmrf.mean(),
+                criterion=OrCriterion(
+                    [NewtonDecrementCriterion(1e-6), StepNumberCriterion(15)]
+                ),
+                affine=x_ic.affine,
+            )
+            post = result.posterior(affine=x_ic.affine)
+            n_steps = result.n_steps
         pred = E_st.matvec(post.mean()).reshape(N_t, len(x_coords))
         std = post.std()
         smp = post.sample(key, 1)
@@ -173,7 +186,7 @@ def main():
         n = soln_dofs.shape[-1]
         log_det_sigma = -post.inner_gmrf.log_det_precision()
         nll = 0.5 * (n * jnp.log(2 * jnp.pi) + sqm + log_det_sigma)
-        return pred, ic_pred, std, smp, result.n_steps, sqm, nll
+        return pred, ic_pred, std, smp, n_steps, sqm, nll
 
     solve_jit = jax.jit(solve_instance)
     key = jax.random.PRNGKey(985368934)
