@@ -42,6 +42,10 @@ def parse_cmd():
     p.add_argument("--nu", type=float, default=0.01)
     p.add_argument("--n_t_data", type=int, default=26)
     p.add_argument("--n_x_data", type=int, default=129)
+    p.add_argument("--max_steps", type=int, default=30,
+                   help="Gauss-Newton step cap (the 15-step default was "
+                        "binding at N_basis >= 192: every instance exited "
+                        "on the cap, not the decrement)")
     return finalize_args(p.parse_args())
 
 
@@ -169,7 +173,8 @@ def main():
                 jnp.zeros(res.n_rows),
                 x_ic.inner_gmrf.mean(),
                 criterion=OrCriterion(
-                    [NewtonDecrementCriterion(1e-6), StepNumberCriterion(15)]
+                    [NewtonDecrementCriterion(1e-6),
+                     StepNumberCriterion(args.max_steps)]
                 ),
                 affine=x_ic.affine,
             )
