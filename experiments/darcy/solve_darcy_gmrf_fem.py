@@ -627,7 +627,9 @@ def main():
                 rel_errs.append(float(rel_err(pred[j], soln)))
                 rmses.append(float(rmse(pred[j], soln)))
                 max_errs.append(float(max_err(pred[j], soln)))
-                std_norms.append(float(jnp.linalg.norm(std[j])))
+                std_norms.append(float(jnp.linalg.norm(
+                    jnp.where(jnp.isfinite(std[j]), std[j], 0.0)
+                )))
                 if args.nll:
                     sqmahals.append(float(sqm[j]))
                     nlls.append(float(nll[j]))
@@ -667,7 +669,12 @@ def main():
                     rel_err=float(rel_err(pred, jnp.asarray(soln))),
                     rmse=float(rmse(pred, jnp.asarray(soln))),
                     max_err=float(max_err(pred, jnp.asarray(soln))),
-                    std_norm=float(jnp.linalg.norm(std)),
+                    # norm over finite entries + honesty count (see the
+                    # Burgers sweep driver / SRIFNewtonFactor rescue)
+                    std_norm=float(jnp.linalg.norm(
+                        jnp.where(jnp.isfinite(std), std, 0.0)
+                    )),
+                    n_std_nonfinite=int(jnp.sum(~jnp.isfinite(std))),
                     sqmahal=float(sqm) if args.nll else None,
                     nll=float(nll) if args.nll else None,
                     cond_time=cur.time("Conditioning"),
