@@ -459,9 +459,9 @@ def main():
             return pred, z, z, z, z
 
     if args.phase_split:
-        if args.batch > 1 or args.nll or args.mean_only or use_chunked:
+        if args.batch > 1 or args.mean_only or use_chunked:
             raise SystemExit(
-                "--phase_split requires batch=1, no --nll/--mean_only/"
+                "--phase_split requires batch=1, no --mean_only/"
                 "--sqrt_prefactor chunked (host-orchestrated full posterior)"
             )
 
@@ -475,7 +475,7 @@ def main():
             # factor is a pytree: H_op children alias the jit INPUTS
             # (zero-copy pass-through), so the only fresh output buffer is
             # the packed R itself
-            return inner.factor, inner.mu, post.mean()
+            return inner.factor, inner.mu, post.mean(), inner.factor.log_det()
 
         def _ps_std_smp_full(pr, stdf, smpf):
             if hasattr(pr, "affine"):
@@ -493,16 +493,57 @@ def main():
             + factor.sample_zero_mean(k, 1)
         )
         ps_full = jax.jit(_ps_std_smp_full)
+        if args.nll:
+            # NLL with SEQUENTIAL factor residency: the posterior factor is
+            # freed before the solution-interpolation factor is built (two
+            # 5.3 GiB factors cannot be co-resident at N300), and sqmahal
+            # applies H in operator form (no factor needed).
+            n_free_stat = int(inner_prior.precision.n)
+
+            def _ps_cond_E(pr, ptE, soln_flat):
+                xE = condition_on_observations(
+                    pr, E, 1e12, soln_flat, solver_blueprint=bp,
+                    pattern=ptE,
+                )
+                inner = xE.inner_gmrf if hasattr(xE, "inner_gmrf") else xE
+                return inner.mu
+
+            def _ps_sqm(pr, pt, A, muE_free, mu_free):
+                from diffeqgmrfs_tpu.ops.refine import SymSumOp
+
+                x = pr.inner_gmrf if hasattr(pr, "affine") else pr
+                A_free = (
+                    pr.affine.condense_rowop(A)
+                    if hasattr(pr, "affine") else A
+                )
+                tau64 = jnp.asarray(Q_eps, dtype=x.precision64.vals.dtype)
+                H_op = SymSumOp(
+                    x.precision64, A_free, tau64, diag_Q=x.diag64,
+                    a_plan=pt if hasattr(pt, "t_rows") else None,
+                )
+                d = muE_free - mu_free
+                return jnp.dot(d, H_op.matvec(d))
+
+            ps_cond_E = jax.jit(_ps_cond_E)
+            ps_sqm = jax.jit(_ps_sqm)
 
         def solve_jit(coeff, key, soln_flat):  # noqa: F811
             A_, ys_ = ps_asm(coeff)
-            factor, mu_free, mu_full = ps_cond(prior_dev, pat, A_, ys_)
+            factor, mu_free, mu_full, ld = ps_cond(prior_dev, pat, A_, ys_)
             pred = ps_eval(mu_full).reshape(ny, nx)
             std_free = ps_std(factor)
             smp_free = ps_smp(factor, mu_free, key)
             std_full, smp_full = ps_full(prior_dev, std_free, smp_free)
-            z = jnp.zeros(())
-            return pred, std_full, smp_full, z, z
+            if args.nll:
+                del factor  # free the posterior factor before the E factor
+                muE_free = ps_cond_E(prior_dev, pat_E, soln_flat)
+                sqm = ps_sqm(prior_dev, pat, A_, muE_free, mu_free)
+                nll = 0.5 * (
+                    n_free_stat * jnp.log(2 * jnp.pi) + sqm - ld
+                )
+            else:
+                sqm = nll = jnp.zeros(())
+            return pred, std_full, smp_full, sqm, nll
 
     def _solve_batch(vsolve, prior_arg, pattern, pattern_E, coeffs, keys, solns):
         return vsolve(prior_arg, pattern, pattern_E, geom_dev, obs_st, coeffs, keys, solns)
