@@ -6,6 +6,7 @@ upstream). These fixtures exercise the exact on-disk formats: scipy v5
 .mat, MATLAB v7.3 (HDF5) .mat, and PDEBench HDF5.
 """
 
+import os
 import numpy as np
 import pytest
 
@@ -96,3 +97,25 @@ def test_incremental_saver(tmp_path):
     import os as _os
 
     assert not _os.path.exists(base + ".partial.jsonl")
+
+
+def test_darcy_synthetic_generation_resumes_from_shards(tmp_path):
+    """Truth generation shards per instance: a killed generation (the
+    production-fidelity solves take minutes each on a slow host) resumes
+    from the per-instance .npy shards instead of restarting."""
+    import numpy as np
+    from diffeqgmrfs_tpu.datasets import DarcyDataset
+
+    c = str(tmp_path / "t.npz")
+    ds = DarcyDataset.synthetic(n_instances=2, grid=13, n_xy_fem=8, cache=c)
+    assert os.path.exists(c) and not os.path.exists(c + ".shards")
+    # simulate a kill after instance 0: shard present, cache absent —
+    # regeneration must reuse the shard (we poison it to prove reuse)
+    os.remove(c)
+    os.makedirs(c + ".shards", exist_ok=True)
+    marker = np.full_like(np.asarray(ds.sol[0]), 7.25)
+    np.save(os.path.join(c + ".shards", "0.npy"), marker)
+    ds2 = DarcyDataset.synthetic(n_instances=2, grid=13, n_xy_fem=8, cache=c)
+    assert np.allclose(np.asarray(ds2.sol[0]), marker)  # shard was reused
+    assert np.allclose(np.asarray(ds2.sol[1]), np.asarray(ds.sol[1]))
+    assert not os.path.exists(c + ".shards")  # cleaned after cache write
