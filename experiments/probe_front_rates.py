@@ -59,8 +59,14 @@ def main():
         fn()
         return time.perf_counter() - t0
 
-    print(f"{'front':>6} {'batch':>6} {'chol TF/s':>10} {'qr TF/s':>10}",
-          flush=True)
+    from diffeqgmrfs_tpu.ops.batched_factor import batched_cholesky
+    from diffeqgmrfs_tpu.ops.srif import _bcgs_qr_r
+
+    print(
+        f"{'front':>6} {'batch':>6} {'chol TF/s':>10} {'qr TF/s':>10}"
+        f" {'bchol TF/s':>11} {'bqr TF/s':>10}",
+        flush=True,
+    )
     # memory budget: ~2 GB of batched operands per timed program. The jit
     # holds input + output + the perturbed loop copy (~4 buffers of the
     # operand size) — without this cap the constant-work rule puts 20+ GB
@@ -82,18 +88,38 @@ def main():
             R = jax.vmap(lambda x: jnp.linalg.qr(x, mode="r"))(t)
             return jnp.sum(jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1)))
 
+        def bchol(a):
+            # level-batched blocked POTRF: unrolled-Crout base + GEMM
+            # panels (ops/batched_factor.py)
+            L = batched_cholesky(a, panel=min(64, m), base=min(16, m))
+            return jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)))
+
+        def bqr(t):
+            # all-GEMM bcgs4 engine vmapped over the fronts
+            R = jax.vmap(
+                lambda x: _bcgs_qr_r(
+                    x, panel=min(64, m), passes=4, reorth=True,
+                    shift_passes=2,
+                )
+            )(t)
+            return jnp.sum(jnp.abs(jnp.diagonal(R, axis1=-2, axis2=-1)))
+
         A = jax.random.normal(key, (B_c, m, m), dtype=jnp.float32) * 0.01
         A = 0.5 * (A + A.transpose(0, 2, 1)) + 2.0 * jnp.eye(
             m, dtype=jnp.float32
         )
         dt_c = slope(chol, (A,))
+        dt_bc = slope(bchol, (A,))
         del A  # free before the QR operand lands (both live would OOM)
         T = jax.random.normal(key, (B_q, 2 * m, m), dtype=jnp.float32)
         dt_q = slope(qr, (T,))
+        dt_bq = slope(bqr, (T,))
         del T
         print(
             f"{m:6d} {B_c:6d}/{B_q:<6d} {B_c * chol_fl / dt_c / 1e12:10.2f} "
-            f"{B_q * qr_fl / dt_q / 1e12:10.2f}",
+            f"{B_q * qr_fl / dt_q / 1e12:10.2f} "
+            f"{B_c * chol_fl / dt_bc / 1e12:11.2f} "
+            f"{B_q * qr_fl / dt_bq / 1e12:10.2f}",
             flush=True,
         )
 
