@@ -153,6 +153,12 @@ def _panel_trsm_right_T(L, B, base: int):
     return X
 
 
+def batched_tsolve_right_T(L, B, base: int = 16):
+    """Solve X L^T = B for X [..., m, n], L [..., n, n] lower — the
+    multifrontal L21 computation — base-unrolled TRSMs + GEMM panels."""
+    return _panel_trsm_right_T(L, B, base)
+
+
 def batched_tsolve_left(L, B, panel: int = 64, base: int = 16,
                         transpose: bool = False):
     """Solve L X = B (or L^T X = B), L [..., n, n] lower, batched-blocked:

@@ -1,0 +1,434 @@
+"""Level-batched multifrontal Cholesky on geometric nested dissection.
+
+The banded/BTD sweep factors the 2D spatial precision in O(n * bw^2) with
+bw ~ 6 sqrt(n); recursive nested dissection needs 5-8x fewer flops on the
+production Q structure (experiments/analysis/nd_flops.py) but its many
+small fronts run two orders of magnitude below MXU rate through XLA's
+serial cholesky expander (experiments/probe_front_rates.py). This module
+is the TPU-shaped answer (ROADMAP "Open" item 0, the BASELINE.md
+<1 s @ 1e6-dof north-star direction):
+
+- **symbolic phase (host, numpy)**: geometric recursive bisection of the
+  dof coordinates into a balanced binary dissection tree (separator =
+  coupling-width strip, exactness VERIFIED against the matrix graph —
+  a leaked left-right edge raises), then per-node fronts
+  (own pivots + boundary columns) padded to uniform shapes PER LEVEL;
+- **numeric phase (jit)**: one batched kernel launch per tree level —
+  gather H's arrowhead rows, extend-add both children's update matrices,
+  factor the pivot block with `ops.batched_factor.batched_cholesky`
+  (unrolled-Crout base + GEMM panels), batched GEMM Schur update. All
+  O(front^3) work beyond 16x16 diagonal blocks rides the MXU, and every
+  front of a level factors simultaneously.
+
+Solves walk the same tree (bottom-up forward, top-down backward) with
+batched gathers/scatters against the global vector; log-det falls out of
+the pivot diagonals (padding pivots are identity => log 1 = 0).
+
+Replaces (for the spatial/elliptic case) what the reference reaches
+through CHOLMOD's supernodal factorization with a fill-reducing
+permutation (`/root/reference/src/tridiagonal_cholesky.jl:20,39`,
+`scripts/darcy/solve_darcy_fem.jl:93`): same math, but the supernodes
+are level-batched dense fronts sized for the MXU instead of pointer-
+chasing sparse kernels.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .batched_factor import (
+    batched_cholesky,
+    batched_tsolve_left,
+    batched_tsolve_right_T,
+)
+
+
+# ---------------------------------------------------------------------------
+# symbolic phase (host / numpy)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(eq=False)
+class _Node:
+    dofs: np.ndarray          # own (pivot) dofs, eliminated at this node
+    level: int                # tree depth (root = 0)
+    parent: int               # node id of parent (-1 for root)
+    bound: np.ndarray = field(default=None)  # boundary columns (global ids)
+
+
+@dataclass(eq=False)
+class LevelPlan:
+    """Static index plan for one tree level (all fronts batched)."""
+
+    node_ids: np.ndarray      # [B] symbolic node ids
+    s: int                    # padded pivot count
+    f: int                    # padded front width (>= s)
+    own: np.ndarray           # [B, s] global dof ids, -1 padding
+    cols: np.ndarray          # [B, f] global column ids, -1 padding;
+                              # cols[:, :s] == own (with gaps), boundary
+                              # columns start at position s exactly so the
+                              # Schur update block F22 aligns with cols[s:]
+    h_pos: np.ndarray         # [B, s, f] index into H.data, -1 -> 0.0
+    # extend-add: children (from the plan below) scattering into this one
+    child_src: np.ndarray     # [C] index of child within the plan below
+    child_parent: np.ndarray  # [C] index of parent within this plan
+    child_pos: np.ndarray     # [C, u] position of child update col in
+                              # parent front (0..f), f -> dropped padding;
+                              # u == (plan below).f - (plan below).s
+    child_u: int              # padded child update width
+
+
+@dataclass(eq=False)
+class FrontTree:
+    n: int
+    levels: list[LevelPlan]   # deepest (leaves) first
+    perm: np.ndarray          # elimination order (concatenated own dofs)
+
+
+def suggest_cut_width(H, coords, margin: float = 1.10):
+    """Physical coupling range of H along either axis (max |coord_i -
+    coord_j| over nonzeros), times a safety margin — a separator strip of
+    this width fully disconnects the two sides."""
+    coo = H.tocoo()
+    c = np.asarray(coords, dtype=np.float64)
+    d = np.abs(c[coo.row] - c[coo.col]).max()
+    return float(d) * margin
+
+
+def _build_tree(coords, cut_width, leaf_target, indptr, indices):
+    """Recursive geometric bisection; separators verified against the
+    matrix graph (any left<->right edge raises ValueError)."""
+    nodes: list[_Node] = []
+
+    def rec(ids, axis, depth, parent):
+        if len(ids) <= leaf_target:
+            nodes.append(_Node(dofs=ids, level=depth, parent=parent))
+            return
+        c = coords[ids, axis]
+        mid = np.median(c)
+        half = cut_width / 2
+        sep = ids[np.abs(c - mid) <= half]
+        left = ids[c < mid - half]
+        right = ids[c > mid + half]
+        if len(sep) == 0 or len(left) == 0 or len(right) == 0:
+            nodes.append(_Node(dofs=ids, level=depth, parent=parent))
+            return
+        # verify exact separation on the matrix graph
+        in_left = np.zeros(coords.shape[0], dtype=bool)
+        in_left[left] = True
+        in_right = np.zeros(coords.shape[0], dtype=bool)
+        in_right[right] = True
+        for i in left:
+            cols = indices[indptr[i] : indptr[i + 1]]
+            if in_right[cols].any():
+                raise ValueError(
+                    "geometric separator leaks: increase cut_width "
+                    f"(row {i} couples across the cut)"
+                )
+        me = len(nodes)
+        nodes.append(_Node(dofs=sep, level=depth, parent=parent))
+        rec(left, 1 - axis, depth + 1, me)
+        rec(right, 1 - axis, depth + 1, me)
+
+    rec(np.arange(coords.shape[0]), 0, 0, -1)
+    return nodes
+
+
+def symbolic_multifrontal(
+    H, coords, cut_width, leaf_target: int = 128
+) -> FrontTree:
+    """Symbolic analysis of SPD H (scipy CSR) with dof coordinates.
+
+    cut_width: physical separator strip width — must cover H's coupling
+    range (verified; raises if the strip fails to separate).
+    """
+    H = H.tocsr()
+    H.sort_indices()
+    n = H.shape[0]
+    nodes = _build_tree(
+        np.asarray(coords, dtype=np.float64),
+        float(cut_width),
+        int(leaf_target),
+        H.indptr,
+        H.indices,
+    )
+
+    # boundary columns: struct(H[own, :]) restricted to not-yet-eliminated
+    # dofs = ancestors' own dofs, UNION the children's boundaries minus
+    # own (update columns must live in the parent's front). Walk leaves
+    # up so children are resolved first.
+    order = sorted(range(len(nodes)), key=lambda i: -nodes[i].level)
+    children: dict[int, list[int]] = {}
+    for i, nd in enumerate(nodes):
+        children.setdefault(nd.parent, []).append(i)
+
+    anc_own = {}
+
+    def ancestors_of(i):
+        if i in anc_own:
+            return anc_own[i]
+        p = nodes[i].parent
+        s = set() if p < 0 else (set(nodes[p].dofs) | ancestors_of(p))
+        anc_own[i] = s
+        return s
+
+    for i in order:
+        nd = nodes[i]
+        anc = ancestors_of(i)
+        cols = set()
+        for d in nd.dofs:
+            for c in H.indices[H.indptr[d] : H.indptr[d + 1]]:
+                if c in anc:
+                    cols.add(int(c))
+        for c_id in children.get(i, []):
+            own_set = set(nodes[i].dofs)
+            for c in nodes[c_id].bound:
+                if int(c) not in own_set:
+                    cols.add(int(c))
+        nd.bound = np.array(sorted(cols), dtype=np.int64)
+
+    # sanity: child boundary must be inside parent's own+boundary
+    for i, nd in enumerate(nodes):
+        if nd.parent >= 0:
+            p = nodes[nd.parent]
+            pf = set(p.dofs) | set(p.bound)
+            missing = [c for c in nd.bound if int(c) not in pf]
+            if missing:
+                raise AssertionError(
+                    f"update column {missing[:3]} of node {i} escapes its "
+                    "parent front — tree construction bug"
+                )
+
+    # level plans, deepest first. NOTE on the layout: a node with k own
+    # dofs and m boundary columns in a level padded to (s, f) stores own
+    # in positions [0, k) (positions [k, s) are identity padding pivots)
+    # and boundary in positions [s, s+m) — boundary ALWAYS starts at s so
+    # the Schur complement block F22 = F[s:, s:] lines up with cols[s:]
+    # across the whole batch.
+    max_level = max(nd.level for nd in nodes)
+    levels = []
+    col_lookup = {}  # node id -> {global col -> front position}
+    for lev in range(max_level, -1, -1):
+        ids = np.array(
+            [i for i, nd in enumerate(nodes) if nd.level == lev], dtype=np.int64
+        )
+        s = max(len(nodes[i].dofs) for i in ids)
+        f = s + max(len(nodes[i].bound) for i in ids)
+        B = len(ids)
+        own = np.full((B, s), -1, dtype=np.int64)
+        cols = np.full((B, f), -1, dtype=np.int64)
+        h_pos = np.full((B, s, f), -1, dtype=np.int64)
+        for b, i in enumerate(ids):
+            nd = nodes[i]
+            k, m = len(nd.dofs), len(nd.bound)
+            own[b, :k] = nd.dofs
+            cols[b, :k] = nd.dofs
+            cols[b, s : s + m] = nd.bound
+            lookup = {int(c): j for j, c in enumerate(nd.dofs)}
+            lookup.update({int(c): s + j for j, c in enumerate(nd.bound)})
+            col_lookup[i] = lookup
+            # gather positions of H[own, front cols]
+            fc = cols[b]
+            valid = fc >= 0
+            for r in range(k):
+                d = nd.dofs[r]
+                lo, hi = H.indptr[d], H.indptr[d + 1]
+                row_cols = H.indices[lo:hi]
+                pos = np.searchsorted(row_cols, np.where(valid, fc, 0))
+                pos = np.clip(pos, 0, max(hi - lo - 1, 0))
+                hit = valid & (row_cols[pos] == fc) if hi > lo else np.zeros_like(valid)
+                h_pos[b, r] = np.where(hit, lo + pos, -1)
+        levels.append(
+            LevelPlan(
+                node_ids=ids, s=s, f=f, own=own, cols=cols, h_pos=h_pos,
+                child_src=np.zeros((0,), np.int64),
+                child_parent=np.zeros((0,), np.int64),
+                child_pos=np.zeros((0, 0), np.int64), child_u=0,
+            )
+        )
+
+    # child -> parent extend-add maps. Plans are deepest-first, so plan
+    # p's children sit in plan p-1; a child's update matrix U covers its
+    # padded boundary positions cols[s_c:] (width u = f_c - s_c).
+    for p in range(1, len(levels)):
+        plan = levels[p]
+        prev = levels[p - 1]
+        id_to_b = {int(i): b for b, i in enumerate(plan.node_ids)}
+        u = prev.f - prev.s
+        entries = []
+        for b_c, i in enumerate(prev.node_ids):
+            nd = nodes[int(i)]
+            if nd.parent < 0:
+                continue
+            pb = id_to_b[nd.parent]
+            lookup = col_lookup[nd.parent]
+            pos = np.full((u,), plan.f, dtype=np.int64)
+            for j, c in enumerate(nd.bound):
+                pos[j] = lookup[int(c)]
+            entries.append((b_c, pb, pos))
+        plan.child_src = np.array([x[0] for x in entries], dtype=np.int64)
+        plan.child_parent = np.array([x[1] for x in entries], dtype=np.int64)
+        plan.child_pos = (
+            np.stack([x[2] for x in entries])
+            if entries
+            else np.zeros((0, u), np.int64)
+        )
+        plan.child_u = u
+
+    perm = np.concatenate(
+        [nodes[int(i)].dofs for plan in levels for i in plan.node_ids]
+    )
+    return FrontTree(n=n, levels=levels, perm=perm)
+
+
+# ---------------------------------------------------------------------------
+# numeric phase (jit-compatible; plans enter as static pytrees of arrays)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+class MultifrontalFactor:
+    """Per-level factored fronts: L11 [B,s,s], L21 [B,f-s,s] + plans."""
+
+    def __init__(self, tree: FrontTree, lfronts, dtype):
+        self.tree = tree
+        self.lfronts = lfronts  # list of (L11, L21)
+        self.dtype = dtype
+
+    def tree_flatten(self):
+        return (self.lfronts,), (self.tree, self.dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], children[0], aux[1])
+
+    # -- factor ------------------------------------------------------------
+
+    @staticmethod
+    def factorize(tree: FrontTree, h_data, dtype=None):
+        """Numeric factorization from H's CSR value array (any instance
+        with the symbolic structure)."""
+        h_data = jnp.asarray(h_data)
+        if dtype is not None:
+            h_data = h_data.astype(dtype)
+        dtype = h_data.dtype
+        hd = jnp.concatenate([h_data, jnp.zeros((1,), dtype)])  # -1 -> 0
+        updates = None  # (U [C, u, u]) from the level below
+        lfronts = []
+        for p, plan in enumerate(tree.levels):
+            B, s, f = plan.own.shape[0], plan.s, plan.f
+            arrow = hd[plan.h_pos]  # [B, s, f]
+            F = jnp.zeros((B, f, f), dtype)
+            F = F.at[:, :s, :].set(arrow)
+            F = F.at[:, s:, :s].set(jnp.swapaxes(arrow[:, :, s:], 1, 2))
+            # identity padding pivots (own == -1)
+            pad = plan.own < 0  # [B, s]
+            F = F.at[:, jnp.arange(s), jnp.arange(s)].add(
+                jnp.where(pad, 1.0, 0.0).astype(dtype)
+            )
+            if updates is not None and plan.child_parent.shape[0]:
+                U = updates[plan.child_src]  # [C, u, u]
+                pos = jnp.asarray(plan.child_pos)  # [C, u] -> 0..f or f
+                Fpad = jnp.zeros((B, f + 1, f + 1), dtype)
+                ii = pos[:, :, None]
+                jj = pos[:, None, :]
+                bb = jnp.asarray(plan.child_parent)[:, None, None]
+                Fpad = Fpad.at[
+                    jnp.broadcast_to(bb, U.shape),
+                    jnp.broadcast_to(ii, U.shape),
+                    jnp.broadcast_to(jj, U.shape),
+                ].add(U)
+                F = F + Fpad[:, :f, :f]
+            F11 = F[:, :s, :s]
+            L11 = batched_cholesky(F11)
+            if f > s:
+                L21 = batched_tsolve_right_T(L11, F[:, s:, :s])
+                # update matrix = F22 - L21 L21^T: F22 carries the
+                # extend-added grandchildren contributions between THIS
+                # node's boundary columns, which belong to higher
+                # ancestors — dropping it loses their updates
+                updates = F[:, s:, s:] - L21 @ jnp.swapaxes(L21, 1, 2)
+            else:
+                L21 = jnp.zeros((B, 0, s), dtype)
+                updates = jnp.zeros((B, 0, 0), dtype)
+            lfronts.append((L11, L21))
+        return MultifrontalFactor(tree, lfronts, dtype)
+
+    # -- queries -----------------------------------------------------------
+
+    def log_det(self):
+        """log det H (padding pivots contribute log 1 = 0)."""
+        tot = 0.0
+        for L11, _ in self.lfronts:
+            d = jnp.diagonal(L11, axis1=-2, axis2=-1)
+            tot = tot + 2.0 * jnp.sum(jnp.log(d))
+        return tot
+
+    def solve(self, b):
+        """H^{-1} b for b [n] or [n, k] via the front tree."""
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        k = b.shape[1]
+        dtype = self.dtype
+        y = jnp.concatenate(
+            [b.astype(dtype), jnp.zeros((1, k), dtype)]
+        )  # slot n: padding accumulator
+        # forward: L y' = b, bottom-up
+        for plan, (L11, L21) in zip(self.tree.levels, self.lfronts):
+            own = jnp.asarray(np.where(plan.own < 0, self.tree.n, plan.own))
+            cols_b = np.where(
+                plan.cols[:, plan.s:] < 0, self.tree.n, plan.cols[:, plan.s:]
+            )
+            cols_b = jnp.asarray(cols_b)
+            rhs = y[own]  # [B, s, k]
+            sol = batched_tsolve_left(L11, rhs)  # [B, s, k]
+            y = y.at[own].set(sol, mode="drop")
+            if L21.shape[1]:
+                upd = L21 @ sol  # [B, f-s, k]
+                y = y.at[cols_b].add(-upd, mode="drop")
+            y = y.at[self.tree.n].set(0.0)
+        # backward: L^T x = y', top-down
+        x = y
+        for plan, (L11, L21) in zip(
+            self.tree.levels[::-1], self.lfronts[::-1]
+        ):
+            own = jnp.asarray(np.where(plan.own < 0, self.tree.n, plan.own))
+            cols_b = np.where(
+                plan.cols[:, plan.s:] < 0, self.tree.n, plan.cols[:, plan.s:]
+            )
+            cols_b = jnp.asarray(cols_b)
+            rhs = x[own]
+            if L21.shape[1]:
+                rhs = rhs - jnp.swapaxes(L21, 1, 2) @ x[cols_b]
+            sol = batched_tsolve_left(L11, rhs, transpose=True)
+            x = x.at[own].set(sol, mode="drop")
+            x = x.at[self.tree.n].set(0.0)
+        x = x[: self.tree.n]
+        return x[:, 0] if squeeze else x
+
+    def sample_zero_mean(self, key, k: int = 1):
+        """Draw z with cov H^{-1}: solve L^T x = w, w ~ N(0, I) (padding
+        pivots are identity and their slots are dropped)."""
+        w = jax.random.normal(key, (self.tree.n + 1, k), self.dtype)
+        x = w.at[self.tree.n].set(0.0)
+        for plan, (L11, L21) in zip(
+            self.tree.levels[::-1], self.lfronts[::-1]
+        ):
+            own = jnp.asarray(np.where(plan.own < 0, self.tree.n, plan.own))
+            cols_b = np.where(
+                plan.cols[:, plan.s:] < 0, self.tree.n, plan.cols[:, plan.s:]
+            )
+            cols_b = jnp.asarray(cols_b)
+            rhs = x[own]
+            if L21.shape[1]:
+                rhs = rhs - jnp.swapaxes(L21, 1, 2) @ x[cols_b]
+            sol = batched_tsolve_left(L11, rhs, transpose=True)
+            x = x.at[own].set(sol, mode="drop")
+            x = x.at[self.tree.n].set(0.0)
+        return x[: self.tree.n]
