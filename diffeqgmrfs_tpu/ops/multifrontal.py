@@ -46,6 +46,37 @@ from .batched_factor import (
     batched_tsolve_left,
     batched_tsolve_right_T,
 )
+from .blocked_factor import (
+    blocked_cholesky,
+    blocked_tsolve_left,
+    blocked_tsolve_right_T,
+)
+
+# Levels with few, large fronts (tree top) use the XLA-panel blocked
+# kernels: their [panel, panel] monolithic chol/TRSM are fine at batch
+# ~1-4 and avoid the unrolled-Crout kernels' trace-size blowup at
+# front widths in the thousands. Levels with many small fronts (tree
+# bottom) need the batch-parallel unrolled kernels — XLA's expanders
+# do not vectorize over the batch (probe_front_rates.py).
+_SMALL_BATCH = 4
+
+
+def _chol(F11):
+    if F11.shape[0] <= _SMALL_BATCH and F11.shape[-1] > 256:
+        return blocked_cholesky(F11, panel=256)
+    return batched_cholesky(F11)
+
+
+def _tsolve_right_T(L, B):
+    if L.shape[0] <= _SMALL_BATCH and L.shape[-1] > 256:
+        return blocked_tsolve_right_T(L, B, panel=256)
+    return batched_tsolve_right_T(L, B)
+
+
+def _tsolve_left(L, B, transpose=False):
+    if L.shape[0] <= _SMALL_BATCH and L.shape[-1] > 256:
+        return blocked_tsolve_left(L, B, panel=256, transpose=transpose)
+    return batched_tsolve_left(L, B, transpose=transpose)
 
 
 # ---------------------------------------------------------------------------
@@ -291,53 +322,119 @@ def symbolic_multifrontal(
 # ---------------------------------------------------------------------------
 
 
+def tree_device_arrays(tree: FrontTree, nnz: int):
+    """Per-level plan arrays as device arrays, to thread through jit
+    SIGNATURES instead of baking them into the HLO as constants (the
+    relay rejects >~100 MB compile requests — docs/RELAY_FAULT_REPORT;
+    large trees put 100s of MB of h_pos gather indices in the program).
+
+    All padding indices are pre-mapped to in-range sentinels (h_pos -1 ->
+    nnz, the appended zero slot; dof -1 -> n, the scratch slot), because
+    traced gathers must not rely on negative-index normalization.
+    """
+    arrs = []
+    for p in tree.levels:
+        arrs.append(
+            dict(
+                h_pos=jnp.asarray(np.where(p.h_pos < 0, nnz, p.h_pos)),
+                pad=jnp.asarray(p.own < 0),
+                child_src=jnp.asarray(p.child_src),
+                child_parent=jnp.asarray(p.child_parent),
+                child_pos=jnp.asarray(p.child_pos),
+                own_idx=jnp.asarray(np.where(p.own < 0, tree.n, p.own)),
+                bnd_idx=jnp.asarray(
+                    np.where(p.cols[:, p.s :] < 0, tree.n, p.cols[:, p.s :])
+                ),
+            )
+        )
+    return arrs
+
+
+def _host_level_arrays(tree: FrontTree, nnz: int, p: int):
+    """Numpy equivalent of tree_device_arrays[p] (constant-folded path)."""
+    plan = tree.levels[p]
+    return dict(
+        h_pos=np.where(plan.h_pos < 0, nnz, plan.h_pos),
+        pad=plan.own < 0,
+        child_src=plan.child_src,
+        child_parent=plan.child_parent,
+        child_pos=plan.child_pos,
+        own_idx=np.where(plan.own < 0, tree.n, plan.own),
+        bnd_idx=np.where(
+            plan.cols[:, plan.s :] < 0, tree.n, plan.cols[:, plan.s :]
+        ),
+    )
+
+
 @jax.tree_util.register_pytree_node_class
 class MultifrontalFactor:
     """Per-level factored fronts: L11 [B,s,s], L21 [B,f-s,s] + plans."""
 
-    def __init__(self, tree: FrontTree, lfronts, dtype):
+    def __init__(self, tree: FrontTree, lfronts, dtype, arrs=None):
         self.tree = tree
         self.lfronts = lfronts  # list of (L11, L21)
         self.dtype = dtype
+        self.arrs = arrs  # optional device plan arrays (jit-threaded)
 
     def tree_flatten(self):
-        return (self.lfronts,), (self.tree, self.dtype)
+        return (self.lfronts, self.arrs), (self.tree, self.dtype)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(aux[0], children[0], aux[1])
+        return cls(aux[0], children[0], aux[1], arrs=children[1])
+
+    def _level(self, p: int):
+        if self.arrs is not None:
+            return self.arrs[p]
+        nnz = None  # h_pos unused on the query paths
+        plan = self.tree.levels[p]
+        return dict(
+            own_idx=np.where(plan.own < 0, self.tree.n, plan.own),
+            bnd_idx=np.where(
+                plan.cols[:, plan.s :] < 0,
+                self.tree.n,
+                plan.cols[:, plan.s :],
+            ),
+        )
 
     # -- factor ------------------------------------------------------------
 
     @staticmethod
-    def factorize(tree: FrontTree, h_data, dtype=None):
+    def factorize(tree: FrontTree, h_data, dtype=None, arrs=None):
         """Numeric factorization from H's CSR value array (any instance
-        with the symbolic structure)."""
+        with the symbolic structure).
+
+        arrs: optional `tree_device_arrays(tree, len(h_data))` passed
+        through the caller's jit signature — REQUIRED for large trees on
+        the relay (plan constants otherwise inflate the HLO past the
+        compile-request limit).
+        """
         h_data = jnp.asarray(h_data)
         if dtype is not None:
             h_data = h_data.astype(dtype)
         dtype = h_data.dtype
-        hd = jnp.concatenate([h_data, jnp.zeros((1,), dtype)])  # -1 -> 0
+        nnz = h_data.shape[0]
+        hd = jnp.concatenate([h_data, jnp.zeros((1,), dtype)])  # pad -> 0
         updates = None  # (U [C, u, u]) from the level below
         lfronts = []
         for p, plan in enumerate(tree.levels):
+            la = arrs[p] if arrs is not None else _host_level_arrays(tree, nnz, p)
             B, s, f = plan.own.shape[0], plan.s, plan.f
-            arrow = hd[plan.h_pos]  # [B, s, f]
+            arrow = hd[la["h_pos"]]  # [B, s, f]
             F = jnp.zeros((B, f, f), dtype)
             F = F.at[:, :s, :].set(arrow)
             F = F.at[:, s:, :s].set(jnp.swapaxes(arrow[:, :, s:], 1, 2))
             # identity padding pivots (own == -1)
-            pad = plan.own < 0  # [B, s]
             F = F.at[:, jnp.arange(s), jnp.arange(s)].add(
-                jnp.where(pad, 1.0, 0.0).astype(dtype)
+                jnp.where(la["pad"], 1.0, 0.0).astype(dtype)
             )
             if updates is not None and plan.child_parent.shape[0]:
-                U = updates[plan.child_src]  # [C, u, u]
-                pos = jnp.asarray(plan.child_pos)  # [C, u] -> 0..f or f
+                U = updates[la["child_src"]]  # [C, u, u]
+                pos = jnp.asarray(la["child_pos"])  # [C, u] -> 0..f or f
                 Fpad = jnp.zeros((B, f + 1, f + 1), dtype)
                 ii = pos[:, :, None]
                 jj = pos[:, None, :]
-                bb = jnp.asarray(plan.child_parent)[:, None, None]
+                bb = jnp.asarray(la["child_parent"])[:, None, None]
                 Fpad = Fpad.at[
                     jnp.broadcast_to(bb, U.shape),
                     jnp.broadcast_to(ii, U.shape),
@@ -345,9 +442,9 @@ class MultifrontalFactor:
                 ].add(U)
                 F = F + Fpad[:, :f, :f]
             F11 = F[:, :s, :s]
-            L11 = batched_cholesky(F11)
+            L11 = _chol(F11)
             if f > s:
-                L21 = batched_tsolve_right_T(L11, F[:, s:, :s])
+                L21 = _tsolve_right_T(L11, F[:, s:, :s])
                 # update matrix = F22 - L21 L21^T: F22 carries the
                 # extend-added grandchildren contributions between THIS
                 # node's boundary columns, which belong to higher
@@ -357,7 +454,7 @@ class MultifrontalFactor:
                 L21 = jnp.zeros((B, 0, s), dtype)
                 updates = jnp.zeros((B, 0, 0), dtype)
             lfronts.append((L11, L21))
-        return MultifrontalFactor(tree, lfronts, dtype)
+        return MultifrontalFactor(tree, lfronts, dtype, arrs=arrs)
 
     # -- queries -----------------------------------------------------------
 
@@ -380,14 +477,12 @@ class MultifrontalFactor:
             [b.astype(dtype), jnp.zeros((1, k), dtype)]
         )  # slot n: padding accumulator
         # forward: L y' = b, bottom-up
-        for plan, (L11, L21) in zip(self.tree.levels, self.lfronts):
-            own = jnp.asarray(np.where(plan.own < 0, self.tree.n, plan.own))
-            cols_b = np.where(
-                plan.cols[:, plan.s:] < 0, self.tree.n, plan.cols[:, plan.s:]
-            )
-            cols_b = jnp.asarray(cols_b)
+        for p, (L11, L21) in enumerate(self.lfronts):
+            la = self._level(p)
+            own = jnp.asarray(la["own_idx"])
+            cols_b = jnp.asarray(la["bnd_idx"])
             rhs = y[own]  # [B, s, k]
-            sol = batched_tsolve_left(L11, rhs)  # [B, s, k]
+            sol = _tsolve_left(L11, rhs)  # [B, s, k]
             y = y.at[own].set(sol, mode="drop")
             if L21.shape[1]:
                 upd = L21 @ sol  # [B, f-s, k]
@@ -395,18 +490,15 @@ class MultifrontalFactor:
             y = y.at[self.tree.n].set(0.0)
         # backward: L^T x = y', top-down
         x = y
-        for plan, (L11, L21) in zip(
-            self.tree.levels[::-1], self.lfronts[::-1]
-        ):
-            own = jnp.asarray(np.where(plan.own < 0, self.tree.n, plan.own))
-            cols_b = np.where(
-                plan.cols[:, plan.s:] < 0, self.tree.n, plan.cols[:, plan.s:]
-            )
-            cols_b = jnp.asarray(cols_b)
+        for p in range(len(self.lfronts) - 1, -1, -1):
+            L11, L21 = self.lfronts[p]
+            la = self._level(p)
+            own = jnp.asarray(la["own_idx"])
+            cols_b = jnp.asarray(la["bnd_idx"])
             rhs = x[own]
             if L21.shape[1]:
                 rhs = rhs - jnp.swapaxes(L21, 1, 2) @ x[cols_b]
-            sol = batched_tsolve_left(L11, rhs, transpose=True)
+            sol = _tsolve_left(L11, rhs, transpose=True)
             x = x.at[own].set(sol, mode="drop")
             x = x.at[self.tree.n].set(0.0)
         x = x[: self.tree.n]
@@ -417,18 +509,15 @@ class MultifrontalFactor:
         pivots are identity and their slots are dropped)."""
         w = jax.random.normal(key, (self.tree.n + 1, k), self.dtype)
         x = w.at[self.tree.n].set(0.0)
-        for plan, (L11, L21) in zip(
-            self.tree.levels[::-1], self.lfronts[::-1]
-        ):
-            own = jnp.asarray(np.where(plan.own < 0, self.tree.n, plan.own))
-            cols_b = np.where(
-                plan.cols[:, plan.s:] < 0, self.tree.n, plan.cols[:, plan.s:]
-            )
-            cols_b = jnp.asarray(cols_b)
+        for p in range(len(self.lfronts) - 1, -1, -1):
+            L11, L21 = self.lfronts[p]
+            la = self._level(p)
+            own = jnp.asarray(la["own_idx"])
+            cols_b = jnp.asarray(la["bnd_idx"])
             rhs = x[own]
             if L21.shape[1]:
                 rhs = rhs - jnp.swapaxes(L21, 1, 2) @ x[cols_b]
-            sol = batched_tsolve_left(L11, rhs, transpose=True)
+            sol = _tsolve_left(L11, rhs, transpose=True)
             x = x.at[own].set(sol, mode="drop")
             x = x.at[self.tree.n].set(0.0)
         return x[: self.tree.n]

@@ -75,6 +75,22 @@ def test_factorize_jits(problem):
     np.testing.assert_allclose(x, xref, rtol=1e-8, atol=1e-10)
 
 
+def test_factorize_with_threaded_plan_arrays(problem):
+    # plan arrays passed through the jit SIGNATURE (relay 413-safe path)
+    from diffeqgmrfs_tpu.ops.multifrontal import tree_device_arrays
+
+    H, coords, tree = problem
+    arrs = tree_device_arrays(tree, H.nnz)
+    f = jax.jit(
+        lambda d, a: MultifrontalFactor.factorize(tree, d, arrs=a).solve(
+            jnp.ones((tree.n,), jnp.float64)
+        )
+    )
+    x = np.asarray(f(jnp.asarray(H.data), arrs))
+    xref = sp.linalg.spsolve(H.tocsc(), np.ones(tree.n))
+    np.testing.assert_allclose(x, xref, rtol=1e-8, atol=1e-10)
+
+
 def test_sampling_covariance_small():
     # tiny mesh: empirical sample covariance ~ H^{-1}
     from diffeqgmrfs_tpu.fem import uniform_unit_square_discretization
