@@ -76,6 +76,8 @@ done
 echo "=== [$(date +%H:%M:%S)] queue Z: starting" >> "$RLOG"
 
 run_job front_rates_v3 5400 python experiments/probe_front_rates.py
+run_job probe_multifrontal 5400 python experiments/probe_multifrontal.py \
+  --sizes 32 64 128
 
 # sidecar: commit the 1024-sweep's partial rows every 10 min
 (
