@@ -63,9 +63,13 @@ def parse_cmd():
                         "[Lambda_Q; sqrt(tau_b) A_b; sqrt(tau) J] — f32 "
                         "stays valid at N_el_xy=100 where the equilibrated "
                         "f32 Cholesky goes indefinite")
-    p.add_argument("--srif_qr_impl", type=str, default="xla",
+    p.add_argument("--srif_qr_impl", type=str, default="bhh1",
                    help="SRIF window-QR engine: xla | bhh | bhh1 | bcgs2 "
-                        "| bcgs4 (see solve_darcy_gmrf_fem.py)")
+                        "| bcgs4 (see solve_darcy_gmrf_fem.py). bhh1 is "
+                        "the default HERE because at this driver's window "
+                        "shapes it halves the N100 wall (8.2 vs 17.2 s, "
+                        "queue Y) at identical err_L2 7.06e-9; Darcy/chen24 "
+                        "keep xla (bhh1 measured neutral-to-slower there)")
     p.add_argument("--qr_split", type=int, default=0,
                    help="SRIF window split override (0 = auto_split)")
     p.add_argument("--no_prefactor", action="store_true",
