@@ -121,20 +121,60 @@ class FrontTree:
     perm: np.ndarray          # elimination order (concatenated own dofs)
 
 
+def _host_cpu():
+    """XLA-CPU device for host-side symbolic computations (this VM's
+    numpy lacks SIMD; compiled loops are 20-100x faster — see
+    models/matern.host_mass_stiffness)."""
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
+
+
 def suggest_cut_width(H, coords, margin: float = 1.10):
     """Physical coupling range of H along either axis (max |coord_i -
     coord_j| over nonzeros), times a safety margin — a separator strip of
     this width fully disconnects the two sides."""
     coo = H.tocoo()
     c = np.asarray(coords, dtype=np.float64)
-    d = np.abs(c[coo.row] - c[coo.col]).max()
+    cpu = _host_cpu()
+    if cpu is not None:
+        with jax.default_device(cpu):
+            d = float(
+                jax.jit(lambda c, r, l: jnp.abs(c[r] - c[l]).max())(
+                    c, coo.row, coo.col
+                )
+            )
+    else:
+        d = np.abs(c[coo.row] - c[coo.col]).max()
     return float(d) * margin
+
+
+def _full_m1(shape):
+    """np.full(shape, -1, int64) via a byte fill — this host's int64
+    scalar-store loop runs at ~20 MB/s (no SIMD); filling the same
+    buffer with 0xff bytes (== -1 in two's complement) is ~80x faster."""
+    a = np.empty(shape, np.int64)
+    a.view(np.uint8).fill(255)
+    return a
+
+
+def _row_cat(indptr, indices, rows):
+    """Concatenated column indices of CSR `rows` (vectorized gather)."""
+    lens = indptr[rows + 1] - indptr[rows]
+    tot = int(lens.sum())
+    if tot == 0:
+        return indices[:0]
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    idx = np.repeat(indptr[rows] - offs, lens) + np.arange(tot)
+    return indices[idx]
 
 
 def _build_tree(coords, cut_width, leaf_target, indptr, indices):
     """Recursive geometric bisection; separators verified against the
     matrix graph (any left<->right edge raises ValueError)."""
     nodes: list[_Node] = []
+    in_right = np.zeros(coords.shape[0], dtype=bool)  # reused scratch
 
     def rec(ids, axis, depth, parent):
         if len(ids) <= leaf_target:
@@ -149,18 +189,20 @@ def _build_tree(coords, cut_width, leaf_target, indptr, indices):
         if len(sep) == 0 or len(left) == 0 or len(right) == 0:
             nodes.append(_Node(dofs=ids, level=depth, parent=parent))
             return
-        # verify exact separation on the matrix graph
-        in_left = np.zeros(coords.shape[0], dtype=bool)
-        in_left[left] = True
-        in_right = np.zeros(coords.shape[0], dtype=bool)
+        # verify exact separation on the matrix graph (vectorized: any
+        # nonzero of H[left, right] means the strip failed to separate)
         in_right[right] = True
-        for i in left:
-            cols = indices[indptr[i] : indptr[i + 1]]
-            if in_right[cols].any():
-                raise ValueError(
-                    "geometric separator leaks: increase cut_width "
-                    f"(row {i} couples across the cut)"
-                )
+        flat = _row_cat(indptr, indices, left)
+        leak = in_right[flat]
+        if leak.any():
+            lens = indptr[left + 1] - indptr[left]
+            bad = int(np.repeat(left, lens)[leak][0])
+            in_right[right] = False
+            raise ValueError(
+                "geometric separator leaks: increase cut_width "
+                f"(row {bad} couples across the cut)"
+            )
+        in_right[right] = False
         me = len(nodes)
         nodes.append(_Node(dofs=sep, level=depth, parent=parent))
         rec(left, 1 - axis, depth + 1, me)
@@ -192,47 +234,53 @@ def symbolic_multifrontal(
     # boundary columns: struct(H[own, :]) restricted to not-yet-eliminated
     # dofs = ancestors' own dofs, UNION the children's boundaries minus
     # own (update columns must live in the parent's front). Walk leaves
-    # up so children are resolved first.
+    # up so children are resolved first. Vectorized via an owner-node
+    # labeling: c is an ancestor-own dof of node i iff owner[c] lies on
+    # i's parent chain.
     order = sorted(range(len(nodes)), key=lambda i: -nodes[i].level)
     children: dict[int, list[int]] = {}
     for i, nd in enumerate(nodes):
         children.setdefault(nd.parent, []).append(i)
+        if nd.dofs.size > 1 and not (np.diff(nd.dofs) > 0).all():
+            raise AssertionError(
+                f"node {i} own dofs not ascending — bisection subsets "
+                "must preserve id order"
+            )
 
-    anc_own = {}
+    owner = np.empty(n, dtype=np.int64)
+    for i, nd in enumerate(nodes):
+        owner[nd.dofs] = i
 
-    def ancestors_of(i):
-        if i in anc_own:
-            return anc_own[i]
-        p = nodes[i].parent
-        s = set() if p < 0 else (set(nodes[p].dofs) | ancestors_of(p))
-        anc_own[i] = s
-        return s
-
+    own_mask = np.zeros(n, dtype=bool)  # reused scratch
     for i in order:
         nd = nodes[i]
-        anc = ancestors_of(i)
-        cols = set()
-        for d in nd.dofs:
-            for c in H.indices[H.indptr[d] : H.indptr[d + 1]]:
-                if c in anc:
-                    cols.add(int(c))
-        for c_id in children.get(i, []):
-            own_set = set(nodes[i].dofs)
-            for c in nodes[c_id].bound:
-                if int(c) not in own_set:
-                    cols.add(int(c))
-        nd.bound = np.array(sorted(cols), dtype=np.int64)
+        is_anc = np.zeros(len(nodes), dtype=bool)
+        p = nd.parent
+        while p >= 0:
+            is_anc[p] = True
+            p = nodes[p].parent
+        flat = _row_cat(H.indptr, H.indices, nd.dofs)
+        parts = [flat[is_anc[owner[flat]]].astype(np.int64)]
+        ch = children.get(i, [])
+        if ch:
+            own_mask[nd.dofs] = True
+            for c_id in ch:
+                cb = nodes[c_id].bound
+                parts.append(cb[~own_mask[cb]])
+            own_mask[nd.dofs] = False
+        nd.bound = np.unique(np.concatenate(parts))
 
     # sanity: child boundary must be inside parent's own+boundary
     for i, nd in enumerate(nodes):
         if nd.parent >= 0:
             p = nodes[nd.parent]
-            pf = set(p.dofs) | set(p.bound)
-            missing = [c for c in nd.bound if int(c) not in pf]
-            if missing:
+            missing = np.setdiff1d(
+                nd.bound, np.concatenate([p.dofs, p.bound])
+            )
+            if missing.size:
                 raise AssertionError(
-                    f"update column {missing[:3]} of node {i} escapes its "
-                    "parent front — tree construction bug"
+                    f"update column {missing[:3].tolist()} of node {i} "
+                    "escapes its parent front — tree construction bug"
                 )
 
     # level plans, deepest first. NOTE on the layout: a node with k own
@@ -243,7 +291,6 @@ def symbolic_multifrontal(
     # across the whole batch.
     max_level = max(nd.level for nd in nodes)
     levels = []
-    col_lookup = {}  # node id -> {global col -> front position}
     for lev in range(max_level, -1, -1):
         ids = np.array(
             [i for i, nd in enumerate(nodes) if nd.level == lev], dtype=np.int64
@@ -251,29 +298,45 @@ def symbolic_multifrontal(
         s = max(len(nodes[i].dofs) for i in ids)
         f = s + max(len(nodes[i].bound) for i in ids)
         B = len(ids)
-        own = np.full((B, s), -1, dtype=np.int64)
-        cols = np.full((B, f), -1, dtype=np.int64)
-        h_pos = np.full((B, s, f), -1, dtype=np.int64)
+        own = _full_m1((B, s))
+        cols = _full_m1((B, f))
         for b, i in enumerate(ids):
             nd = nodes[i]
             k, m = len(nd.dofs), len(nd.bound)
             own[b, :k] = nd.dofs
             cols[b, :k] = nd.dofs
             cols[b, s : s + m] = nd.bound
-            lookup = {int(c): j for j, c in enumerate(nd.dofs)}
-            lookup.update({int(c): s + j for j, c in enumerate(nd.bound)})
-            col_lookup[i] = lookup
-            # gather positions of H[own, front cols]
-            fc = cols[b]
-            valid = fc >= 0
-            for r in range(k):
-                d = nd.dofs[r]
-                lo, hi = H.indptr[d], H.indptr[d + 1]
-                row_cols = H.indices[lo:hi]
-                pos = np.searchsorted(row_cols, np.where(valid, fc, 0))
-                pos = np.clip(pos, 0, max(hi - lo - 1, 0))
-                hit = valid & (row_cols[pos] == fc) if hi > lo else np.zeros_like(valid)
-                h_pos[b, r] = np.where(hit, lo + pos, -1)
+        # gather positions of H[own, front cols]. SPARSE formulation:
+        # walk each node's nnz CSR entries once and scatter every entry
+        # into its front slot (front position = searchsorted rank in the
+        # ascending own/bound lists) — O(nnz) work per level instead of
+        # the O(B s f) dense-front query grid.
+        h_pos = _full_m1((B, s, f))
+        for b, i in enumerate(ids):
+            nd = nodes[i]
+            k = len(nd.dofs)
+            lens = H.indptr[nd.dofs + 1] - H.indptr[nd.dofs]
+            tot = int(lens.sum())
+            if tot == 0:
+                continue
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            csr_p = np.repeat(H.indptr[nd.dofs] - offs, lens) + np.arange(tot)
+            fc = H.indices[csr_p]
+            row_r = np.repeat(np.arange(k), lens)
+            jo = np.searchsorted(nd.dofs, fc)
+            joc = np.minimum(jo, k - 1)
+            in_own = nd.dofs[joc] == fc
+            nb = len(nd.bound)
+            if nb:
+                jb = np.searchsorted(nd.bound, fc)
+                jbc = np.minimum(jb, nb - 1)
+                in_bnd = nd.bound[jbc] == fc
+            else:
+                jbc = np.zeros(tot, dtype=np.int64)
+                in_bnd = np.zeros(tot, dtype=bool)
+            fpos = np.where(in_own, joc, np.where(in_bnd, s + jbc, -1))
+            keep = fpos >= 0
+            h_pos[b, row_r[keep], fpos[keep]] = csr_p[keep]
         levels.append(
             LevelPlan(
                 node_ids=ids, s=s, f=f, own=own, cols=cols, h_pos=h_pos,
@@ -297,10 +360,19 @@ def symbolic_multifrontal(
             if nd.parent < 0:
                 continue
             pb = id_to_b[nd.parent]
-            lookup = col_lookup[nd.parent]
+            pnode = nodes[nd.parent]
             pos = np.full((u,), plan.f, dtype=np.int64)
-            for j, c in enumerate(nd.bound):
-                pos[j] = lookup[int(c)]
+            cb = nd.bound
+            if cb.size:
+                # own and bound are ascending, so the front position of
+                # a column is its searchsorted rank (own first, then
+                # boundary at offset s); membership was sanity-checked
+                po, pbd = pnode.dofs, pnode.bound
+                jo = np.searchsorted(po, cb)
+                joc = np.clip(jo, 0, max(len(po) - 1, 0))
+                in_own = (po[joc] == cb) if len(po) else np.zeros(cb.shape, bool)
+                jb = np.searchsorted(pbd, cb)
+                pos[: cb.size] = np.where(in_own, joc, plan.s + jb)
             entries.append((b_c, pb, pos))
         plan.child_src = np.array([x[0] for x in entries], dtype=np.int64)
         plan.child_parent = np.array([x[1] for x in entries], dtype=np.int64)
