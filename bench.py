@@ -73,7 +73,20 @@ def bench_tpu(N=64, bs=2048, n_it=5):
             float(g(K, diag, lower))
             tK.append(time.perf_counter() - t0)
         dt = (min(tK) - min(t1)) / (K - 1)
-        log(f"tpu f32 N={N} bs={bs} [{tag}]: {dt * 1e3:.1f} ms/factor")
+        # dispersion of the slope estimate across the n_it pairings
+        # (MEASUREMENT.md): max pairwise slope over min, as a percentage
+        dts = sorted((b - a) / (K - 1) for a, b in zip(t1, tK))
+        spread = (dts[-1] - dts[0]) / dt * 100 if dt > 0 else float("nan")
+        log(
+            f"tpu f32 N={N} bs={bs} [{tag}]: {dt * 1e3:.1f} ms/factor "
+            f"(spread {spread:.0f}% over {n_it} slope pairs)"
+        )
+        if dt <= 0:
+            # negative/zero slope = timing artifact (contended relay, cf.
+            # probe_front_rates round-2); flag loudly rather than report
+            log(f"WARNING: non-positive slope for [{tag}]; discarding")
+            return 0.0
+        run.last_spread = spread
         return btd_flops(N, bs) / dt
 
     # default full-f32 sweep (round-1 continuity, logged to stderr)
@@ -85,7 +98,7 @@ def bench_tpu(N=64, bs=2048, n_it=5):
     # inside what one refinement iteration recovers; blueprint
     # factor_winv_trsm/factor_precision select this in drivers)
     best = run("pw128/bf16", panel=128, winv_trsm=128, precision="bfloat16")
-    return max(mono, best)
+    return max(mono, best), getattr(run, "last_spread", float("nan"))
 
 
 def bench_cpu(N=8, bs=1024):
@@ -139,10 +152,11 @@ def wait_for_tpu_queue(max_wait=1800, poll=30):
     import re
     import subprocess
 
-    pat = re.compile(
-        r"solve_burgers_gmrf_fem|burgers_chen24|solve_darcy_gmrf_fem"
-        r"|elliptic_chen24|probe_resolve|probe_srif_qr"
-    )
+    # any experiment/probe driver counts as holding the chip — except
+    # known CPU-only jobs (dataset generation, or anything launched with
+    # an explicit JAX_PLATFORMS=cpu on its command line)
+    pat = re.compile(r"python (\S*/)?experiments/\S+\.py")
+    cpu_only = re.compile(r"JAX_PLATFORMS=cpu|gen_darcy_1024")
     t0 = time.time()
     while time.time() - t0 < max_wait:
         try:
@@ -153,7 +167,9 @@ def wait_for_tpu_queue(max_wait=1800, poll=30):
         except Exception:
             return
         if not any(
-            pat.search(line) and "ps -eo" not in line
+            pat.search(line)
+            and not cpu_only.search(line)
+            and "ps -eo" not in line
             for line in out.splitlines()
         ):
             return
@@ -161,16 +177,34 @@ def wait_for_tpu_queue(max_wait=1800, poll=30):
         time.sleep(poll)
 
 
+def wait_for_relay(max_wait=5400, poll=120):
+    """Block (bounded) until the TPU relay answers. BENCH_r02 was captured
+    stale because the relay happened to be down at the driver's snapshot
+    moment; the official artifact must touch the TPU whenever recovery is
+    at all possible (VERDICT r2 weak #2)."""
+    t0 = time.time()
+    while True:
+        if relay_alive():
+            return True
+        waited = time.time() - t0
+        if waited >= max_wait:
+            return False
+        log(f"TPU relay down; retrying ({int(waited)}s of {max_wait}s)")
+        time.sleep(poll)
+
+
 def main():
     wait_for_tpu_queue()
+    wait_for_relay()
     if relay_alive():
-        tpu_flops = bench_tpu()
+        tpu_flops, spread = bench_tpu()
         cpu_flops = bench_cpu()
         out = {
             "metric": "btd_cholesky_f32_throughput",
             "value": round(tpu_flops / 1e12, 3),
             "unit": "TFLOP/s",
             "vs_baseline": round(tpu_flops / cpu_flops, 2),
+            "slope_spread_pct": round(spread, 1),
         }
         # persist for stale-fallback reporting during relay outages
         try:
@@ -188,7 +222,7 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        xla_flops = bench_tpu(N=8, bs=1024, n_it=2)
+        xla_flops, _ = bench_tpu(N=8, bs=1024, n_it=2)
         cpu_flops = bench_cpu()
         out = None
         if os.path.exists(LAST_TPU_PATH):

@@ -1,0 +1,684 @@
+"""Level-batched multifrontal sqrt-QR on geometric nested dissection.
+
+The 1e6-dof path (BASELINE.md north-star). The banded SRIF sweep is
+rate-saturated at ~88% of the f32 GEMM peak but costs O(n * bw^2) flops
+with bw ~ 6 sqrt(n) AND stores an O(n * bw) packed factor — 16 GB at 1e6
+dofs, past the v5e's HBM before wall-clock even enters. Nested dissection
+cuts both: O(n^1.5)-class flops concentrated in MXU-sized top fronts and
+an O(n log n) factor. The round-2 Cholesky form (`ops/multifrontal.py`)
+proved the tree/level-batching machinery but is f32-INVALID at the
+flagship condition numbers (Darcy obs precision 1e8 squares into the
+normal equations — `/root/reference/scripts/darcy/solve_darcy_gmrf-fem.jl:163`);
+this module is its square-root sibling:
+
+    S = [ Lambda ; sqrt(tau) A ],   S^T S = H,
+
+factored by ORTHOGONAL transforms only (multifrontal QR, the sparse
+analog of `ops/srif.py`): each tree node's front stacks
+
+    [ operand rows whose deepest support dof is owned here ;
+      both children's update-row trapezoids ;
+      identity rows for padded pivots ]
+
+over the front's columns (own pivots | boundary), one batched tall QR per
+tree LEVEL. The R rows on own columns are final (R^T R = H exactly, so R
+matches the Cholesky factor of H up to row signs — same downstream
+semantics); the trailing trapezoid on boundary columns is the update
+passed to the parent. Householder-grade error ~ eps * sqrt(cond H) keeps
+f32 valid to cond ~ 1e14 (ops/srif.py header).
+
+Symbolic structure (tree, fronts, boundaries) is shared with the
+Cholesky form via `symbolic_multifrontal(..., with_h_pos=False)`; only
+the operand-row -> front assignment and slot->front-position maps are new.
+
+Replaces what the reference reaches through CHOLMOD/supernodal with a
+fill-reducing permutation (`/root/reference/src/tridiagonal_cholesky.jl:20,39`)
+— same math, MXU-shaped supernodes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .batched_factor import batched_tsolve_left
+from .multifrontal import FrontTree, symbolic_multifrontal
+
+
+# ---------------------------------------------------------------------------
+# symbolic phase (host / numpy)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(eq=False)
+class MFQRLevel:
+    """Row-plan extension of one LevelPlan for the QR numeric phase."""
+
+    rows_src: np.ndarray    # [B, Rm] global operand-row index, -1 pad
+    rows_pos: np.ndarray    # [B, Rm, K] front position of each slot,
+                            # f -> dropped (padding / out-of-front)
+    child_slot: np.ndarray  # [C] 0/1: which of the parent's two child
+                            # row-blocks this child's update occupies
+
+
+@dataclass(eq=False)
+class MFQRTree:
+    n: int
+    K: int                   # slot width of the stacked operand rows
+    n_rows: int              # total operand rows
+    tree: FrontTree
+    rlevels: list[MFQRLevel] = field(default_factory=list)
+
+    @property
+    def levels(self):
+        return self.tree.levels
+
+
+def stack_operand_cols(ops_cols, n):
+    """Stack operand col arrays into one [Rtot, Kmax] int64 map with
+    out-of-range/padding slots set to n (the scratch column).
+
+    NOTE: structurally-dead slots (e.g. constraint condensation's
+    s_coef == 0 slots, which alias free dof 0 — `AffineMap.condense_rowop`)
+    MUST be pre-masked to n by the caller: a spurious col-0 alias couples
+    every boundary-adjacent row to one dof and collapses the dissection
+    geometry to a single front."""
+    Kmax = max(c.shape[1] for c in ops_cols)
+    parts = []
+    for c in ops_cols:
+        c = np.asarray(c, dtype=np.int64)
+        bad = (c < 0) | (c >= n)
+        c = np.where(bad, n, c)
+        if c.shape[1] < Kmax:
+            c = np.concatenate(
+                [c, np.full((c.shape[0], Kmax - c.shape[1]), n, np.int64)],
+                axis=1,
+            )
+        parts.append(c)
+    return np.concatenate(parts, axis=0)
+
+
+def stack_operand_vals(ops_vals, Kmax: int, dtype=None):
+    """Stack traced operand value arrays to the [Rtot, Kmax] layout of
+    `stack_operand_cols` (zero-padding extra slots)."""
+    parts = []
+    for v in ops_vals:
+        v = jnp.asarray(v)
+        if dtype is not None:
+            v = v.astype(dtype)
+        if v.shape[1] < Kmax:
+            v = jnp.concatenate(
+                [v, jnp.zeros((v.shape[0], Kmax - v.shape[1]), v.dtype)],
+                axis=1,
+            )
+        parts.append(v)
+    return jnp.concatenate(parts, axis=0)
+
+
+_stack_cols = stack_operand_cols
+
+
+def symbolic_mf_qr(
+    ops_cols,
+    n: int,
+    coords,
+    cut_width,
+    leaf_target: int = 128,
+) -> MFQRTree:
+    """Symbolic multifrontal-QR analysis from operand row structures.
+
+    ops_cols: list of [R_i, K_i] int col arrays (RowOp.cols; padding
+    slots < 0 or == n allowed). The implied system is H = S^T S where S
+    stacks all operands' rows; its graph drives the dissection tree
+    exactly as in the Cholesky form.
+    """
+    import scipy.sparse as sp
+
+    cols = _stack_cols(ops_cols, n)
+    Rtot, K = cols.shape
+    r_idx = np.repeat(np.arange(Rtot), K)
+    c_idx = cols.reshape(-1)
+    keep = c_idx < n
+    S = sp.csr_matrix(
+        (np.ones(keep.sum(), np.float64), (r_idx[keep], c_idx[keep])),
+        shape=(Rtot, n),
+    )
+    # structural Gram; explicit duplicates merged by CSR construction
+    H = (S.T @ S).tocsr()
+    if cut_width is None:
+        from .multifrontal import suggest_cut_width
+
+        cut_width = suggest_cut_width(H, coords)
+    tree = symbolic_multifrontal(
+        H, coords, cut_width, leaf_target, with_h_pos=False
+    )
+
+    # owner (plan index, front index, position map) per dof
+    P = len(tree.levels)
+    owner_plan = np.full(n, -1, np.int64)
+    owner_b = np.full(n, -1, np.int64)
+    for p, plan in enumerate(tree.levels):
+        for b in range(plan.own.shape[0]):
+            o = plan.own[b]
+            o = o[o >= 0]
+            owner_plan[o] = p
+            owner_b[o] = b
+    if (owner_plan < 0).any():
+        raise AssertionError("dof not owned by any front")
+
+    # row -> deepest owner's front. Plans are deepest-FIRST, so the
+    # assigned plan index is the MIN owner_plan over the row's support;
+    # all support dofs achieving it lie in the SAME front (separated
+    # subtrees cannot share a row — verified during tree construction).
+    col_plan = np.where(cols < n, owner_plan[np.minimum(cols, n - 1)], P)
+    row_plan = col_plan.min(axis=1)
+    empty = row_plan == P  # all-padding rows: drop
+    amin = col_plan.argmin(axis=1)
+    row_b = owner_b[np.minimum(cols[np.arange(Rtot), amin], n - 1)]
+    row_b[empty] = -1
+
+    rlevels = []
+    for p, plan in enumerate(tree.levels):
+        s, f = plan.s, plan.f
+        B = plan.own.shape[0]
+        mine = np.nonzero(row_plan == p)[0]
+        bs_of = row_b[mine]
+        counts = np.bincount(bs_of, minlength=B)
+        Rm = int(counts.max()) if counts.size else 0
+        rows_src = np.full((B, Rm), -1, np.int64)
+        rows_pos = np.full((B, Rm, K), f, np.int64)
+        order = np.argsort(bs_of, kind="stable")
+        mine, bs_of = mine[order], bs_of[order]
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        for b in range(B):
+            rs = mine[offs[b] : offs[b + 1]]
+            if rs.size == 0:
+                continue
+            rows_src[b, : rs.size] = rs
+            own_b = plan.own[b]
+            own_b = own_b[own_b >= 0]
+            bnd_b = plan.cols[b, s:]
+            bnd_b = bnd_b[bnd_b >= 0]
+            cc = cols[rs]  # [r, K]
+            flat = cc.reshape(-1)
+            jo = np.searchsorted(own_b, flat)
+            joc = np.minimum(jo, max(len(own_b) - 1, 0))
+            in_own = (
+                (own_b[joc] == flat) if len(own_b) else np.zeros(flat.shape, bool)
+            )
+            jb = np.searchsorted(bnd_b, flat)
+            jbc = np.minimum(jb, max(len(bnd_b) - 1, 0))
+            in_bnd = (
+                (bnd_b[jbc] == flat) if len(bnd_b) else np.zeros(flat.shape, bool)
+            )
+            ok = in_own | in_bnd | (flat >= n)
+            if not ok.all():
+                missing = flat[~ok]
+                raise AssertionError(
+                    f"row slot col {missing[:3].tolist()} outside its "
+                    f"assigned front (level {p})"
+                )
+            pos = np.where(in_own, joc, np.where(in_bnd, s + jbc, f))
+            rows_pos[b, : rs.size] = pos.reshape(cc.shape)
+        # child slot (0/1) per extend entry: order of appearance per parent
+        cp = plan.child_parent
+        slot = np.zeros(cp.shape, np.int64)
+        seen: dict[int, int] = {}
+        for e, pb in enumerate(cp):
+            slot[e] = seen.get(int(pb), 0)
+            seen[int(pb)] = slot[e] + 1
+        if slot.size and slot.max() > 1:
+            raise AssertionError("more than two children in bisection tree")
+        rlevels.append(
+            MFQRLevel(rows_src=rows_src, rows_pos=rows_pos, child_slot=slot)
+        )
+    return MFQRTree(n=n, K=K, n_rows=Rtot, tree=tree, rlevels=rlevels)
+
+
+def mfqr_device_arrays(qt: MFQRTree, device=None):
+    """Plan arrays as device arrays for jit-signature threading (the
+    relay rejects >~100 MB HLO constant payloads — see
+    `multifrontal.tree_device_arrays`). Index arrays are narrowed to
+    int32 (front widths and row counts are far below 2^31; the leaf-level
+    rows_pos at 1e6 dofs is ~0.6 GB in i32 vs 1.3 GB in i64)."""
+    put = (lambda a: jax.device_put(a, device)) if device else jnp.asarray
+    arrs = []
+    for p, plan in enumerate(qt.tree.levels):
+        rl = qt.rlevels[p]
+        arrs.append(
+            dict(
+                rows_src=put(
+                    np.where(rl.rows_src < 0, qt.n_rows, rl.rows_src).astype(
+                        np.int32
+                    )
+                ),
+                rows_pos=put(rl.rows_pos.astype(np.int32)),
+                pad=put(plan.own < 0),
+                child_src=put(plan.child_src.astype(np.int32)),
+                child_parent=put(plan.child_parent.astype(np.int32)),
+                child_pos=put(plan.child_pos.astype(np.int32)),
+                child_slot=put(rl.child_slot.astype(np.int32)),
+                own_idx=put(
+                    np.where(plan.own < 0, qt.n, plan.own).astype(np.int32)
+                ),
+                bnd_idx=put(
+                    np.where(
+                        plan.cols[:, plan.s :] < 0, qt.n, plan.cols[:, plan.s :]
+                    ).astype(np.int32)
+                ),
+            )
+        )
+    return arrs
+
+
+# ---------------------------------------------------------------------------
+# numeric phase
+# ---------------------------------------------------------------------------
+
+
+def _qr_r(panel, qr_impl: str):
+    """R factor of batched tall panel [B, r, f] -> [B, min(r, f), f]."""
+    B, r, f = panel.shape
+    if qr_impl == "cholqr" and r >= f:
+        # staged shifted CholeskyQR (bcgs4-class): all-GEMM, Householder-
+        # grade factor via reconstruction-exactness (Q R == P per pass).
+        # Rank-deficient panels are unsafe here -> caller guards r >= f.
+        from .srif import _shifted_cholqr
+
+        _, R = jax.vmap(lambda Pb: _shifted_cholqr(Pb, passes=4, shift_passes=2))(
+            panel
+        )
+        return R
+    return jnp.linalg.qr(panel, mode="r")
+
+
+@jax.tree_util.register_pytree_node_class
+class MFQRFactor:
+    """Per-level R fronts: R11 [B, s, s] upper, R12 [B, s, f-s].
+
+    R^T R = H on the original dof indexing (no explicit permutation: the
+    solves gather/scatter by global ids exactly like `MultifrontalFactor`).
+    With `col_scale` cs, the factored system is diag(cs) H diag(cs) and
+    solve()/log_det()/sample undo the scaling.
+    """
+
+    def __init__(self, qt: MFQRTree, rfronts, dtype, col_scale=None, arrs=None):
+        self.qt = qt
+        self.rfronts = rfronts  # list of (R11, R12)
+        self.dtype = dtype
+        self.col_scale = col_scale
+        self.arrs = arrs
+
+    def tree_flatten(self):
+        return (self.rfronts, self.col_scale, self.arrs), (self.qt, self.dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(
+            aux[0], children[0], aux[1], col_scale=children[1], arrs=children[2]
+        )
+
+    def _level(self, p: int):
+        if self.arrs is not None:
+            return self.arrs[p]
+        plan = self.qt.tree.levels[p]
+        return dict(
+            own_idx=np.where(plan.own < 0, self.qt.n, plan.own),
+            bnd_idx=np.where(
+                plan.cols[:, plan.s :] < 0, self.qt.n, plan.cols[:, plan.s :]
+            ),
+        )
+
+    # -- factor ------------------------------------------------------------
+
+    @staticmethod
+    def factorize(
+        qt: MFQRTree,
+        vals,
+        cols_global=None,
+        col_scale=None,
+        dtype=jnp.float32,
+        qr_impl: str = "xla",
+        arrs=None,
+    ) -> "MFQRFactor":
+        """Factor from the stacked operand values [n_rows, K] (same row
+        order/stacking as the `ops_cols` given to `symbolic_mf_qr`;
+        scale factors like sqrt(tau) must already be folded in).
+
+        col_scale: optional [n] column equilibration (applied to every
+        slot via `cols_global`, the stacked [n_rows, K] global col map —
+        required when col_scale is given).
+        """
+        vals = jnp.asarray(vals, dtype=dtype)
+        if col_scale is not None:
+            if cols_global is None:
+                raise ValueError("col_scale requires cols_global")
+            cs = jnp.concatenate(
+                [jnp.asarray(col_scale, dtype=dtype), jnp.ones((1,), dtype)]
+            )
+            vals = vals * cs[cols_global]
+        # pad row (gathered by rows_src sentinel n_rows) is all zeros
+        vpad = jnp.concatenate(
+            [vals, jnp.zeros((1, vals.shape[1]), dtype)], axis=0
+        )
+        updates = None  # [B_prev, u, u] trapezoids from the level below
+        rfronts = []
+        for p, plan in enumerate(qt.tree.levels):
+            la = (
+                arrs[p]
+                if arrs is not None
+                else _host_qr_level(qt, p)
+            )
+            B, s, f = plan.own.shape[0], plan.s, plan.f
+            Rm = qt.rlevels[p].rows_src.shape[1]
+            u_prev = 0 if updates is None else updates.shape[1]
+            rows_tot = Rm + 2 * u_prev + s
+            panel = jnp.zeros((B, rows_tot, f + 1), dtype)
+            if Rm:
+                v = vpad[la["rows_src"]]  # [B, Rm, K]
+                bb = jnp.arange(B)[:, None, None]
+                rr = jnp.arange(Rm)[None, :, None]
+                panel = panel.at[
+                    jnp.broadcast_to(bb, v.shape),
+                    jnp.broadcast_to(rr, v.shape),
+                    la["rows_pos"],
+                ].add(v)
+            if updates is not None and plan.child_parent.shape[0]:
+                U = updates[la["child_src"]]  # [C, u, u]
+                pos = la["child_pos"]  # [C, u] -> 0..f (f = drop)
+                base = Rm + la["child_slot"] * u_prev  # [C]
+                cc_r = base[:, None, None] + jnp.arange(u_prev)[None, :, None]
+                cc_c = jnp.broadcast_to(pos[:, None, :], U.shape)
+                bb = jnp.broadcast_to(
+                    la["child_parent"][:, None, None], U.shape
+                )
+                panel = panel.at[
+                    bb, jnp.broadcast_to(cc_r, U.shape), cc_c
+                ].add(U)
+            # identity rows for padded pivots (keeps R11 nonsingular and
+            # log-det clean: padded slots contribute log 1 = 0)
+            prow = jnp.where(la["pad"], 1.0, 0.0).astype(dtype)  # [B, s]
+            ii = jnp.arange(s)
+            panel = panel.at[:, Rm + 2 * u_prev + ii, ii].set(prow)
+            Rq = _qr_r(panel[:, :, :f], qr_impl)  # [B, min(rows,f), f]
+            m = Rq.shape[1]
+            if m < f:
+                Rq = jnp.concatenate(
+                    [Rq, jnp.zeros((B, f - m, f), dtype)], axis=1
+                )
+            u = f - s
+            updates = Rq[:, s:, s:] if u else jnp.zeros((B, 0, 0), dtype)
+            R11, R12 = Rq[:, :s, :s], Rq[:, :s, s:]
+            # positive diagonal (QR is unique up to row signs; downstream
+            # log-det and sampling want chol-convention signs)
+            d = jnp.diagonal(R11, axis1=-2, axis2=-1)
+            sgn = jnp.where(d < 0, -1.0, 1.0).astype(dtype)[:, :, None]
+            rfronts.append((R11 * sgn, R12 * sgn))
+        return MFQRFactor(qt, rfronts, dtype, col_scale=col_scale, arrs=arrs)
+
+    # -- queries -----------------------------------------------------------
+
+    def log_det(self):
+        """log det H (undoing column equilibration)."""
+        tot = 0.0
+        for R11, _ in self.rfronts:
+            d = jnp.diagonal(R11, axis1=-2, axis2=-1)
+            tot = tot + 2.0 * jnp.sum(jnp.log(d))
+        if self.col_scale is not None:
+            tot = tot - 2.0 * jnp.sum(
+                jnp.log(jnp.asarray(self.col_scale, self.dtype))
+            )
+        return tot
+
+    def _fwd(self, y):
+        """R^T z = y, bottom-up (z overwrites y; y is [n+1, k])."""
+        for p, (R11, R12) in enumerate(self.rfronts):
+            la = self._level(p)
+            own = jnp.asarray(la["own_idx"])
+            bnd = jnp.asarray(la["bnd_idx"])
+            rhs = y[own]  # [B, s, k]
+            Rl = jnp.swapaxes(R11, 1, 2)  # lower
+            sol = batched_tsolve_left(Rl, rhs)  # R11^T sol = rhs
+            y = y.at[own].set(sol, mode="drop")
+            if R12.shape[2]:
+                y = y.at[bnd].add(
+                    -jnp.swapaxes(R12, 1, 2) @ sol, mode="drop"
+                )
+            y = y.at[self.qt.n].set(0.0)
+        return y
+
+    def _bwd(self, x):
+        """R x' = x, top-down (x is [n+1, k])."""
+        for p in range(len(self.rfronts) - 1, -1, -1):
+            R11, R12 = self.rfronts[p]
+            la = self._level(p)
+            own = jnp.asarray(la["own_idx"])
+            bnd = jnp.asarray(la["bnd_idx"])
+            rhs = x[own]
+            if R12.shape[2]:
+                rhs = rhs - R12 @ x[bnd]
+            Rl = jnp.swapaxes(R11, 1, 2)
+            sol = batched_tsolve_left(Rl, rhs, transpose=True)  # R11 sol = rhs
+            x = x.at[own].set(sol, mode="drop")
+            x = x.at[self.qt.n].set(0.0)
+        return x
+
+    def solve(self, b):
+        """H^{-1} b for b [n] or [n, k]."""
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        k = b.shape[1]
+        b = b.astype(self.dtype)
+        if self.col_scale is not None:
+            b = b * jnp.asarray(self.col_scale, self.dtype)[:, None]
+        y = jnp.concatenate([b, jnp.zeros((1, k), self.dtype)])
+        x = self._bwd(self._fwd(y))[: self.qt.n]
+        if self.col_scale is not None:
+            x = x * jnp.asarray(self.col_scale, self.dtype)[:, None]
+        return x[:, 0] if squeeze else x
+
+    def sample_zero_mean(self, key, k: int = 1):
+        """z with cov H^{-1}: solve R x = w, w ~ N(0, I)."""
+        w = jax.random.normal(key, (self.qt.n + 1, k), self.dtype)
+        w = w.at[self.qt.n].set(0.0)
+        x = self._bwd(w)[: self.qt.n]
+        if self.col_scale is not None:
+            x = x * jnp.asarray(self.col_scale, self.dtype)[:, None]
+        return x
+
+    def variance_mc(self, key, n_samples: int = 50):
+        """Monte-Carlo marginal variance estimate via ONE batched
+        backsolve of n_samples white-noise vectors (the sample-based leg
+        of the reference's RBMCStrategy(n),
+        `scripts/darcy/solve_darcy_gmrf-fem.jl:100`; relative error
+        ~ sqrt(2/n) per entry)."""
+        z = self.sample_zero_mean(key, n_samples)
+        return jnp.mean(z * z, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# chunked (HBM-bounded) factorization: python loop over levels x front
+# chunks, one jitted kernel per level shape — the mf analog of
+# `srif_packed_qr_chunked` / the stepwise GN dispatch (the relay faults on
+# very large fused programs, and the leaf-level panel tensor at 1e6 dofs
+# is ~7 GB if materialized for the whole level at once).
+# ---------------------------------------------------------------------------
+
+
+def mfqr_chunk_plans(qt: MFQRTree, max_panel_bytes: int = 1 << 30):
+    """Host-side per-level front chunking. Returns
+    [(cB, nc, [chunk la dicts])] — all chunks of a level share one padded
+    shape so one jitted kernel serves the level."""
+    out = []
+    for p, plan in enumerate(qt.tree.levels):
+        rl = qt.rlevels[p]
+        B, s, f = plan.own.shape[0], plan.s, plan.f
+        u_prev = 0
+        if p > 0:
+            prev = qt.tree.levels[p - 1]
+            u_prev = prev.f - prev.s
+        Rm = rl.rows_src.shape[1]
+        rows_tot = Rm + 2 * u_prev + s
+        per_front = max(rows_tot * (f + 1) * 4 * 3, 1)  # ~3x for QR scratch
+        cB = max(1, min(B, int(max_panel_bytes // per_front)))
+        nc = -(-B // cB)
+        order = np.argsort(plan.child_parent, kind="stable")
+        cp_sorted = plan.child_parent[order]
+        Cmax = 2 * cB  # bisection tree: <= 2 children per front
+        chunks = []
+        for ci in range(nc):
+            b0, b1 = ci * cB, min(B, (ci + 1) * cB)
+            nb = b1 - b0
+            e0, e1 = np.searchsorted(cp_sorted, [b0, b1])
+            ee = order[e0:e1]
+            C = ee.shape[0]
+            if C > Cmax:
+                raise AssertionError("more than 2 children per front")
+            rs = np.full((cB, Rm), qt.n_rows, np.int64)
+            rs[:nb] = np.where(
+                rl.rows_src[b0:b1] < 0, qt.n_rows, rl.rows_src[b0:b1]
+            )
+            rp = np.full((cB, Rm, qt.K), f, np.int64)
+            rp[:nb] = rl.rows_pos[b0:b1]
+            pad = np.ones((cB, s), bool)
+            pad[:nb] = plan.own[b0:b1] < 0
+            csrc = np.full((Cmax,), -1, np.int64)  # sentinel -> zero front
+            cpar = np.full((Cmax,), cB, np.int64)  # sentinel -> dropped
+            cslot = np.zeros((Cmax,), np.int64)
+            cpos = np.full((Cmax, max(plan.child_pos.shape[1], 1)), f, np.int64)
+            if C:
+                csrc[:C] = plan.child_src[ee]
+                cpar[:C] = plan.child_parent[ee] - b0
+                cslot[:C] = rl.child_slot[ee]
+                cpos[:C, : plan.child_pos.shape[1]] = plan.child_pos[ee]
+            chunks.append(
+                dict(
+                    rows_src=rs.astype(np.int32),
+                    rows_pos=rp.astype(np.int32),
+                    pad=pad,
+                    child_src=csrc.astype(np.int32),
+                    child_parent=cpar.astype(np.int32),
+                    child_slot=cslot.astype(np.int32),
+                    child_pos=cpos.astype(np.int32),
+                )
+            )
+        out.append((cB, nc, chunks))
+    return out
+
+
+def _mfqr_chunk_kernel(
+    vpad, la, updates_pad, shapes, dtype, qr_impl: str
+):
+    """One chunk's panel assembly + QR. shapes = (cB, s, f, Rm, u_prev)."""
+    cB, s, f, Rm, u_prev = shapes
+    rows_tot = Rm + 2 * u_prev + s
+    panel = jnp.zeros((cB + 1, rows_tot, f + 1), dtype)  # front cB: drop slot
+    if Rm:
+        v = vpad[la["rows_src"]]
+        bb = jnp.arange(cB)[:, None, None]
+        rr = jnp.arange(Rm)[None, :, None]
+        panel = panel.at[
+            jnp.broadcast_to(bb, v.shape),
+            jnp.broadcast_to(rr, v.shape),
+            la["rows_pos"],
+        ].add(v)
+    if u_prev:
+        src = jnp.where(la["child_src"] < 0, updates_pad.shape[0] - 1,
+                        la["child_src"])
+        U = updates_pad[src]  # [C, u, u]
+        base = Rm + la["child_slot"] * u_prev
+        cc_r = base[:, None, None] + jnp.arange(u_prev)[None, :, None]
+        cc_c = jnp.broadcast_to(la["child_pos"][:, None, :], U.shape)
+        bb = jnp.broadcast_to(la["child_parent"][:, None, None], U.shape)
+        panel = panel.at[bb, jnp.broadcast_to(cc_r, U.shape), cc_c].add(U)
+    prow = jnp.where(la["pad"], 1.0, 0.0).astype(dtype)
+    ii = jnp.arange(s)
+    panel = panel.at[:cB, Rm + 2 * u_prev + ii, ii].set(prow)
+    Rq = _qr_r(panel[:cB, :, :f], qr_impl)
+    m = Rq.shape[1]
+    if m < f:
+        Rq = jnp.concatenate([Rq, jnp.zeros((cB, f - m, f), dtype)], axis=1)
+    R11, R12, U_out = Rq[:, :s, :s], Rq[:, :s, s:], Rq[:, s:, s:]
+    d = jnp.diagonal(R11, axis1=-2, axis2=-1)
+    sgn = jnp.where(d < 0, -1.0, 1.0).astype(dtype)[:, :, None]
+    return R11 * sgn, R12 * sgn, U_out
+
+
+def mfqr_factorize_chunked(
+    qt: MFQRTree,
+    vals,
+    chunk_plans=None,
+    cols_global=None,
+    col_scale=None,
+    dtype=jnp.float32,
+    qr_impl: str = "xla",
+    max_panel_bytes: int = 1 << 30,
+    arrs=None,
+) -> MFQRFactor:
+    """HBM-bounded factorization: per-level python loop, per-chunk jitted
+    QR kernels (one compile per level shape). Semantically identical to
+    `MFQRFactor.factorize` — same fronts, same R."""
+    if chunk_plans is None:
+        chunk_plans = mfqr_chunk_plans(qt, max_panel_bytes)
+    vals = jnp.asarray(vals, dtype=dtype)
+    if col_scale is not None:
+        if cols_global is None:
+            raise ValueError("col_scale requires cols_global")
+        cs = jnp.concatenate(
+            [jnp.asarray(col_scale, dtype=dtype), jnp.ones((1,), dtype)]
+        )
+        vals = vals * cs[cols_global]
+    vpad = jnp.concatenate([vals, jnp.zeros((1, vals.shape[1]), dtype)], 0)
+    kern = jax.jit(
+        _mfqr_chunk_kernel, static_argnames=("shapes", "qr_impl", "dtype")
+    )
+    updates = None
+    rfronts = []
+    for p, plan in enumerate(qt.tree.levels):
+        cB, nc, chunks = chunk_plans[p]
+        B, s, f = plan.own.shape[0], plan.s, plan.f
+        Rm = qt.rlevels[p].rows_src.shape[1]
+        u_prev = 0 if updates is None else updates.shape[1]
+        if updates is None:
+            upad = jnp.zeros((1, 1, 1), dtype)
+        else:
+            upad = jnp.concatenate(
+                [updates, jnp.zeros((1,) + updates.shape[1:], dtype)], 0
+            )
+        r11s, r12s, us = [], [], []
+        for la in chunks:
+            la_dev = {k: jnp.asarray(v) for k, v in la.items()}
+            R11c, R12c, Uc = kern(
+                vpad, la_dev, upad, (cB, s, f, Rm, u_prev), dtype, qr_impl
+            )
+            r11s.append(R11c)
+            r12s.append(R12c)
+            us.append(Uc)
+        R11 = jnp.concatenate(r11s, 0)[:B]
+        R12 = jnp.concatenate(r12s, 0)[:B]
+        updates = jnp.concatenate(us, 0)[:B]
+        rfronts.append((R11, R12))
+    return MFQRFactor(qt, rfronts, dtype, col_scale=col_scale, arrs=arrs)
+
+
+def _host_qr_level(qt: MFQRTree, p: int):
+    plan = qt.tree.levels[p]
+    rl = qt.rlevels[p]
+    return dict(
+        rows_src=np.where(rl.rows_src < 0, qt.n_rows, rl.rows_src),
+        rows_pos=rl.rows_pos,
+        pad=plan.own < 0,
+        child_src=plan.child_src,
+        child_parent=plan.child_parent,
+        child_pos=plan.child_pos,
+        child_slot=rl.child_slot,
+        own_idx=np.where(plan.own < 0, qt.n, plan.own),
+        bnd_idx=np.where(
+            plan.cols[:, plan.s :] < 0, qt.n, plan.cols[:, plan.s :]
+        ),
+    )

@@ -138,7 +138,10 @@ def suggest_cut_width(H, coords, margin: float = 1.10):
     coo = H.tocoo()
     c = np.asarray(coords, dtype=np.float64)
     cpu = _host_cpu()
-    if cpu is not None:
+    # The jit path silently downcasts f64 coords when x64 is off, which
+    # could shift an exactly-marginal cut width past the 1.10 margin;
+    # only take it when f64 survives the trace.
+    if cpu is not None and jax.config.jax_enable_x64:
         with jax.default_device(cpu):
             d = float(
                 jax.jit(lambda c, r, l: jnp.abs(c[r] - c[l]).max())(
@@ -213,12 +216,17 @@ def _build_tree(coords, cut_width, leaf_target, indptr, indices):
 
 
 def symbolic_multifrontal(
-    H, coords, cut_width, leaf_target: int = 128
+    H, coords, cut_width, leaf_target: int = 128, with_h_pos: bool = True
 ) -> FrontTree:
     """Symbolic analysis of SPD H (scipy CSR) with dof coordinates.
 
     cut_width: physical separator strip width — must cover H's coupling
     range (verified; raises if the strip fails to separate).
+
+    with_h_pos: build the [B, s, f] H-gather index maps (needed by the
+    Cholesky numeric phase). The QR form (`ops/mf_qr`) reads its values
+    from operand rows instead and only needs the tree/front structure —
+    passing False skips the dominant symbolic cost.
     """
     H = H.tocsr()
     H.sort_indices()
@@ -311,8 +319,8 @@ def symbolic_multifrontal(
         # into its front slot (front position = searchsorted rank in the
         # ascending own/bound lists) — O(nnz) work per level instead of
         # the O(B s f) dense-front query grid.
-        h_pos = _full_m1((B, s, f))
-        for b, i in enumerate(ids):
+        h_pos = _full_m1((B, s, f) if with_h_pos else (B, 0, 0))
+        for b, i in enumerate(ids if with_h_pos else ()):
             nd = nodes[i]
             k = len(nd.dofs)
             lens = H.indptr[nd.dofs + 1] - H.indptr[nd.dofs]
@@ -372,6 +380,16 @@ def symbolic_multifrontal(
                 joc = np.clip(jo, 0, max(len(po) - 1, 0))
                 in_own = (po[joc] == cb) if len(po) else np.zeros(cb.shape, bool)
                 jb = np.searchsorted(pbd, cb)
+                if len(pbd):
+                    in_bound = pbd[np.clip(jb, 0, len(pbd) - 1)] == cb
+                else:
+                    in_bound = np.zeros(cb.shape, bool)
+                # a column absent from both parent's own and bound would
+                # silently land at a wrong front position; keep the old
+                # dict-lookup KeyError behavior as an assertion
+                assert bool((in_own | in_bound).all()), (
+                    "child boundary column missing from parent front"
+                )
                 pos[: cb.size] = np.where(in_own, joc, plan.s + jb)
             entries.append((b_c, pb, pos))
         plan.child_src = np.array([x[0] for x in entries], dtype=np.int64)

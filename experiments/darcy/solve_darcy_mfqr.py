@@ -1,0 +1,293 @@
+"""Darcy GMRF posterior via multifrontal sqrt-QR (ops/mf_qr) — the
+1e6-dof north-star driver (BASELINE.md: posterior mean + marginal std at
+1e6 DOF, <1 s target on one chip).
+
+Same math as `solve_darcy_gmrf_fem.py`'s SRIF path (Matérn-2 prior,
+per-instance Darcy FEM observation rows at precision 1e8,
+`/root/reference/scripts/darcy/solve_darcy_gmrf-fem.jl:92-98,163`), but
+the stacked [Λ; sqrt(tau) A] system is factored by nested-dissection
+multifrontal QR instead of the banded window sweep:
+
+  * O(n^1.5)-class flops (vs O(n bw^2), bw ~ 6 sqrt(n)) concentrated in
+    MXU-sized separator fronts,
+  * O(n log n) factor storage (vs O(n bw) — the packed banded factor
+    alone is ~16 GB at 1e6 dofs, past the v5e's HBM).
+
+Posterior std comes from the factor's one-shot batched Monte-Carlo
+backsolve (the sample leg of the reference's RBMCStrategy(50),
+`solve_darcy_gmrf-fem.jl:100,192`).
+
+Usage (1e6-dof arm: N_xy=500 -> 1001^2 ~ 1e6 dofs):
+  python experiments/darcy/solve_darcy_mfqr.py --N_xy 500 --N_instances 1
+  python experiments/darcy/solve_darcy_mfqr.py --N_xy 120 --check_banded
+"""
+
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from diffeqgmrfs_tpu.utils.experiment import (  # noqa: E402
+    base_parser,
+    finalize_args,
+    select_backend,
+    setup_logging,
+)
+from diffeqgmrfs_tpu.utils.results import (  # noqa: E402
+    datadir,
+    savename,
+    tagsave,
+)
+
+
+def parse_cmd():
+    p = base_parser("Darcy GMRF posterior via multifrontal sqrt-QR")
+    p.add_argument("--N_xy", type=int, default=64)
+    p.add_argument("--grid", type=int, default=241)
+    p.add_argument("--N_instances", type=int, default=1)
+    p.add_argument("--truth_N_xy", type=int, default=64,
+                   help="synthetic truth fidelity (FEM mesh of the "
+                        "dataset generator)")
+    p.add_argument("--tau", type=float, default=1e8,
+                   help="observation precision (reference 1e8)")
+    p.add_argument("--leaf_target", type=int, default=512)
+    p.add_argument("--qr_impl", type=str, default="xla",
+                   choices=("xla", "cholqr"))
+    p.add_argument("--n_std", type=int, default=50,
+                   help="MC samples for marginal std (reference RBMC 50)")
+    p.add_argument("--refine_iters", type=int, default=2,
+                   help="f64 iterative-refinement steps for the mean")
+    p.add_argument("--max_panel_mb", type=int, default=1024,
+                   help="per-chunk panel budget for the chunked "
+                        "factorization dispatch")
+    p.add_argument("--fused", action="store_true",
+                   help="single-program factorization (small N only; the "
+                        "chunked per-level dispatch is the default — the "
+                        "relay faults on very large fused programs)")
+    p.add_argument("--check_banded", action="store_true",
+                   help="cross-check mean against the dense solve of the "
+                        "normal equations (small N only)")
+    return finalize_args(p.parse_args())
+
+
+def main():
+    log = setup_logging()
+    args = parse_cmd()
+    log.info("devices: %s", select_backend(args.backend))
+
+    import jax
+    import jax.numpy as jnp
+    import diffeqgmrfs_tpu  # noqa: F401
+    from diffeqgmrfs_tpu.datasets import DarcyDataset
+    from diffeqgmrfs_tpu.fem import (
+        evaluation_matrix,
+        uniform_unit_square_discretization,
+    )
+    from diffeqgmrfs_tpu.gmrf.affine import AffineMap
+    from diffeqgmrfs_tpu.metrics import max_err, rel_err, rmse
+    from diffeqgmrfs_tpu.models import MaternSPDE
+    from diffeqgmrfs_tpu.models.matern import matern_sqrt_host
+    from diffeqgmrfs_tpu.ops.mf_qr import (
+        MFQRFactor,
+        mfqr_chunk_plans,
+        mfqr_device_arrays,
+        mfqr_factorize_chunked,
+        symbolic_mf_qr,
+    )
+    from diffeqgmrfs_tpu.problems.darcy import DarcyFEMObservations
+    from diffeqgmrfs_tpu.utils.timers import PhaseTimers
+
+    n_inst = 3 if args.dry_run else args.N_instances
+    to = PhaseTimers()
+
+    # ---- dataset (synthetic cache, same naming as the main driver) ----
+    ds = DarcyDataset.synthetic(
+        n_instances=max(n_inst, args.N_instances),
+        grid=args.grid,
+        n_xy_fem=args.truth_N_xy,
+        cache=datadir(
+            "input_data", "synthetic",
+            f"darcy_g{args.grid}_n{max(n_inst, args.N_instances)}"
+            f"_t{args.truth_N_xy}.npz",
+        ),
+    )
+
+    with to("Mesh generation"):
+        disc = uniform_unit_square_discretization(
+            args.N_xy, element_order=2, use_dirichlet_bc=True
+        )
+    affine = AffineMap.from_constraint_handler(disc.constraint_handler)
+    n_free = affine.n_free
+    log.info("ndofs=%d free=%d", disc.ndofs, n_free)
+
+    with to("Prior construction"):
+        spde = MaternSPDE(d=2, range=1 / np.sqrt(args.N_xy), smoothness=2)
+        Lam_csr = matern_sqrt_host(spde, disc, affine)
+        from diffeqgmrfs_tpu.fem.operators import RowOp
+
+        Lam = RowOp.from_csr(Lam_csr, dtype=jnp.float32)
+
+    obs = DarcyFEMObservations(
+        disc, ds.x_coords, ds.y_coords, beta=1.0,
+        inflated_boundary=False, N_xy=args.N_xy,
+        prescribed_dofs=disc.constraint_handler.prescribed_dofs,
+    )
+    cpu0 = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu0):
+        A0, y0 = obs(jnp.asarray(ds.get_problem(0)[1]))
+        A0c = affine.condense_rowop(A0)
+    # structurally-dead condensation slots (s_coef == 0 alias free dof 0)
+    # must not enter the dissection graph (see stack_operand_cols)
+    a_cols = np.where(
+        np.asarray(affine.s_coef)[np.asarray(A0.cols)] == 0.0,
+        n_free,
+        np.asarray(A0c.cols),
+    )
+
+    with to("Symbolic analysis"):
+        coords_free = np.asarray(disc.mesh.coords)[affine.free_dofs]
+        from diffeqgmrfs_tpu.ops.mf_qr import stack_operand_cols
+
+        ops_cols = [np.asarray(Lam.cols), a_cols]
+        qt = symbolic_mf_qr(
+            ops_cols, n_free, coords_free, cut_width=None,
+            leaf_target=args.leaf_target,
+        )
+        nlv = [
+            (p.own.shape[0], p.s, p.f) for p in qt.tree.levels
+        ]
+        log.info("front tree: %d levels %s", len(nlv), nlv)
+        chunk_plans = None if args.fused else mfqr_chunk_plans(
+            qt, args.max_panel_mb << 20
+        )
+        arrs = mfqr_device_arrays(qt)
+        cols_global = jnp.asarray(
+            stack_operand_cols(ops_cols, n_free).astype(np.int32)
+        )
+    geom = jax.device_put(obs.geom_arrays())
+    with jax.default_device(cpu0):
+        obs_st = obs.structure_arrays()
+    obs_st = jax.device_put(obs_st)
+    E = evaluation_matrix(
+        disc,
+        np.stack(
+            np.meshgrid(ds.x_coords, ds.y_coords, indexing="xy"), -1
+        ).reshape(-1, 2),
+    )
+
+    sqrt_tau = np.sqrt(args.tau)
+
+    from diffeqgmrfs_tpu.ops.mf_qr import stack_operand_vals
+
+    def operand_vals(coeff):
+        A, ys = obs(coeff, geom=geom, structure=obs_st)
+        Acv = affine.condense_rowop(A).vals
+        yc = jnp.asarray(ys) - affine.offset_shift(A)
+        vals = stack_operand_vals(
+            [Lam.vals, sqrt_tau * Acv], qt.K, dtype=jnp.float32
+        )
+        # column equilibration: diag H = colsq(Lam) + tau colsq(A)
+        sq = jnp.zeros((n_free + 1,), jnp.float64)
+        sq = sq.at[cols_global].add(
+            jnp.asarray(vals, jnp.float64) ** 2
+        )
+        cs = 1.0 / jnp.sqrt(jnp.maximum(sq[:n_free], 1e-30))
+        return vals, yc, Acv, cs.astype(jnp.float32)
+
+    def h_matvec64(x, Acv):
+        """H x = Λ^T Λ x + tau A^T A x in f64 (refinement operator)."""
+        lam64 = Lam.vals.astype(jnp.float64)
+        Ax = RowOp(Lam.cols, lam64, n_free).matvec(x)
+        lx = RowOp(Lam.cols, lam64, n_free).rmatvec(Ax)
+        A64 = RowOp(A0c.cols, Acv.astype(jnp.float64), n_free)
+        ax = A64.rmatvec(A64.matvec(x))
+        return lx + args.tau * ax
+
+    results = dict(rel_errs=[], rmses=[], max_errs=[], std_norms=[],
+                   n_std_nonfinite=[])
+    for i in range(n_inst):
+        coeff = jnp.asarray(ds.get_problem(i)[1])
+        with to("PDE Discretization"):
+            vals, yc, Acv, cs = operand_vals(coeff)
+            vals.block_until_ready()
+        with to("Conditioning"):
+            if args.fused:
+                F = MFQRFactor.factorize(
+                    qt, vals, cols_global=cols_global, col_scale=cs,
+                    dtype=jnp.float32, qr_impl=args.qr_impl, arrs=arrs,
+                )
+            else:
+                F = mfqr_factorize_chunked(
+                    qt, vals, chunk_plans=chunk_plans,
+                    cols_global=cols_global, col_scale=cs,
+                    dtype=jnp.float32, qr_impl=args.qr_impl, arrs=arrs,
+                )
+            jax.block_until_ready(F.rfronts[-1][0])
+        with to("Mean"):
+            b64 = args.tau * RowOp(
+                A0c.cols, Acv.astype(jnp.float64), n_free
+            ).rmatvec(yc.astype(jnp.float64))
+            x = F.solve(b64.astype(jnp.float32)).astype(jnp.float64)
+            for _ in range(args.refine_iters):
+                r = b64 - h_matvec64(x, Acv)
+                x = x + F.solve(r.astype(jnp.float32)).astype(jnp.float64)
+            x.block_until_ready()
+        with to("Std dev"):
+            var = F.variance_mc(jax.random.PRNGKey(100 + i), args.n_std)
+            std = jnp.sqrt(var)
+            std.block_until_ready()
+        with to("Evaluation"):
+            full = affine.free_to_full(x)
+            pred = E.matvec(full).reshape(args.grid, args.grid)
+            truth = jnp.asarray(ds.get_problem(i)[0])
+            re = float(rel_err(pred, truth))
+            rm = float(rmse(pred, truth))
+            mx = float(max_err(pred, truth))
+        nf = int(jnp.sum(~jnp.isfinite(std)))
+        results["rel_errs"].append(re)
+        results["rmses"].append(rm)
+        results["max_errs"].append(mx)
+        results["std_norms"].append(float(jnp.linalg.norm(
+            jnp.nan_to_num(std))))
+        results["n_std_nonfinite"].append(nf)
+        log.info(
+            "instance %d: rel_err %.4g rmse %.4g max %.4g std_nonfinite %d",
+            i, re, rm, mx, nf,
+        )
+        if args.check_banded and n_free <= 20000:
+            import scipy.sparse as sp
+
+            S_lam = Lam_csr.astype(np.float64)
+            r_idx = np.repeat(np.arange(A0c.n_rows), A0c.K)
+            cc = np.asarray(A0c.cols).reshape(-1)
+            keep = (cc >= 0) & (cc < n_free)
+            S_a = sp.csr_matrix(
+                (np.asarray(Acv, np.float64).reshape(-1)[keep],
+                 (r_idx[keep], cc[keep])),
+                shape=(A0c.n_rows, n_free),
+            )
+            H = (S_lam.T @ S_lam + args.tau * (S_a.T @ S_a)).toarray()
+            x_ref = np.linalg.solve(H, np.asarray(b64))
+            dd = np.linalg.norm(np.asarray(x) - x_ref) / np.linalg.norm(x_ref)
+            log.info("dense cross-check: |x - x_ref|/|x_ref| = %.3g", dd)
+            results.setdefault("dense_check", []).append(float(dd))
+
+    log.info("timers:\n%s", to)
+    params = dict(
+        N_xy=args.N_xy, grid=args.grid, N_instances=n_inst, tau=args.tau,
+        leaf_target=args.leaf_target, qr_impl=args.qr_impl,
+        n_std=args.n_std, truth_N_xy=args.truth_N_xy, solver="mfqr",
+    )
+    out = dict(params=params, **results, timers=to.as_dict())
+    path = tagsave(
+        datadir("sims", "darcy_mfqr", savename(params)), out
+    )
+    log.info("saved %s", path)
+
+
+if __name__ == "__main__":
+    main()
