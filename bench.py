@@ -156,7 +156,9 @@ def wait_for_tpu_queue(max_wait=1800, poll=30):
     # known CPU-only jobs (dataset generation, or anything launched with
     # an explicit JAX_PLATFORMS=cpu on its command line)
     pat = re.compile(r"python (\S*/)?experiments/\S+\.py")
-    cpu_only = re.compile(r"JAX_PLATFORMS=cpu|gen_darcy_1024")
+    cpu_only = re.compile(
+        r"JAX_PLATFORMS=cpu|--backend cpu|gen_darcy_1024|gen_darcy_mat"
+    )
     t0 = time.time()
     while time.time() - t0 < max_wait:
         try:

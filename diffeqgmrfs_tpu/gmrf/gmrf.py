@@ -136,6 +136,11 @@ class GMRF:
                 self.precision, self.precision_chol, vs.n_samples, key
             )
         F = self.precision_chol
+        if hasattr(F, "variance_diag_rescued"):
+            # SRIFNewtonFactor: exact unit-solve rescue of entries the
+            # Takahashi recursion overflows on (lax.cond — free on the
+            # all-finite path; flagship N800x100 n_std_nonfinite -> 0)
+            return F.variance_diag_rescued()
         if hasattr(F, "variance_diag"):  # MixedPrecisionFactor
             return F.variance_diag()
         return takahashi_diag(F)

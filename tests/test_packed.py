@@ -264,6 +264,69 @@ def test_srif_newton_factor_cond_rescue_std_and_sample():
     assert not np.isfinite(v_raw).all()
 
 
+def test_srif_newton_variance_rescue_unit_solves():
+    """variance_diag_rescued: entries non-finite after the Takahashi
+    recursion are repaired EXACTLY via batched f64 unit-vector solves
+    through the same factor (VERDICT r2 #8 — flagship n_std_nonfinite).
+    Simulated by poisoning variance_diag's output (even the f64 recursion
+    overflows in the real failure, which small factors cannot reproduce);
+    the rescue must restore the poisoned entries to diag(H^{-1}) and
+    leave healthy entries untouched."""
+    from diffeqgmrfs_tpu.ops.refine import SRIFNewtonFactor
+
+    rng = np.random.default_rng(3)
+    bs, N = 8, 6
+    n = N * bs
+    P = np.zeros((N, bs, bs), np.float32)
+    U = np.zeros((N - 1, bs, bs), np.float32)
+    for b in range(N):
+        R = np.triu(rng.normal(size=(bs, bs)) * 0.2).astype(np.float32)
+        np.fill_diagonal(R, 1.0 + rng.random(bs))
+        P[b] = R
+        if b < N - 1:
+            U[b] = (rng.normal(size=(bs, bs)) * 0.2).astype(np.float32)
+    from diffeqgmrfs_tpu.ops.packed import PackedBTDRFullFactor
+
+    F = PackedBTDRFullFactor(
+        jnp.asarray(P.reshape(N, -1)), jnp.asarray(U.reshape(N - 1, -1)),
+        n, bs,
+    )
+    Rd = np.zeros((n, n))
+    for b in range(N):
+        Rd[b * bs:(b + 1) * bs, b * bs:(b + 1) * bs] = np.triu(P[b])
+        if b < N - 1:
+            Rd[b * bs:(b + 1) * bs, (b + 1) * bs:(b + 2) * bs] = U[b]
+
+    poison = np.zeros(n, bool)
+    poison[[3, 17, 40]] = True
+
+    class Poisoned(SRIFNewtonFactor):
+        def __init__(self):
+            self.F32 = F
+            self.d = jnp.full((n,), 2.0, dtype=jnp.float64)
+            self.sub_dtype = "f32"
+            self.refine_iters = 0
+            self.solve_method = "refine"
+
+        def variance_diag(self):
+            v = super().variance_diag()
+            return jnp.where(jnp.asarray(poison), jnp.inf, v)
+
+    fac = Poisoned()
+    v = np.asarray(fac.variance_diag_rescued(max_rescue=8))
+    import scipy.linalg as sla
+
+    Rinv = sla.solve_triangular(Rd, np.eye(n))
+    ref = np.sum(Rinv * Rinv, axis=1) / 4.0  # / d^2
+    assert np.isfinite(v).all()
+    assert np.allclose(v, ref, rtol=5e-4), np.max(np.abs(v - ref) / ref)
+    # healthy path: rescue is the identity
+    fac2 = Poisoned()
+    fac2.variance_diag = lambda: SRIFNewtonFactor.variance_diag(fac2)
+    v2 = np.asarray(fac2.variance_diag_rescued(max_rescue=8))
+    assert np.allclose(v2, ref, rtol=5e-4)
+
+
 def test_takahashi_compute_dtype_noop_on_healthy_factor():
     """compute_dtype=f64 equals the f32 recursion (at f32 accuracy) on a
     healthy factor — the rescue changes nothing in the valid regime."""
