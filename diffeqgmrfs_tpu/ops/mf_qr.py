@@ -102,6 +102,20 @@ def stack_operand_cols(ops_cols, n):
     return np.concatenate(parts, axis=0)
 
 
+def structural_cols(cols, host_vals, n: int):
+    """Mask structurally-dead slots (value exactly 0 in the host/builder
+    values — ELL padding pads with col 0 + val 0, `RowOp.from_csr`) to the
+    sentinel column n. A spurious col-0 alias in every padded row couples
+    the whole domain to one dof and collapses the dissection tree to a
+    single front (observed: Darcy N64 OOM, results/tpu_queue/mfqr_N64.log).
+    The mask must be instance-INDEPENDENT (assembly padding is); callers
+    should verify at runtime that no instance puts a nonzero value in a
+    masked slot (drop-column leak check in the mfqr drivers)."""
+    cols = np.asarray(cols)
+    dead = np.asarray(host_vals) == 0.0
+    return np.where(dead | (cols < 0) | (cols >= n), n, cols)
+
+
 def stack_operand_vals(ops_vals, Kmax: int, dtype=None):
     """Stack traced operand value arrays to the [Rtot, Kmax] layout of
     `stack_operand_cols` (zero-padding extra slots)."""

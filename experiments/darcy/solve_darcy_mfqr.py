@@ -140,19 +140,29 @@ def main():
     with jax.default_device(cpu0):
         A0, y0 = obs(jnp.asarray(ds.get_problem(0)[1]))
         A0c = affine.condense_rowop(A0)
-    # structurally-dead condensation slots (s_coef == 0 alias free dof 0)
-    # must not enter the dissection graph (see stack_operand_cols)
-    a_cols = np.where(
-        np.asarray(affine.s_coef)[np.asarray(A0.cols)] == 0.0,
+    # structurally-dead slots (ELL padding col-0 aliases, s_coef == 0
+    # condensation slots) must not enter the dissection graph — see
+    # mf_qr.structural_cols; verified per instance by the leak check below
+    from diffeqgmrfs_tpu.ops.mf_qr import structural_cols
+
+    a_cols = structural_cols(
+        np.where(
+            np.asarray(affine.s_coef)[np.asarray(A0.cols)] == 0.0,
+            n_free,
+            np.asarray(A0c.cols),
+        ),
+        np.asarray(A0c.vals),
         n_free,
-        np.asarray(A0c.cols),
     )
 
     with to("Symbolic analysis"):
         coords_free = np.asarray(disc.mesh.coords)[affine.free_dofs]
         from diffeqgmrfs_tpu.ops.mf_qr import stack_operand_cols
 
-        ops_cols = [np.asarray(Lam.cols), a_cols]
+        lam_cols = structural_cols(
+            np.asarray(Lam.cols), np.asarray(Lam.vals), n_free
+        )
+        ops_cols = [lam_cols, a_cols]
         qt = symbolic_mf_qr(
             ops_cols, n_free, coords_free, cut_width=None,
             leaf_target=args.leaf_target,
@@ -190,13 +200,19 @@ def main():
         vals = stack_operand_vals(
             [Lam.vals, sqrt_tau * Acv], qt.K, dtype=jnp.float32
         )
+        # drop-column leak check: the structural zero-slot mask must hold
+        # for EVERY instance (a nonzero value in a masked slot would be
+        # silently dropped from H)
+        leak = jnp.max(
+            jnp.abs(jnp.where(cols_global == n_free, vals, 0.0))
+        )
         # column equilibration: diag H = colsq(Lam) + tau colsq(A)
         sq = jnp.zeros((n_free + 1,), jnp.float64)
         sq = sq.at[cols_global].add(
             jnp.asarray(vals, jnp.float64) ** 2
         )
         cs = 1.0 / jnp.sqrt(jnp.maximum(sq[:n_free], 1e-30))
-        return vals, yc, Acv, cs.astype(jnp.float32)
+        return vals, yc, Acv, cs.astype(jnp.float32), leak
 
     def h_matvec64(x, Acv):
         """H x = Λ^T Λ x + tau A^T A x in f64 (refinement operator)."""
@@ -212,7 +228,12 @@ def main():
     for i in range(n_inst):
         coeff = jnp.asarray(ds.get_problem(i)[1])
         with to("PDE Discretization"):
-            vals, yc, Acv, cs = operand_vals(coeff)
+            vals, yc, Acv, cs, leak = operand_vals(coeff)
+            if float(leak) != 0.0:
+                raise AssertionError(
+                    f"structural zero-slot mask violated: |val| {float(leak)}"
+                    " in a dropped column (instance-dependent structure)"
+                )
             vals.block_until_ready()
         with to("Conditioning"):
             if args.fused:
