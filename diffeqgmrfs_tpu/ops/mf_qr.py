@@ -623,6 +623,31 @@ def _mfqr_chunk_kernel(
     return R11 * sgn, R12 * sgn, U_out
 
 
+def mfqr_chunk_plans_device(chunk_plans, device=None):
+    """Pre-upload chunk-plan arrays once (per-instance re-upload through
+    the relay costs seconds per factorization)."""
+    put = (lambda a: jax.device_put(a, device)) if device else jnp.asarray
+    return [
+        (cB, nc, [{k: put(v) for k, v in la.items()} for la in chunks])
+        for (cB, nc, chunks) in chunk_plans
+    ]
+
+
+# jit once at module level: re-wrapping per factorize call would retrace
+# every instance (the trace cache lives in the jit wrapper object)
+_chunk_kernel_jit = None
+
+
+def _get_chunk_kernel():
+    global _chunk_kernel_jit
+    if _chunk_kernel_jit is None:
+        _chunk_kernel_jit = jax.jit(
+            _mfqr_chunk_kernel,
+            static_argnames=("shapes", "qr_impl", "dtype"),
+        )
+    return _chunk_kernel_jit
+
+
 def mfqr_factorize_chunked(
     qt: MFQRTree,
     vals,
@@ -648,9 +673,7 @@ def mfqr_factorize_chunked(
         )
         vals = vals * cs[cols_global]
     vpad = jnp.concatenate([vals, jnp.zeros((1, vals.shape[1]), dtype)], 0)
-    kern = jax.jit(
-        _mfqr_chunk_kernel, static_argnames=("shapes", "qr_impl", "dtype")
-    )
+    kern = _get_chunk_kernel()
     updates = None
     rfronts = []
     for p, plan in enumerate(qt.tree.levels):
@@ -666,7 +689,11 @@ def mfqr_factorize_chunked(
             )
         r11s, r12s, us = [], [], []
         for la in chunks:
-            la_dev = {k: jnp.asarray(v) for k, v in la.items()}
+            la_dev = (
+                la
+                if not isinstance(next(iter(la.values())), np.ndarray)
+                else {k: jnp.asarray(v) for k, v in la.items()}
+            )
             R11c, R12c, Uc = kern(
                 vpad, la_dev, upad, (cB, s, f, Rm, u_prev), dtype, qr_impl
             )

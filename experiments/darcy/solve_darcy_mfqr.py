@@ -171,8 +171,10 @@ def main():
             (p.own.shape[0], p.s, p.f) for p in qt.tree.levels
         ]
         log.info("front tree: %d levels %s", len(nlv), nlv)
-        chunk_plans = None if args.fused else mfqr_chunk_plans(
-            qt, args.max_panel_mb << 20
+        from diffeqgmrfs_tpu.ops.mf_qr import mfqr_chunk_plans_device
+
+        chunk_plans = None if args.fused else mfqr_chunk_plans_device(
+            mfqr_chunk_plans(qt, args.max_panel_mb << 20)
         )
         arrs = mfqr_device_arrays(qt)
         cols_global = jnp.asarray(
@@ -193,42 +195,62 @@ def main():
 
     from diffeqgmrfs_tpu.ops.mf_qr import stack_operand_vals
 
-    def operand_vals(coeff):
+    # every per-instance compute path is JITTED: the eager relay dispatch
+    # floor (~10-26 ms/op) makes eager tree solves (hundreds of small ops
+    # per level sweep) pathologically slow on TPU — observed as a silent
+    # ~30 min stall at N64 (queue r3a, first attempt)
+    @jax.jit
+    def operand_vals(coeff, geom, obs_st, lam_vals, cols_g):
         A, ys = obs(coeff, geom=geom, structure=obs_st)
         Acv = affine.condense_rowop(A).vals
         yc = jnp.asarray(ys) - affine.offset_shift(A)
         vals = stack_operand_vals(
-            [Lam.vals, sqrt_tau * Acv], qt.K, dtype=jnp.float32
+            [lam_vals, sqrt_tau * Acv], qt.K, dtype=jnp.float32
         )
         # drop-column leak check: the structural zero-slot mask must hold
         # for EVERY instance (a nonzero value in a masked slot would be
         # silently dropped from H)
-        leak = jnp.max(
-            jnp.abs(jnp.where(cols_global == n_free, vals, 0.0))
-        )
+        leak = jnp.max(jnp.abs(jnp.where(cols_g == n_free, vals, 0.0)))
         # column equilibration: diag H = colsq(Lam) + tau colsq(A)
         sq = jnp.zeros((n_free + 1,), jnp.float64)
-        sq = sq.at[cols_global].add(
-            jnp.asarray(vals, jnp.float64) ** 2
-        )
+        sq = sq.at[cols_g].add(jnp.asarray(vals, jnp.float64) ** 2)
         cs = 1.0 / jnp.sqrt(jnp.maximum(sq[:n_free], 1e-30))
         return vals, yc, Acv, cs.astype(jnp.float32), leak
 
-    def h_matvec64(x, Acv):
+    def _h64(lam64, A64, x):
         """H x = Λ^T Λ x + tau A^T A x in f64 (refinement operator)."""
-        lam64 = Lam.vals.astype(jnp.float64)
-        Ax = RowOp(Lam.cols, lam64, n_free).matvec(x)
-        lx = RowOp(Lam.cols, lam64, n_free).rmatvec(Ax)
-        A64 = RowOp(A0c.cols, Acv.astype(jnp.float64), n_free)
+        lx = lam64.rmatvec(lam64.matvec(x))
         ax = A64.rmatvec(A64.matvec(x))
         return lx + args.tau * ax
 
+    @jax.jit
+    def post_mean(F, lam64, A64, yc):
+        b64 = args.tau * A64.rmatvec(yc.astype(jnp.float64))
+        x = F.solve(b64.astype(jnp.float32)).astype(jnp.float64)
+        for _ in range(args.refine_iters):
+            r = b64 - _h64(lam64, A64, x)
+            x = x + F.solve(r.astype(jnp.float32)).astype(jnp.float64)
+        return x
+
+    @jax.jit
+    def post_std(F, key):
+        return jnp.sqrt(F.variance_mc(key, args.n_std))
+
+    lam64 = RowOp(Lam.cols, Lam.vals.astype(jnp.float64), n_free)
+    fused_factor = jax.jit(
+        lambda v, cg, c: MFQRFactor.factorize(
+            qt, v, cols_global=cg, col_scale=c,
+            dtype=jnp.float32, qr_impl=args.qr_impl, arrs=arrs,
+        )
+    )
     results = dict(rel_errs=[], rmses=[], max_errs=[], std_norms=[],
                    n_std_nonfinite=[])
     for i in range(n_inst):
         coeff = jnp.asarray(ds.get_problem(i)[1])
         with to("PDE Discretization"):
-            vals, yc, Acv, cs, leak = operand_vals(coeff)
+            vals, yc, Acv, cs, leak = operand_vals(
+                coeff, geom, obs_st, Lam.vals, cols_global
+            )
             if float(leak) != 0.0:
                 raise AssertionError(
                     f"structural zero-slot mask violated: |val| {float(leak)}"
@@ -237,10 +259,7 @@ def main():
             vals.block_until_ready()
         with to("Conditioning"):
             if args.fused:
-                F = MFQRFactor.factorize(
-                    qt, vals, cols_global=cols_global, col_scale=cs,
-                    dtype=jnp.float32, qr_impl=args.qr_impl, arrs=arrs,
-                )
+                F = fused_factor(vals, cols_global, cs)
             else:
                 F = mfqr_factorize_chunked(
                     qt, vals, chunk_plans=chunk_plans,
@@ -249,17 +268,11 @@ def main():
                 )
             jax.block_until_ready(F.rfronts[-1][0])
         with to("Mean"):
-            b64 = args.tau * RowOp(
-                A0c.cols, Acv.astype(jnp.float64), n_free
-            ).rmatvec(yc.astype(jnp.float64))
-            x = F.solve(b64.astype(jnp.float32)).astype(jnp.float64)
-            for _ in range(args.refine_iters):
-                r = b64 - h_matvec64(x, Acv)
-                x = x + F.solve(r.astype(jnp.float32)).astype(jnp.float64)
+            A64 = RowOp(A0c.cols, Acv.astype(jnp.float64), n_free)
+            x = post_mean(F, lam64, A64, yc)
             x.block_until_ready()
         with to("Std dev"):
-            var = F.variance_mc(jax.random.PRNGKey(100 + i), args.n_std)
-            std = jnp.sqrt(var)
+            std = post_std(F, jax.random.PRNGKey(100 + i))
             std.block_until_ready()
         with to("Evaluation"):
             full = affine.free_to_full(x)
@@ -292,7 +305,12 @@ def main():
                 shape=(A0c.n_rows, n_free),
             )
             H = (S_lam.T @ S_lam + args.tau * (S_a.T @ S_a)).toarray()
-            x_ref = np.linalg.solve(H, np.asarray(b64))
+            b_chk = args.tau * np.asarray(
+                RowOp(A0c.cols, Acv.astype(jnp.float64), n_free).rmatvec(
+                    yc.astype(jnp.float64)
+                )
+            )
+            x_ref = np.linalg.solve(H, b_chk)
             dd = np.linalg.norm(np.asarray(x) - x_ref) / np.linalg.norm(x_ref)
             log.info("dense cross-check: |x - x_ref|/|x_ref| = %.3g", dd)
             results.setdefault("dense_check", []).append(float(dd))
