@@ -245,9 +245,11 @@ def main():
     )
     results = dict(rel_errs=[], rmses=[], max_errs=[], std_norms=[],
                    n_std_nonfinite=[])
+    per_instance_timers = []
     for i in range(n_inst):
+        cur = PhaseTimers()
         coeff = jnp.asarray(ds.get_problem(i)[1])
-        with to("PDE Discretization"):
+        with to("PDE Discretization"), cur("PDE Discretization"):
             vals, yc, Acv, cs, leak = operand_vals(
                 coeff, geom, obs_st, Lam.vals, cols_global
             )
@@ -257,7 +259,7 @@ def main():
                     " in a dropped column (instance-dependent structure)"
                 )
             vals.block_until_ready()
-        with to("Conditioning"):
+        with to("Conditioning"), cur("Conditioning"):
             if args.fused:
                 F = fused_factor(vals, cols_global, cs)
             else:
@@ -267,14 +269,14 @@ def main():
                     dtype=jnp.float32, qr_impl=args.qr_impl, arrs=arrs,
                 )
             jax.block_until_ready(F.rfronts[-1][0])
-        with to("Mean"):
+        with to("Mean"), cur("Mean"):
             A64 = RowOp(A0c.cols, Acv.astype(jnp.float64), n_free)
             x = post_mean(F, lam64, A64, yc)
             x.block_until_ready()
-        with to("Std dev"):
+        with to("Std dev"), cur("Std dev"):
             std = post_std(F, jax.random.PRNGKey(100 + i))
             std.block_until_ready()
-        with to("Evaluation"):
+        with to("Evaluation"), cur("Evaluation"):
             full = affine.free_to_full(x)
             pred = E.matvec(full).reshape(args.grid, args.grid)
             truth = jnp.asarray(ds.get_problem(i)[0])
@@ -288,9 +290,14 @@ def main():
         results["std_norms"].append(float(jnp.linalg.norm(
             jnp.nan_to_num(std))))
         results["n_std_nonfinite"].append(nf)
+        per_instance_timers.append(
+            {k: v / 1e9 for k, v in cur.as_dict().items()}
+        )
         log.info(
-            "instance %d: rel_err %.4g rmse %.4g max %.4g std_nonfinite %d",
+            "instance %d: rel_err %.4g rmse %.4g max %.4g std_nonfinite %d "
+            "phases(s) %s",
             i, re, rm, mx, nf,
+            {k: round(v, 2) for k, v in per_instance_timers[-1].items()},
         )
         if args.check_banded and n_free <= 20000:
             import scipy.sparse as sp
@@ -321,7 +328,10 @@ def main():
         leaf_target=args.leaf_target, qr_impl=args.qr_impl,
         n_std=args.n_std, truth_N_xy=args.truth_N_xy, solver="mfqr",
     )
-    out = dict(params=params, **results, timers=to.as_dict())
+    out = dict(
+        params=params, **results, timers=to.as_dict(),
+        per_instance_timers=per_instance_timers,
+    )
     path = tagsave(
         datadir("sims", "darcy_mfqr", savename(params)), out
     )
