@@ -707,6 +707,83 @@ def mfqr_factorize_chunked(
     return MFQRFactor(qt, rfronts, dtype, col_scale=col_scale, arrs=arrs)
 
 
+# ---------------------------------------------------------------------------
+# host-dispatched solves: one jitted kernel per LEVEL SHAPE (cached in the
+# module-level jit wrappers), python loop over levels. The fully-fused
+# solve program unrolls batched_tsolve's panel loops across every level
+# and refinement iteration — at N300+ tree sizes its compile time
+# explodes; ~2 dispatches/level at the ~26 ms relay floor is cheap.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_level(R11, R12, own, bnd, y):
+    rhs = y[own]
+    Rl = jnp.swapaxes(R11, 1, 2)
+    sol = batched_tsolve_left(Rl, rhs)
+    y = y.at[own].set(sol, mode="drop")
+    if R12.shape[2]:
+        y = y.at[bnd].add(-jnp.swapaxes(R12, 1, 2) @ sol, mode="drop")
+    return y.at[y.shape[0] - 1].set(0.0)
+
+
+def _bwd_level(R11, R12, own, bnd, x):
+    rhs = x[own]
+    if R12.shape[2]:
+        rhs = rhs - R12 @ x[bnd]
+    Rl = jnp.swapaxes(R11, 1, 2)
+    sol = batched_tsolve_left(Rl, rhs, transpose=True)
+    x = x.at[own].set(sol, mode="drop")
+    return x.at[x.shape[0] - 1].set(0.0)
+
+
+_fwd_level_jit = jax.jit(_fwd_level)
+_bwd_level_jit = jax.jit(_bwd_level)
+
+
+def mfqr_solve_hosted(F: MFQRFactor, b):
+    """H^{-1} b with per-level dispatch (see header note). Semantically
+    identical to F.solve."""
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    k = b.shape[1]
+    b = b.astype(F.dtype)
+    if F.col_scale is not None:
+        b = b * jnp.asarray(F.col_scale, F.dtype)[:, None]
+    y = jnp.concatenate([b, jnp.zeros((1, k), F.dtype)])
+    own_bnd = []
+    for p in range(len(F.rfronts)):
+        la = F._level(p)
+        own_bnd.append(
+            (jnp.asarray(la["own_idx"]), jnp.asarray(la["bnd_idx"]))
+        )
+    for p, (R11, R12) in enumerate(F.rfronts):
+        y = _fwd_level_jit(R11, R12, own_bnd[p][0], own_bnd[p][1], y)
+    for p in range(len(F.rfronts) - 1, -1, -1):
+        R11, R12 = F.rfronts[p]
+        y = _bwd_level_jit(R11, R12, own_bnd[p][0], own_bnd[p][1], y)
+    x = y[: F.qt.n]
+    if F.col_scale is not None:
+        x = x * jnp.asarray(F.col_scale, F.dtype)[:, None]
+    return x[:, 0] if squeeze else x
+
+
+def mfqr_sample_hosted(F: MFQRFactor, key, k: int = 1):
+    """R^{-1} z via per-level dispatch (cov H^{-1})."""
+    w = jax.random.normal(key, (F.qt.n + 1, k), F.dtype)
+    w = w.at[F.qt.n].set(0.0)
+    for p in range(len(F.rfronts) - 1, -1, -1):
+        R11, R12 = F.rfronts[p]
+        la = F._level(p)
+        w = _bwd_level_jit(
+            R11, R12, jnp.asarray(la["own_idx"]), jnp.asarray(la["bnd_idx"]), w
+        )
+    x = w[: F.qt.n]
+    if F.col_scale is not None:
+        x = x * jnp.asarray(F.col_scale, F.dtype)[:, None]
+    return x
+
+
 def _host_qr_level(qt: MFQRTree, p: int):
     plan = qt.tree.levels[p]
     rl = qt.rlevels[p]

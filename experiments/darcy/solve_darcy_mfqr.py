@@ -64,6 +64,12 @@ def parse_cmd():
     p.add_argument("--max_panel_mb", type=int, default=1024,
                    help="per-chunk panel budget for the chunked "
                         "factorization dispatch")
+    p.add_argument("--host_solves", type=str, default="auto",
+                   choices=("auto", "on", "off"),
+                   help="per-level dispatched solves (mfqr_solve_hosted) "
+                        "instead of one fused solve program — the fused "
+                        "program's compile explodes at big trees; auto = "
+                        "on above 1e5 free dofs")
     p.add_argument("--fused", action="store_true",
                    help="single-program factorization (small N only; the "
                         "chunked per-level dispatch is the default — the "
@@ -223,8 +229,12 @@ def main():
         ax = A64.rmatvec(A64.matvec(x))
         return lx + args.tau * ax
 
+    use_hosted = args.host_solves == "on" or (
+        args.host_solves == "auto" and n_free > 100_000
+    )
+
     @jax.jit
-    def post_mean(F, lam64, A64, yc):
+    def post_mean_fused(F, lam64, A64, yc):
         b64 = args.tau * A64.rmatvec(yc.astype(jnp.float64))
         x = F.solve(b64.astype(jnp.float32)).astype(jnp.float64)
         for _ in range(args.refine_iters):
@@ -233,8 +243,37 @@ def main():
         return x
 
     @jax.jit
-    def post_std(F, key):
+    def post_std_fused(F, key):
         return jnp.sqrt(F.variance_mc(key, args.n_std))
+
+    from diffeqgmrfs_tpu.ops.mf_qr import (
+        mfqr_sample_hosted,
+        mfqr_solve_hosted,
+    )
+
+    rmv64 = jax.jit(
+        lambda A64, yv: args.tau * A64.rmatvec(yv.astype(jnp.float64))
+    )
+    h64_jit = jax.jit(_h64)
+    var_of = jax.jit(lambda z: jnp.sqrt(jnp.mean(z * z, axis=1)))
+
+    def post_mean(F, lam64, A64, yc):
+        if not use_hosted:
+            return post_mean_fused(F, lam64, A64, yc)
+        b64 = rmv64(A64, yc)
+        x = mfqr_solve_hosted(F, b64.astype(jnp.float32)).astype(jnp.float64)
+        for _ in range(args.refine_iters):
+            r = b64 - h64_jit(lam64, A64, x)
+            x = x + mfqr_solve_hosted(
+                F, r.astype(jnp.float32)
+            ).astype(jnp.float64)
+        return x
+
+    def post_std(F, key):
+        if not use_hosted:
+            return post_std_fused(F, key)
+        z = mfqr_sample_hosted(F, key, args.n_std)
+        return var_of(z)
 
     lam64 = RowOp(Lam.cols, Lam.vals.astype(jnp.float64), n_free)
     fused_factor = jax.jit(
