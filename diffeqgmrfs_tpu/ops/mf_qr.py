@@ -294,6 +294,25 @@ def mfqr_device_arrays(qt: MFQRTree, device=None):
 # ---------------------------------------------------------------------------
 
 
+def _qr_r_rowchunked(panel, qr_impl: str, row_chunk: int):
+    """Sequential TSQR over row blocks: triangularize [B, r, f] through
+    QRs of at most [B, f + row_chunk, f] — identical R (unique up to row
+    signs), workspace bounded by the block instead of the full panel
+    (the N300 level-5 one-shot QR wanted ~20 GB — queue r3a OOM)."""
+    B, r, f = panel.shape
+    carry = None
+    for i0 in range(0, r, row_chunk):
+        blk = panel[:, i0 : i0 + row_chunk]
+        T = blk if carry is None else jnp.concatenate([carry, blk], axis=1)
+        Rq = _qr_r(T, qr_impl)
+        if Rq.shape[1] < f:
+            Rq = jnp.concatenate(
+                [Rq, jnp.zeros((B, f - Rq.shape[1], f), panel.dtype)], axis=1
+            )
+        carry = Rq[:, :f]
+    return carry
+
+
 def _qr_r(panel, qr_impl: str):
     """R factor of batched tall panel [B, r, f] -> [B, min(r, f), f]."""
     B, r, f = panel.shape
@@ -541,6 +560,13 @@ def mfqr_chunk_plans(qt: MFQRTree, max_panel_bytes: int = 1 << 30):
         per_front = max(rows_tot * (f + 1) * 4 * 3, 1)  # ~3x for QR scratch
         cB = max(1, min(B, int(max_panel_bytes // per_front)))
         nc = -(-B // cB)
+        # even a single front can exceed the budget at the top levels
+        # (N300 level 5: [8763, 4586] -> ~20 GB with QR scratch); bound
+        # the per-QR workspace by sequential row-chunked TSQR
+        row_chunk = 0
+        if cB == 1 and per_front > max_panel_bytes:
+            rc = int(max_panel_bytes // max((f + 1) * 4 * 3, 1)) - f
+            row_chunk = max(rc, f, 256)
         order = np.argsort(plan.child_parent, kind="stable")
         cp_sorted = plan.child_parent[order]
         Cmax = 2 * cB  # bisection tree: <= 2 children per front
@@ -581,15 +607,16 @@ def mfqr_chunk_plans(qt: MFQRTree, max_panel_bytes: int = 1 << 30):
                     child_pos=cpos.astype(np.int32),
                 )
             )
-        out.append((cB, nc, chunks))
+        out.append((cB, nc, chunks, row_chunk))
     return out
 
 
 def _mfqr_chunk_kernel(
     vpad, la, updates_pad, shapes, dtype, qr_impl: str
 ):
-    """One chunk's panel assembly + QR. shapes = (cB, s, f, Rm, u_prev)."""
-    cB, s, f, Rm, u_prev = shapes
+    """One chunk's panel assembly + QR.
+    shapes = (cB, s, f, Rm, u_prev, row_chunk)."""
+    cB, s, f, Rm, u_prev, row_chunk = shapes
     rows_tot = Rm + 2 * u_prev + s
     panel = jnp.zeros((cB + 1, rows_tot, f + 1), dtype)  # front cB: drop slot
     if Rm:
@@ -613,7 +640,10 @@ def _mfqr_chunk_kernel(
     prow = jnp.where(la["pad"], 1.0, 0.0).astype(dtype)
     ii = jnp.arange(s)
     panel = panel.at[:cB, Rm + 2 * u_prev + ii, ii].set(prow)
-    Rq = _qr_r(panel[:cB, :, :f], qr_impl)
+    if row_chunk and panel.shape[1] > row_chunk + f:
+        Rq = _qr_r_rowchunked(panel[:cB, :, :f], qr_impl, row_chunk)
+    else:
+        Rq = _qr_r(panel[:cB, :, :f], qr_impl)
     m = Rq.shape[1]
     if m < f:
         Rq = jnp.concatenate([Rq, jnp.zeros((cB, f - m, f), dtype)], axis=1)
@@ -628,8 +658,8 @@ def mfqr_chunk_plans_device(chunk_plans, device=None):
     the relay costs seconds per factorization)."""
     put = (lambda a: jax.device_put(a, device)) if device else jnp.asarray
     return [
-        (cB, nc, [{k: put(v) for k, v in la.items()} for la in chunks])
-        for (cB, nc, chunks) in chunk_plans
+        (cB, nc, [{k: put(v) for k, v in la.items()} for la in chunks], rc)
+        for (cB, nc, chunks, rc) in chunk_plans
     ]
 
 
@@ -677,7 +707,7 @@ def mfqr_factorize_chunked(
     updates = None
     rfronts = []
     for p, plan in enumerate(qt.tree.levels):
-        cB, nc, chunks = chunk_plans[p]
+        cB, nc, chunks, row_chunk = chunk_plans[p]
         B, s, f = plan.own.shape[0], plan.s, plan.f
         Rm = qt.rlevels[p].rows_src.shape[1]
         u_prev = 0 if updates is None else updates.shape[1]
@@ -695,7 +725,8 @@ def mfqr_factorize_chunked(
                 else {k: jnp.asarray(v) for k, v in la.items()}
             )
             R11c, R12c, Uc = kern(
-                vpad, la_dev, upad, (cB, s, f, Rm, u_prev), dtype, qr_impl
+                vpad, la_dev, upad, (cB, s, f, Rm, u_prev, row_chunk),
+                dtype, qr_impl,
             )
             r11s.append(R11c)
             r12s.append(R12c)

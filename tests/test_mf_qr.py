@@ -144,6 +144,53 @@ def test_mfqr_device_arrays_jit_path():
     assert abs(float(ld) - np.linalg.slogdet(H)[1]) < 1e-8 * abs(float(ld))
 
 
+def test_mfqr_chunked_matches_fused():
+    """mfqr_factorize_chunked (front chunks + row-chunked TSQR at a tiny
+    panel budget) produces the same factor as the fused path — verified
+    through solve/log-det identity."""
+    from diffeqgmrfs_tpu.ops.mf_qr import (
+        mfqr_chunk_plans,
+        mfqr_factorize_chunked,
+    )
+
+    ops_cols, ops_vals, coords, n, S = _grid_problem(g=10, seed=11)
+    H = S.T @ S
+    qt = symbolic_mf_qr(ops_cols, n, coords, cut_width=2.2, leaf_target=12)
+    plans = mfqr_chunk_plans(qt, max_panel_bytes=4 << 10)  # 4 KB: forces
+    # single-front chunks and row-chunked TSQR
+    assert any(rc for (_, _, _, rc) in plans)
+    assert any(nc > 1 for (_, nc, _, _) in plans)
+    Fc = mfqr_factorize_chunked(
+        qt, ops_vals, chunk_plans=plans, dtype=jnp.float64
+    )
+    Ff = MFQRFactor.factorize(qt, ops_vals, dtype=jnp.float64)
+    b = np.cos(np.arange(n) * 0.61)
+    xc = np.asarray(Fc.solve(jnp.asarray(b)))
+    xf = np.asarray(Ff.solve(jnp.asarray(b)))
+    assert np.allclose(xc, xf, atol=1e-9)
+    assert np.allclose(xc, np.linalg.solve(H, b), atol=1e-8)
+    assert abs(float(Fc.log_det()) - float(Ff.log_det())) < 1e-8
+
+
+def test_mfqr_hosted_solve_matches():
+    """Per-level dispatched solves == the fused solve method."""
+    from diffeqgmrfs_tpu.ops.mf_qr import (
+        mfqr_sample_hosted,
+        mfqr_solve_hosted,
+    )
+
+    ops_cols, ops_vals, coords, n, S = _grid_problem(g=9, seed=13)
+    H = S.T @ S
+    qt = symbolic_mf_qr(ops_cols, n, coords, cut_width=2.2, leaf_target=10)
+    F = MFQRFactor.factorize(qt, ops_vals, dtype=jnp.float64)
+    b = np.sin(np.arange(n) * 0.37)
+    xh = np.asarray(mfqr_solve_hosted(F, jnp.asarray(b)))
+    assert np.allclose(xh, np.linalg.solve(H, b), atol=1e-8)
+    z1 = np.asarray(F.sample_zero_mean(jax.random.PRNGKey(5), 3))
+    z2 = np.asarray(mfqr_sample_hosted(F, jax.random.PRNGKey(5), 3))
+    assert np.allclose(z1, z2.T if z2.shape != z1.shape else z2, atol=1e-10)
+
+
 def test_mfqr_cholqr_engine():
     ops_cols, ops_vals, coords, n, S = _grid_problem(g=10, seed=7)
     H = S.T @ S
