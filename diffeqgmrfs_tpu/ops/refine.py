@@ -812,17 +812,19 @@ class SRIFNewtonFactor:
         v = self.variance_diag()
         n = self.F32.n
 
+        k = min(max_rescue, n)
+
         def rescue(v):
             bad = ~jnp.isfinite(v)
             # non-finite indices first (argsort of the finite mask)
-            idx = jnp.argsort(jnp.where(bad, 0, 1))[:max_rescue]
+            idx = jnp.argsort(jnp.where(bad, 0, 1))[:k]
             E = (
-                jnp.zeros((max_rescue, n), jnp.float64)
-                .at[jnp.arange(max_rescue), idx]
+                jnp.zeros((k, n), jnp.float64)
+                .at[jnp.arange(k), idx]
                 .set(1.0)
             )
             X = self.F32.solve(E)  # f64 substitution through f32 factor
-            vr = X[jnp.arange(max_rescue), idx].astype(self.dtype) / (
+            vr = X[jnp.arange(k), idx].astype(self.dtype) / (
                 self.d[idx] ** 2
             )
             return v.at[idx].set(jnp.where(bad[idx], vr, v[idx]))
