@@ -560,13 +560,15 @@ def mfqr_chunk_plans(qt: MFQRTree, max_panel_bytes: int = 1 << 30):
         per_front = max(rows_tot * (f + 1) * 4 * 3, 1)  # ~3x for QR scratch
         cB = max(1, min(B, int(max_panel_bytes // per_front)))
         nc = -(-B // cB)
-        # even a single front can exceed the budget at the top levels
-        # (N300 level 5: [8763, 4586] -> ~20 GB with QR scratch); bound
-        # the per-QR workspace by sequential row-chunked TSQR
+        # even a single front can exceed the budget at the top levels;
+        # bound the per-QR workspace by sequential row-chunked TSQR
         row_chunk = 0
         if cB == 1 and per_front > max_panel_bytes:
             rc = int(max_panel_bytes // max((f + 1) * 4 * 3, 1)) - f
             row_chunk = max(rc, f, 256)
+        u_prev_pad = 0
+        if p > 0:
+            u_prev_pad = qt.tree.levels[p - 1].f - qt.tree.levels[p - 1].s
         order = np.argsort(plan.child_parent, kind="stable")
         cp_sorted = plan.child_parent[order]
         Cmax = 2 * cB  # bisection tree: <= 2 children per front
@@ -587,63 +589,78 @@ def mfqr_chunk_plans(qt: MFQRTree, max_panel_bytes: int = 1 << 30):
             rp[:nb] = rl.rows_pos[b0:b1]
             pad = np.ones((cB, s), bool)
             pad[:nb] = plan.own[b0:b1] < 0
-            csrc = np.full((Cmax,), -1, np.int64)  # sentinel -> zero front
-            cpar = np.full((Cmax,), cB, np.int64)  # sentinel -> dropped
-            cslot = np.zeros((Cmax,), np.int64)
-            cpos = np.full((Cmax, max(plan.child_pos.shape[1], 1)), f, np.int64)
-            if C:
-                csrc[:C] = plan.child_src[ee]
-                cpar[:C] = plan.child_parent[ee] - b0
-                cslot[:C] = rl.child_slot[ee]
-                cpos[:C, : plan.child_pos.shape[1]] = plan.child_pos[ee]
-            chunks.append(
-                dict(
-                    rows_src=rs.astype(np.int32),
-                    rows_pos=rp.astype(np.int32),
-                    pad=pad,
-                    child_src=csrc.astype(np.int32),
-                    child_parent=cpar.astype(np.int32),
-                    child_slot=cslot.astype(np.int32),
-                    child_pos=cpos.astype(np.int32),
-                )
+            la = dict(
+                rows_src=rs.astype(np.int32),
+                rows_pos=rp.astype(np.int32),
+                pad=pad,
             )
+            if u_prev:
+                # GATHER-form extend-add (TPU scatters lower to copy
+                # cascades — the level-5 chunk program wanted 20.6 GB at
+                # N300): children pre-placed by (parent, slot), and
+                # inv_pos inverts child_pos so the kernel GATHERS each
+                # child's update columns into front positions
+                csrc2 = np.full((cB, 2), -1, np.int64)
+                ipos = np.full((cB, 2, f + 1), u_prev, np.int64)
+                for e in ee:
+                    pb = int(plan.child_parent[e]) - b0
+                    sl = int(rl.child_slot[e])
+                    csrc2[pb, sl] = plan.child_src[e]
+                    cp = plan.child_pos[e]
+                    ipos[pb, sl, np.clip(cp, 0, f)] = np.arange(cp.shape[0])
+                la["child_src2"] = csrc2.astype(np.int32)
+                la["inv_pos"] = ipos.astype(np.int32)
+            chunks.append(la)
         out.append((cB, nc, chunks, row_chunk))
     return out
 
 
 def _mfqr_chunk_kernel(
-    vpad, la, updates_pad, shapes, dtype, qr_impl: str
+    vpad, la, updates_pad2, shapes, dtype, qr_impl: str
 ):
-    """One chunk's panel assembly + QR.
-    shapes = (cB, s, f, Rm, u_prev, row_chunk)."""
+    """One chunk's panel assembly + QR — SCATTER-FREE (TPU scatters lower
+    to copy cascades; the scatter-form level-5 chunk program wanted
+    20.6 GB at N300): operand rows via K-pass compare-accumulate
+    (ops/ata_windows.dense_rows_from_slots rationale), child updates via
+    inverse-position GATHER, pad pivots via one-hot, all concatenated.
+    shapes = (cB, s, f, Rm, u_prev, row_chunk);
+    updates_pad2: [B_prev + 1, u, u + 1] (zero front + zero col appended).
+    """
+    from jax import lax
+
     cB, s, f, Rm, u_prev, row_chunk = shapes
-    rows_tot = Rm + 2 * u_prev + s
-    panel = jnp.zeros((cB + 1, rows_tot, f + 1), dtype)  # front cB: drop slot
+    segs = []
     if Rm:
-        v = vpad[la["rows_src"]]
-        bb = jnp.arange(cB)[:, None, None]
-        rr = jnp.arange(Rm)[None, :, None]
-        panel = panel.at[
-            jnp.broadcast_to(bb, v.shape),
-            jnp.broadcast_to(rr, v.shape),
-            la["rows_pos"],
-        ].add(v)
+        v = vpad[la["rows_src"]]  # [cB, Rm, K] gather (sentinel -> zeros)
+        lcols = la["rows_pos"]
+        c_iota = lax.broadcasted_iota(jnp.int32, (1, 1, f + 1), 2)
+        M = jnp.zeros((cB, Rm, f + 1), dtype)
+        for k in range(v.shape[-1]):
+            M = M + jnp.where(
+                c_iota == lcols[..., k : k + 1],
+                v[..., k : k + 1],
+                jnp.zeros((), dtype),
+            )
+        segs.append(M)
     if u_prev:
-        src = jnp.where(la["child_src"] < 0, updates_pad.shape[0] - 1,
-                        la["child_src"])
-        U = updates_pad[src]  # [C, u, u]
-        base = Rm + la["child_slot"] * u_prev
-        cc_r = base[:, None, None] + jnp.arange(u_prev)[None, :, None]
-        cc_c = jnp.broadcast_to(la["child_pos"][:, None, :], U.shape)
-        bb = jnp.broadcast_to(la["child_parent"][:, None, None], U.shape)
-        panel = panel.at[bb, jnp.broadcast_to(cc_r, U.shape), cc_c].add(U)
-    prow = jnp.where(la["pad"], 1.0, 0.0).astype(dtype)
-    ii = jnp.arange(s)
-    panel = panel.at[:cB, Rm + 2 * u_prev + ii, ii].set(prow)
+        src = jnp.where(
+            la["child_src2"] < 0, updates_pad2.shape[0] - 1, la["child_src2"]
+        )
+        U = updates_pad2[src]  # [cB, 2, u, u+1]
+        ip = la["inv_pos"][:, :, None, :]  # [cB, 2, 1, f+1]
+        g = jnp.take_along_axis(U, jnp.broadcast_to(ip, U.shape[:3] + (f + 1,)), axis=3)
+        segs.append(g.reshape(cB, 2 * u_prev, f + 1).astype(dtype))
+    prow = jnp.where(la["pad"], 1.0, 0.0).astype(dtype)  # [cB, s]
+    one_hot = (
+        lax.broadcasted_iota(jnp.int32, (1, s, f + 1), 2)
+        == lax.broadcasted_iota(jnp.int32, (1, s, 1), 1)
+    ).astype(dtype)
+    segs.append(prow[:, :, None] * one_hot)
+    panel = jnp.concatenate(segs, axis=1)
     if row_chunk and panel.shape[1] > row_chunk + f:
-        Rq = _qr_r_rowchunked(panel[:cB, :, :f], qr_impl, row_chunk)
+        Rq = _qr_r_rowchunked(panel[:, :, :f], qr_impl, row_chunk)
     else:
-        Rq = _qr_r(panel[:cB, :, :f], qr_impl)
+        Rq = _qr_r(panel[:, :, :f], qr_impl)
     m = Rq.shape[1]
     if m < f:
         Rq = jnp.concatenate([Rq, jnp.zeros((cB, f - m, f), dtype)], axis=1)
@@ -712,10 +729,15 @@ def mfqr_factorize_chunked(
         Rm = qt.rlevels[p].rows_src.shape[1]
         u_prev = 0 if updates is None else updates.shape[1]
         if updates is None:
-            upad = jnp.zeros((1, 1, 1), dtype)
+            upad = jnp.zeros((1, 1, 2), dtype)
         else:
+            # zero front (dummy-child sentinel) + zero col (inv_pos default)
+            u_ = updates.shape[1]
             upad = jnp.concatenate(
-                [updates, jnp.zeros((1,) + updates.shape[1:], dtype)], 0
+                [updates, jnp.zeros((1, u_, u_), dtype)], 0
+            )
+            upad = jnp.concatenate(
+                [upad, jnp.zeros((upad.shape[0], u_, 1), dtype)], 2
             )
         r11s, r12s, us = [], [], []
         for la in chunks:
