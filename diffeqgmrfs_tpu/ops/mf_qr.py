@@ -116,6 +116,48 @@ def structural_cols(cols, host_vals, n: int):
     return np.where(dead | (cols < 0) | (cols >= n), n, cols)
 
 
+def transpose_ell(cols, n: int):
+    """Host-built gather-form transpose of a RowOp structure:
+    (t_rows [n, K_T], t_slot [n, K_T], t_mask [n, K_T]) such that
+
+        (A^T r)[c] = sum_k mask[c,k] * vals[t_rows[c,k], t_slot[c,k]]
+                              * r[t_rows[c,k]]
+
+    — a pure GATHER. TPU scatter lowering expands the naive rmatvec
+    scatter-add into copy cascades (the mfqr N300 post-mean refinement
+    OOMed in exactly that op; same pathology as the round-2
+    probe_resolve 430 ms scatter vs 89 ms gather finding)."""
+    cols = np.asarray(cols)
+    R, K = cols.shape
+    flat = cols.reshape(-1).astype(np.int64)
+    valid = (flat >= 0) & (flat < n)
+    flat = np.where(valid, flat, n)
+    order = np.argsort(flat, kind="stable")
+    sorted_c = flat[order]
+    counts = np.bincount(sorted_c, minlength=n + 1)[:n]
+    K_T = int(counts.max()) if n else 0
+    starts = np.concatenate(([0], np.cumsum(counts)))
+    t_rows = np.zeros((n, K_T), np.int32)
+    t_slot = np.zeros((n, K_T), np.int32)
+    t_mask = np.zeros((n, K_T), np.float32)
+    nz = starts[-1]
+    within = np.arange(nz) - np.repeat(starts[:-1], counts)
+    cc = sorted_c[:nz]
+    t_rows[cc, within] = (order[:nz] // K).astype(np.int32)
+    t_slot[cc, within] = (order[:nz] % K).astype(np.int32)
+    t_mask[cc, within] = 1.0
+    return t_rows, t_slot, t_mask
+
+
+def rmatvec_gather(t_ell, vals, r):
+    """A^T r via the transpose ELL of `transpose_ell` (gather-only)."""
+    tr, ts, tm = t_ell
+    tr = jnp.asarray(tr)
+    v = jnp.asarray(vals)[tr, jnp.asarray(ts)]
+    v = v * jnp.asarray(tm, dtype=v.dtype)
+    return jnp.sum(v * r[tr], axis=1)
+
+
 def stack_operand_vals(ops_vals, Kmax: int, dtype=None):
     """Stack traced operand value arrays to the [Rtot, Kmax] layout of
     `stack_operand_cols` (zero-padding extra slots)."""
@@ -253,18 +295,33 @@ def symbolic_mf_qr(
     return MFQRTree(n=n, K=K, n_rows=Rtot, tree=tree, rlevels=rlevels)
 
 
-def mfqr_device_arrays(qt: MFQRTree, device=None):
+def mfqr_device_arrays(qt: MFQRTree, device=None, solve_only: bool = False):
     """Plan arrays as device arrays for jit-signature threading (the
     relay rejects >~100 MB HLO constant payloads — see
     `multifrontal.tree_device_arrays`). Index arrays are narrowed to
     int32 (front widths and row counts are far below 2^31; the leaf-level
-    rows_pos at 1e6 dofs is ~0.6 GB in i32 vs 1.3 GB in i64)."""
+    rows_pos at 1e6 dofs is ~0.6 GB in i32 vs 1.3 GB in i64).
+
+    solve_only: skip the factorization-side row/child maps (the chunked
+    path carries its own per-chunk copies — duplicating rows_pos wastes
+    hundreds of MB of HBM at production sizes); solves only read
+    own_idx/bnd_idx."""
     put = (lambda a: jax.device_put(a, device)) if device else jnp.asarray
     arrs = []
     for p, plan in enumerate(qt.tree.levels):
         rl = qt.rlevels[p]
-        arrs.append(
-            dict(
+        d = dict(
+            own_idx=put(
+                np.where(plan.own < 0, qt.n, plan.own).astype(np.int32)
+            ),
+            bnd_idx=put(
+                np.where(
+                    plan.cols[:, plan.s :] < 0, qt.n, plan.cols[:, plan.s :]
+                ).astype(np.int32)
+            ),
+        )
+        if not solve_only:
+            d.update(
                 rows_src=put(
                     np.where(rl.rows_src < 0, qt.n_rows, rl.rows_src).astype(
                         np.int32
@@ -276,16 +333,8 @@ def mfqr_device_arrays(qt: MFQRTree, device=None):
                 child_parent=put(plan.child_parent.astype(np.int32)),
                 child_pos=put(plan.child_pos.astype(np.int32)),
                 child_slot=put(rl.child_slot.astype(np.int32)),
-                own_idx=put(
-                    np.where(plan.own < 0, qt.n, plan.own).astype(np.int32)
-                ),
-                bnd_idx=put(
-                    np.where(
-                        plan.cols[:, plan.s :] < 0, qt.n, plan.cols[:, plan.s :]
-                    ).astype(np.int32)
-                ),
             )
-        )
+        arrs.append(d)
     return arrs
 
 

@@ -182,7 +182,7 @@ def main():
         chunk_plans = None if args.fused else mfqr_chunk_plans_device(
             mfqr_chunk_plans(qt, args.max_panel_mb << 20)
         )
-        arrs = mfqr_device_arrays(qt)
+        arrs = mfqr_device_arrays(qt, solve_only=not args.fused)
         cols_global = jnp.asarray(
             stack_operand_cols(ops_cols, n_free).astype(np.int32)
         )
@@ -201,6 +201,28 @@ def main():
 
     from diffeqgmrfs_tpu.ops.mf_qr import stack_operand_vals
 
+    # refinement operator in GATHER-ONLY form: Q as an f64 ELL (exactly
+    # matches Λ^T Λ — matern_precision_host), A^T through a host-built
+    # transpose ELL. The naive RowOp.rmatvec scatter-add OOMed the N300
+    # post-mean program (TPU scatter lowering; see mf_qr.transpose_ell).
+    from diffeqgmrfs_tpu.models.matern import matern_precision_host
+    from diffeqgmrfs_tpu.ops.mf_qr import rmatvec_gather, transpose_ell
+
+    Q64 = RowOp.from_csr(
+        matern_precision_host(spde, disc, affine), dtype=jnp.float64
+    )
+    aT = tuple(
+        jax.device_put(jnp.asarray(x))
+        for x in transpose_ell(np.asarray(A0c.cols), n_free)
+    )
+
+    _lc = lam_cols.reshape(-1)
+    _lv = np.asarray(Lam.vals, np.float64).reshape(-1)
+    lam_colsq = np.bincount(
+        np.where(_lc >= n_free, n_free, _lc), weights=_lv**2,
+        minlength=n_free + 1,
+    )[:n_free]
+
     # every per-instance compute path is JITTED: the eager relay dispatch
     # floor (~10-26 ms/op) makes eager tree solves (hundreds of small ops
     # per level sweep) pathologically slow on TPU — observed as a silent
@@ -217,28 +239,35 @@ def main():
         # for EVERY instance (a nonzero value in a masked slot would be
         # silently dropped from H)
         leak = jnp.max(jnp.abs(jnp.where(cols_g == n_free, vals, 0.0)))
-        # column equilibration: diag H = colsq(Lam) + tau colsq(A)
-        sq = jnp.zeros((n_free + 1,), jnp.float64)
-        sq = sq.at[cols_g].add(jnp.asarray(vals, jnp.float64) ** 2)
-        cs = 1.0 / jnp.sqrt(jnp.maximum(sq[:n_free], 1e-30))
+        # column equilibration diag H = colsq(Lam) + tau colsq(A):
+        # Lam's part is instance-independent (host bincount, below); A's
+        # comes through the gather-form transpose (no TPU scatter)
+        colsq_a = rmatvec_gather(
+            aT,
+            (Acv.astype(jnp.float64)) ** 2,
+            jnp.ones((A0c.n_rows,), jnp.float64),
+        )
+        sq = jnp.asarray(lam_colsq) + args.tau * colsq_a
+        cs = 1.0 / jnp.sqrt(jnp.maximum(sq, 1e-30))
         return vals, yc, Acv, cs.astype(jnp.float32), leak
 
-    def _h64(lam64, A64, x):
-        """H x = Λ^T Λ x + tau A^T A x in f64 (refinement operator)."""
-        lx = lam64.rmatvec(lam64.matvec(x))
-        ax = A64.rmatvec(A64.matvec(x))
-        return lx + args.tau * ax
+    def _h64(q64, A64, x):
+        """H x = Q x + tau A^T A x in f64 (gather-only refinement)."""
+        ax = rmatvec_gather(aT, A64.vals, A64.matvec(x))
+        return q64.matvec(x) + args.tau * ax
 
     use_hosted = args.host_solves == "on" or (
         args.host_solves == "auto" and n_free > 100_000
     )
 
     @jax.jit
-    def post_mean_fused(F, lam64, A64, yc):
-        b64 = args.tau * A64.rmatvec(yc.astype(jnp.float64))
+    def post_mean_fused(F, q64, A64, yc):
+        b64 = args.tau * rmatvec_gather(
+            aT, A64.vals, yc.astype(jnp.float64)
+        )
         x = F.solve(b64.astype(jnp.float32)).astype(jnp.float64)
         for _ in range(args.refine_iters):
-            r = b64 - _h64(lam64, A64, x)
+            r = b64 - _h64(q64, A64, x)
             x = x + F.solve(r.astype(jnp.float32)).astype(jnp.float64)
         return x
 
@@ -252,18 +281,19 @@ def main():
     )
 
     rmv64 = jax.jit(
-        lambda A64, yv: args.tau * A64.rmatvec(yv.astype(jnp.float64))
+        lambda A64, yv: args.tau
+        * rmatvec_gather(aT, A64.vals, yv.astype(jnp.float64))
     )
     h64_jit = jax.jit(_h64)
     var_of = jax.jit(lambda z: jnp.sqrt(jnp.mean(z * z, axis=1)))
 
-    def post_mean(F, lam64, A64, yc):
+    def post_mean(F, q64, A64, yc):
         if not use_hosted:
-            return post_mean_fused(F, lam64, A64, yc)
+            return post_mean_fused(F, q64, A64, yc)
         b64 = rmv64(A64, yc)
         x = mfqr_solve_hosted(F, b64.astype(jnp.float32)).astype(jnp.float64)
         for _ in range(args.refine_iters):
-            r = b64 - h64_jit(lam64, A64, x)
+            r = b64 - h64_jit(q64, A64, x)
             x = x + mfqr_solve_hosted(
                 F, r.astype(jnp.float32)
             ).astype(jnp.float64)
@@ -275,7 +305,7 @@ def main():
         z = mfqr_sample_hosted(F, key, args.n_std)
         return var_of(z)
 
-    lam64 = RowOp(Lam.cols, Lam.vals.astype(jnp.float64), n_free)
+    # (Q64 built above is the f64 refinement operator)
     fused_factor = jax.jit(
         lambda v, cg, c: MFQRFactor.factorize(
             qt, v, cols_global=cg, col_scale=c,
@@ -284,6 +314,17 @@ def main():
     )
     results = dict(rel_errs=[], rmses=[], max_errs=[], std_norms=[],
                    n_std_nonfinite=[])
+    def _hbm(tag):
+        try:
+            st = jax.devices()[0].memory_stats()
+            log.info(
+                "hbm[%s]: in_use %.2f GB peak %.2f GB", tag,
+                st.get("bytes_in_use", 0) / 1e9,
+                st.get("peak_bytes_in_use", 0) / 1e9,
+            )
+        except Exception:
+            pass
+
     per_instance_timers = []
     for i in range(n_inst):
         cur = PhaseTimers()
@@ -308,10 +349,13 @@ def main():
                     dtype=jnp.float32, qr_impl=args.qr_impl, arrs=arrs,
                 )
             jax.block_until_ready(F.rfronts[-1][0])
+        _hbm("post-factor")
         with to("Mean"), cur("Mean"):
+            del vals  # operand stack is dead once the factor exists
             A64 = RowOp(A0c.cols, Acv.astype(jnp.float64), n_free)
-            x = post_mean(F, lam64, A64, yc)
+            x = post_mean(F, Q64, A64, yc)
             x.block_until_ready()
+        _hbm("post-mean")
         with to("Std dev"), cur("Std dev"):
             std = post_std(F, jax.random.PRNGKey(100 + i))
             std.block_until_ready()
