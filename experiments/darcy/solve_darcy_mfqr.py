@@ -213,7 +213,12 @@ def main():
     )
     aT = tuple(
         jax.device_put(jnp.asarray(x))
-        for x in transpose_ell(np.asarray(A0c.cols), n_free)
+        # SANITIZED cols: the raw condensed cols alias dead slots to free
+        # dof 0, giving column 0 a ~10k multiplicity -> K_T explodes the
+        # transpose ELL to tens of GB (the N300 rc=137 host OOM: "88.11GB
+        # constants captured during lowering"). Dead slots carry exact
+        # zeros, so dropping them is exact.
+        for x in transpose_ell(a_cols, n_free)
     )
 
     _lc = lam_cols.reshape(-1)
@@ -222,13 +227,14 @@ def main():
         np.where(_lc >= n_free, n_free, _lc), weights=_lv**2,
         minlength=n_free + 1,
     )[:n_free]
+    lam_colsq_dev = jax.device_put(jnp.asarray(lam_colsq))
 
     # every per-instance compute path is JITTED: the eager relay dispatch
     # floor (~10-26 ms/op) makes eager tree solves (hundreds of small ops
     # per level sweep) pathologically slow on TPU — observed as a silent
     # ~30 min stall at N64 (queue r3a, first attempt)
     @jax.jit
-    def operand_vals(coeff, geom, obs_st, lam_vals, cols_g):
+    def operand_vals(coeff, geom, obs_st, lam_vals, cols_g, aT, lam_sq):
         A, ys = obs(coeff, geom=geom, structure=obs_st)
         Acv = affine.condense_rowop(A).vals
         yc = jnp.asarray(ys) - affine.offset_shift(A)
@@ -247,11 +253,11 @@ def main():
             (Acv.astype(jnp.float64)) ** 2,
             jnp.ones((A0c.n_rows,), jnp.float64),
         )
-        sq = jnp.asarray(lam_colsq) + args.tau * colsq_a
+        sq = lam_sq + args.tau * colsq_a
         cs = 1.0 / jnp.sqrt(jnp.maximum(sq, 1e-30))
         return vals, yc, Acv, cs.astype(jnp.float32), leak
 
-    def _h64(q64, A64, x):
+    def _h64(aT, q64, A64, x):
         """H x = Q x + tau A^T A x in f64 (gather-only refinement)."""
         ax = rmatvec_gather(aT, A64.vals, A64.matvec(x))
         return q64.matvec(x) + args.tau * ax
@@ -261,13 +267,13 @@ def main():
     )
 
     @jax.jit
-    def post_mean_fused(F, q64, A64, yc):
+    def post_mean_fused(F, aT, q64, A64, yc):
         b64 = args.tau * rmatvec_gather(
             aT, A64.vals, yc.astype(jnp.float64)
         )
         x = F.solve(b64.astype(jnp.float32)).astype(jnp.float64)
         for _ in range(args.refine_iters):
-            r = b64 - _h64(q64, A64, x)
+            r = b64 - _h64(aT, q64, A64, x)
             x = x + F.solve(r.astype(jnp.float32)).astype(jnp.float64)
         return x
 
@@ -281,19 +287,19 @@ def main():
     )
 
     rmv64 = jax.jit(
-        lambda A64, yv: args.tau
+        lambda aT, A64, yv: args.tau
         * rmatvec_gather(aT, A64.vals, yv.astype(jnp.float64))
     )
     h64_jit = jax.jit(_h64)
     var_of = jax.jit(lambda z: jnp.sqrt(jnp.mean(z * z, axis=1)))
 
-    def post_mean(F, q64, A64, yc):
+    def post_mean(F, aT, q64, A64, yc):
         if not use_hosted:
-            return post_mean_fused(F, q64, A64, yc)
-        b64 = rmv64(A64, yc)
+            return post_mean_fused(F, aT, q64, A64, yc)
+        b64 = rmv64(aT, A64, yc)
         x = mfqr_solve_hosted(F, b64.astype(jnp.float32)).astype(jnp.float64)
         for _ in range(args.refine_iters):
-            r = b64 - h64_jit(q64, A64, x)
+            r = b64 - h64_jit(aT, q64, A64, x)
             x = x + mfqr_solve_hosted(
                 F, r.astype(jnp.float32)
             ).astype(jnp.float64)
@@ -331,7 +337,8 @@ def main():
         coeff = jnp.asarray(ds.get_problem(i)[1])
         with to("PDE Discretization"), cur("PDE Discretization"):
             vals, yc, Acv, cs, leak = operand_vals(
-                coeff, geom, obs_st, Lam.vals, cols_global
+                coeff, geom, obs_st, Lam.vals, cols_global, aT,
+                lam_colsq_dev,
             )
             if float(leak) != 0.0:
                 raise AssertionError(
@@ -353,7 +360,7 @@ def main():
         with to("Mean"), cur("Mean"):
             del vals  # operand stack is dead once the factor exists
             A64 = RowOp(A0c.cols, Acv.astype(jnp.float64), n_free)
-            x = post_mean(F, Q64, A64, yc)
+            x = post_mean(F, aT, Q64, A64, yc)
             x.block_until_ready()
         _hbm("post-mean")
         with to("Std dev"), cur("Std dev"):
