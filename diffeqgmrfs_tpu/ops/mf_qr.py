@@ -754,10 +754,15 @@ def mfqr_factorize_chunked(
     qr_impl: str = "xla",
     max_panel_bytes: int = 1 << 30,
     arrs=None,
+    offload_levels: int = 0,
 ) -> MFQRFactor:
     """HBM-bounded factorization: per-level python loop, per-chunk jitted
     QR kernels (one compile per level shape). Semantically identical to
-    `MFQRFactor.factorize` — same fronts, same R."""
+    `MFQRFactor.factorize` — same fronts, same R.
+
+    offload_levels: stream the first k levels' finished fronts to host
+    RAM (solves re-upload per level) — required at 1e6 dofs where the
+    factor + transients exceed HBM."""
     if chunk_plans is None:
         chunk_plans = mfqr_chunk_plans(qt, max_panel_bytes)
     vals = jnp.asarray(vals, dtype=dtype)
@@ -788,6 +793,10 @@ def mfqr_factorize_chunked(
             upad = jnp.concatenate(
                 [upad, jnp.zeros((upad.shape[0], u_, 1), dtype)], 2
             )
+            # the pre-pad buffer is dead once upad holds the data — at
+            # N500 the top-level trapezoids are ~1.8 GB each and keeping
+            # both through the level's kernels tipped the v5e over
+            del updates
         r11s, r12s, us = [], [], []
         for la in chunks:
             la_dev = (
@@ -805,6 +814,12 @@ def mfqr_factorize_chunked(
         R11 = jnp.concatenate(r11s, 0)[:B]
         R12 = jnp.concatenate(r12s, 0)[:B]
         updates = jnp.concatenate(us, 0)[:B]
+        if p < offload_levels:
+            # stream finished fronts to HOST RAM: at 1e6 dofs the 6.9 GB
+            # factor + transient trapezoids exceed HBM. The hosted solves
+            # re-upload level by level (jnp conversion at kernel call),
+            # trading solve latency for fitting the factorization.
+            R11, R12 = jax.device_get(R11), jax.device_get(R12)
         rfronts.append((R11, R12))
     return MFQRFactor(qt, rfronts, dtype, col_scale=col_scale, arrs=arrs)
 

@@ -70,6 +70,11 @@ def parse_cmd():
                         "instead of one fused solve program — the fused "
                         "program's compile explodes at big trees; auto = "
                         "on above 1e5 free dofs")
+    p.add_argument("--offload_levels", type=int, default=-1,
+                   help="stream the first k levels' fronts to host RAM "
+                        "during factorization (solves re-upload per "
+                        "level); -1 = auto (3 above 5e5 free dofs) — the "
+                        "1e6-dof factor + transients exceed HBM otherwise")
     p.add_argument("--fused", action="store_true",
                    help="single-program factorization (small N only; the "
                         "chunked per-level dispatch is the default — the "
@@ -350,10 +355,16 @@ def main():
             if args.fused:
                 F = fused_factor(vals, cols_global, cs)
             else:
+                off = (
+                    args.offload_levels
+                    if args.offload_levels >= 0
+                    else (3 if n_free > 500_000 else 0)
+                )
                 F = mfqr_factorize_chunked(
                     qt, vals, chunk_plans=chunk_plans,
                     cols_global=cols_global, col_scale=cs,
                     dtype=jnp.float32, qr_impl=args.qr_impl, arrs=arrs,
+                    offload_levels=off,
                 )
             jax.block_until_ready(F.rfronts[-1][0])
         _hbm("post-factor")
