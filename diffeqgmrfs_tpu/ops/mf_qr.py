@@ -755,6 +755,7 @@ def mfqr_factorize_chunked(
     max_panel_bytes: int = 1 << 30,
     arrs=None,
     offload_levels: int = 0,
+    progress_cb=None,
 ) -> MFQRFactor:
     """HBM-bounded factorization: per-level python loop, per-chunk jitted
     QR kernels (one compile per level shape). Semantically identical to
@@ -821,6 +822,9 @@ def mfqr_factorize_chunked(
             # trading solve latency for fitting the factorization.
             R11, R12 = jax.device_get(R11), jax.device_get(R12)
         rfronts.append((R11, R12))
+        if progress_cb is not None:
+            jax.block_until_ready(updates)
+            progress_cb(p)
     return MFQRFactor(qt, rfronts, dtype, col_scale=col_scale, arrs=arrs)
 
 

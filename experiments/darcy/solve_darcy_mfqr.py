@@ -365,6 +365,9 @@ def main():
                     cols_global=cols_global, col_scale=cs,
                     dtype=jnp.float32, qr_impl=args.qr_impl, arrs=arrs,
                     offload_levels=off,
+                    progress_cb=(
+                        (lambda p: _hbm(f"level {p}")) if i == 0 else None
+                    ),
                 )
             jax.block_until_ready(F.rfronts[-1][0])
         _hbm("post-factor")
