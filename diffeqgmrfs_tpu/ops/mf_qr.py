@@ -696,8 +696,16 @@ def _mfqr_chunk_kernel(
             la["child_src2"] < 0, updates_pad2.shape[0] - 1, la["child_src2"]
         )
         U = updates_pad2[src]  # [cB, 2, u, u+1]
-        ip = la["inv_pos"][:, :, None, :]  # [cB, 2, 1, f+1]
-        g = jnp.take_along_axis(U, jnp.broadcast_to(ip, U.shape[:3] + (f + 1,)), axis=3)
+        # column placement as a one-hot selection MATMUL, not
+        # take_along_axis: XLA lowered the batched gather through a
+        # batch-minor layout copy (lane-padding the small batch dim 8 ->
+        # 128: 16x memory, "6.2% utilization ... 19.70G" compile OOM at
+        # N400). S[b,c,k,jf] = (inv_pos[b,c,jf] == k); g = U @ S rides
+        # the MXU with standard layouts.
+        ip = la["inv_pos"]  # [cB, 2, f+1] in 0..u
+        kk = lax.broadcasted_iota(jnp.int32, (1, 1, u_prev + 1, 1), 2)
+        S = (ip[:, :, None, :] == kk).astype(dtype)  # [cB, 2, u+1, f+1]
+        g = jnp.einsum("bcuk,bckf->bcuf", U, S)
         segs.append(g.reshape(cB, 2 * u_prev, f + 1).astype(dtype))
     prow = jnp.where(la["pad"], 1.0, 0.0).astype(dtype)  # [cB, s]
     one_hot = (
@@ -798,6 +806,7 @@ def mfqr_factorize_chunked(
             # N500 the top-level trapezoids are ~1.8 GB each and keeping
             # both through the level's kernels tipped the v5e over
             del updates
+        stream = p < offload_levels
         r11s, r12s, us = [], [], []
         for la in chunks:
             la_dev = (
@@ -809,18 +818,23 @@ def mfqr_factorize_chunked(
                 vpad, la_dev, upad, (cB, s, f, Rm, u_prev, row_chunk),
                 dtype, qr_impl,
             )
+            if stream:
+                # stream finished fronts to HOST per chunk: holding a
+                # whole level's R pieces on device (+outputs of 50+
+                # chunks) is what tips the v5e at 1e6 dofs. The hosted
+                # solves re-upload level by level. Only the update
+                # chain (needed by the next level's gather) stays.
+                R11c, R12c = jax.device_get(R11c), jax.device_get(R12c)
             r11s.append(R11c)
             r12s.append(R12c)
             us.append(Uc)
-        R11 = jnp.concatenate(r11s, 0)[:B]
-        R12 = jnp.concatenate(r12s, 0)[:B]
+        if stream:
+            R11 = np.concatenate(r11s, 0)[:B]
+            R12 = np.concatenate(r12s, 0)[:B]
+        else:
+            R11 = jnp.concatenate(r11s, 0)[:B]
+            R12 = jnp.concatenate(r12s, 0)[:B]
         updates = jnp.concatenate(us, 0)[:B]
-        if p < offload_levels:
-            # stream finished fronts to HOST RAM: at 1e6 dofs the 6.9 GB
-            # factor + transient trapezoids exceed HBM. The hosted solves
-            # re-upload level by level (jnp conversion at kernel call),
-            # trading solve latency for fitting the factorization.
-            R11, R12 = jax.device_get(R11), jax.device_get(R12)
         rfronts.append((R11, R12))
         if progress_cb is not None:
             jax.block_until_ready(updates)
