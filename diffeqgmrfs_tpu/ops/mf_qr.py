@@ -727,6 +727,21 @@ def _mfqr_chunk_kernel(
     return R11 * sgn, R12 * sgn, U_out
 
 
+_dus_jit = None
+
+
+def _dus(buf, x, off):
+    """Donated in-place block write buf[off:off+x.shape[0], :x1, :x2] = x
+    (jit cached by shapes; donation keeps ONE buffer alive)."""
+    global _dus_jit
+    if _dus_jit is None:
+        _dus_jit = jax.jit(
+            lambda b, u, o: jax.lax.dynamic_update_slice(b, u, (o, 0, 0)),
+            donate_argnums=0,
+        )
+    return _dus_jit(buf, x, off)
+
+
 def _cat0(parts):
     """Concatenate [cB, a, b] chunks along axis 0 through a FLATTENED
     2-D concat + bitcast reshape. The direct 3-D concat lowers each input
@@ -797,58 +812,62 @@ def mfqr_factorize_chunked(
         vals = vals * cs[cols_global]
     vpad = jnp.concatenate([vals, jnp.zeros((1, vals.shape[1]), dtype)], 0)
     kern = _get_chunk_kernel()
-    updates = None
+    upad = None  # [nc*cB + 1, u, u+1]: chunk trapezoids + zero sentinel
     rfronts = []
     for p, plan in enumerate(qt.tree.levels):
         cB, nc, chunks, row_chunk = chunk_plans[p]
         B, s, f = plan.own.shape[0], plan.s, plan.f
         Rm = qt.rlevels[p].rows_src.shape[1]
-        u_prev = 0 if updates is None else updates.shape[1]
-        if updates is None:
-            upad = jnp.zeros((1, 1, 2), dtype)
-        else:
-            # zero front (dummy-child sentinel) + zero col (inv_pos default)
-            u_ = updates.shape[1]
-            upad = _cat0([updates, jnp.zeros((1, u_, u_), dtype)])
-            upad = jnp.concatenate(
-                [upad, jnp.zeros((upad.shape[0], u_, 1), dtype)], 2
-            )
-            # the pre-pad buffer is dead once upad holds the data — at
-            # N500 the top-level trapezoids are ~1.8 GB each and keeping
-            # both through the level's kernels tipped the v5e over
-            del updates
+        u_prev = 0 if upad is None else upad.shape[1]
+        upad_in = upad if upad is not None else jnp.zeros((1, 1, 2), dtype)
         stream = p < offload_levels
-        r11s, r12s, us = [], [], []
-        for la in chunks:
+        u_next = f - s
+        # chunk outputs accumulate via DONATED dynamic_update_slice into
+        # preallocated buffers: EVERY TPU concat variant (3-D and
+        # flattened 2-D) lowered its inputs through a batch-minor layout
+        # copy — lane-padding the small leading dim 8 -> 128, 16x memory
+        # ("Unpadded 1.23G Padded 19.70G" compile OOMs at N400/N500).
+        # The next level's upad ([nc*cB+1, u, u+1], zero sentinel front
+        # + zero inv_pos column) is written directly, so no separate
+        # padding pass exists either.
+        upad_next = jnp.zeros((nc * cB + 1, u_next, u_next + 1), dtype)
+        r11_buf = (
+            None if stream else jnp.zeros((nc * cB, s, s), dtype)
+        )
+        r12_buf = (
+            None if stream else jnp.zeros((nc * cB, s, f - s), dtype)
+        )
+        r11s, r12s = [], []
+        for ci, la in enumerate(chunks):
             la_dev = (
                 la
                 if not isinstance(next(iter(la.values())), np.ndarray)
                 else {k: jnp.asarray(v) for k, v in la.items()}
             )
             R11c, R12c, Uc = kern(
-                vpad, la_dev, upad, (cB, s, f, Rm, u_prev, row_chunk),
+                vpad, la_dev, upad_in, (cB, s, f, Rm, u_prev, row_chunk),
                 dtype, qr_impl,
             )
+            upad_next = _dus(upad_next, Uc, ci * cB)
             if stream:
-                # stream finished fronts to HOST per chunk: holding a
-                # whole level's R pieces on device (+outputs of 50+
-                # chunks) is what tips the v5e at 1e6 dofs. The hosted
-                # solves re-upload level by level. Only the update
-                # chain (needed by the next level's gather) stays.
-                R11c, R12c = jax.device_get(R11c), jax.device_get(R12c)
-            r11s.append(R11c)
-            r12s.append(R12c)
-            us.append(Uc)
+                # stream finished fronts to HOST per chunk (the hosted
+                # solves re-upload level by level); only the update
+                # chain stays on device
+                r11s.append(jax.device_get(R11c))
+                r12s.append(jax.device_get(R12c))
+            else:
+                r11_buf = _dus(r11_buf, R11c, ci * cB)
+                r12_buf = _dus(r12_buf, R12c, ci * cB)
+        del upad_in
+        upad = upad_next
         if stream:
             R11 = np.concatenate(r11s, 0)[:B]
             R12 = np.concatenate(r12s, 0)[:B]
         else:
-            R11 = _cat0(r11s)[:B]
-            R12 = _cat0(r12s)[:B]
-        updates = _cat0(us)[:B]
+            R11, R12 = r11_buf[:B], r12_buf[:B]
         rfronts.append((R11, R12))
         if progress_cb is not None:
-            jax.block_until_ready(updates)
+            jax.block_until_ready(upad)
             progress_cb(p)
     return MFQRFactor(qt, rfronts, dtype, col_scale=col_scale, arrs=arrs)
 
