@@ -217,7 +217,7 @@ def main():
         matern_precision_host(spde, disc, affine), dtype=jnp.float64
     )
     aT = tuple(
-        jax.device_put(jnp.asarray(x))
+        jnp.asarray(x) if False else x  # host np: jit args upload per call
         # SANITIZED cols: the raw condensed cols alias dead slots to free
         # dof 0, giving column 0 a ~10k multiplicity -> K_T explodes the
         # transpose ELL to tens of GB (the N300 rc=137 host OOM: "88.11GB
@@ -351,6 +351,13 @@ def main():
                     " in a dropped column (instance-dependent structure)"
                 )
             vals.block_until_ready()
+            if n_inst == 1:
+                # single-instance (1e6-dof) run: the assembly gather
+                # structures (~0.5 GB at N500) are dead after operand_vals
+                del geom, obs_st
+                import gc as _gc
+                _gc.collect()
+        _hbm("post-operands")
         with to("Conditioning"), cur("Conditioning"):
             if args.fused:
                 F = fused_factor(vals, cols_global, cs)
