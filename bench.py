@@ -85,20 +85,22 @@ def bench_tpu(N=64, bs=2048, n_it=5):
             # negative/zero slope = timing artifact (contended relay, cf.
             # probe_front_rates round-2); flag loudly rather than report
             log(f"WARNING: non-positive slope for [{tag}]; discarding")
-            return 0.0
-        run.last_spread = spread
-        return btd_flops(N, bs) / dt
+            return 0.0, float("nan")
+        return btd_flops(N, bs) / dt, spread
 
     # default full-f32 sweep (round-1 continuity, logged to stderr)
-    mono = run("mono/f32")
+    mono, mono_spread = run("mono/f32")
     log(f"mono/f32: {mono / 1e12:.2f} TF/s")
     # production fast path: blocked-panel POTRF (f32 panel chols, fast
     # trailing GEMMs) + panel-inverse GEMM-chain TRSM + bf16-pass SYRK
     # (slope-probed 2.544e-7 -> 5.7e-7 solve residual vs mono — both far
     # inside what one refinement iteration recovers; blueprint
     # factor_winv_trsm/factor_precision select this in drivers)
-    best = run("pw128/bf16", panel=128, winv_trsm=128, precision="bfloat16")
-    return max(mono, best), getattr(run, "last_spread", float("nan"))
+    best, best_spread = run(
+        "pw128/bf16", panel=128, winv_trsm=128, precision="bfloat16"
+    )
+    # report the spread of the ARM whose throughput is emitted (ADVICE r3)
+    return (mono, mono_spread) if mono >= best else (best, best_spread)
 
 
 def bench_cpu(N=8, bs=1024):
@@ -155,7 +157,10 @@ def wait_for_tpu_queue(max_wait=1800, poll=30):
     # any experiment/probe driver counts as holding the chip — except
     # known CPU-only jobs (dataset generation, or anything launched with
     # an explicit JAX_PLATFORMS=cpu on its command line)
-    pat = re.compile(r"python (\S*/)?experiments/\S+\.py")
+    # interpreter-agnostic (ADVICE r3): matches `python3 ...`, absolute
+    # interpreter paths, or bare script invocations; the cpu_only and
+    # "ps -eo" guards below keep it from over-matching
+    pat = re.compile(r"(\S*/)?experiments/\S+\.py")
     cpu_only = re.compile(
         r"JAX_PLATFORMS=cpu|--backend cpu|gen_darcy_1024|gen_darcy_mat"
     )

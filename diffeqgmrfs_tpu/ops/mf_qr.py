@@ -592,11 +592,14 @@ class MFQRFactor:
 # ---------------------------------------------------------------------------
 
 
-def mfqr_chunk_plans(qt: MFQRTree, max_panel_bytes: int = 1 << 30):
+def mfqr_chunk_plans(
+    qt: MFQRTree, max_panel_bytes: int = 1 << 30, dtype=np.float32
+):
     """Host-side per-level front chunking. Returns
     [(cB, nc, [chunk la dicts])] — all chunks of a level share one padded
     shape so one jitted kernel serves the level."""
     out = []
+    itemsize = np.dtype(dtype).itemsize  # ADVICE r3: f64 panels are 2x
     for p, plan in enumerate(qt.tree.levels):
         rl = qt.rlevels[p]
         B, s, f = plan.own.shape[0], plan.s, plan.f
@@ -606,18 +609,18 @@ def mfqr_chunk_plans(qt: MFQRTree, max_panel_bytes: int = 1 << 30):
             u_prev = prev.f - prev.s
         Rm = rl.rows_src.shape[1]
         rows_tot = Rm + 2 * u_prev + s
-        per_front = max(rows_tot * (f + 1) * 4 * 3, 1)  # ~3x for QR scratch
+        # ~3x for QR scratch
+        per_front = max(rows_tot * (f + 1) * itemsize * 3, 1)
         cB = max(1, min(B, int(max_panel_bytes // per_front)))
         nc = -(-B // cB)
         # even a single front can exceed the budget at the top levels;
         # bound the per-QR workspace by sequential row-chunked TSQR
         row_chunk = 0
         if cB == 1 and per_front > max_panel_bytes:
-            rc = int(max_panel_bytes // max((f + 1) * 4 * 3, 1)) - f
+            rc = int(
+                max_panel_bytes // max((f + 1) * itemsize * 3, 1)
+            ) - f
             row_chunk = max(rc, f, 256)
-        u_prev_pad = 0
-        if p > 0:
-            u_prev_pad = qt.tree.levels[p - 1].f - qt.tree.levels[p - 1].s
         order = np.argsort(plan.child_parent, kind="stable")
         cp_sorted = plan.child_parent[order]
         Cmax = 2 * cB  # bisection tree: <= 2 children per front
@@ -801,7 +804,7 @@ def mfqr_factorize_chunked(
     RAM (solves re-upload per level) — required at 1e6 dofs where the
     factor + transients exceed HBM."""
     if chunk_plans is None:
-        chunk_plans = mfqr_chunk_plans(qt, max_panel_bytes)
+        chunk_plans = mfqr_chunk_plans(qt, max_panel_bytes, dtype=dtype)
     vals = jnp.asarray(vals, dtype=dtype)
     if col_scale is not None:
         if cols_global is None:

@@ -794,7 +794,7 @@ class SRIFNewtonFactor:
                 )
         return v.astype(self.dtype) / (self.d**2)
 
-    def variance_diag_rescued(self, max_rescue: int = 512):
+    def variance_diag_rescued(self, max_rescue: int = 1024):
         """`variance_diag` plus an EXACT per-column rescue of any entries
         still non-finite after the f64 Takahashi recursion (flagship
         N800x100: 418-651 of 160k entries — VERDICT r2 weak #3/#8).

@@ -118,9 +118,19 @@ def test_mfqr_f32_validity_at_large_tau():
     x_ref = np.linalg.solve(H, b)
     rel = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
     assert rel < 5e-3, rel
-    # f32 cholesky of the UNequilibrated H (the path QR replaces) fails
-    Lf32 = np.linalg.cholesky(H.astype(np.float64))
-    assert np.isfinite(Lf32).all()  # sanity: f64 fine
+    # f32 cholesky of the UNequilibrated H (the path QR replaces) either
+    # fails outright or loses the solution entirely (ADVICE r3: exercise
+    # the claimed f32 contrast, not the f64 sanity case)
+    try:
+        Lf32 = np.linalg.cholesky(H.astype(np.float32))
+        x32 = np.linalg.solve(
+            Lf32.T.astype(np.float64),
+            np.linalg.solve(Lf32.astype(np.float64), b),
+        )
+        rel32 = np.linalg.norm(x32 - x_ref) / np.linalg.norm(x_ref)
+        assert rel32 > 10 * rel, (rel32, rel)
+    except np.linalg.LinAlgError:
+        pass  # not positive definite in f32 — the stronger failure
     ld = float(F.log_det())
     assert abs(ld - np.linalg.slogdet(H)[1]) < 1e-2 * abs(ld)
 
