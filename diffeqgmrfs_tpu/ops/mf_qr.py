@@ -349,6 +349,11 @@ def _qr_r_rowchunked(panel, qr_impl: str, row_chunk: int):
     signs), workspace bounded by the block instead of the full panel
     (the N300 level-5 one-shot QR wanted ~20 GB — queue r3a OOM)."""
     B, r, f = panel.shape
+    if qr_impl in ("cholqr", "gram") and r >= f:
+        # Gram accumulation over row blocks replaces the TSQR carry chain
+        # entirely (no [B, f + rc, f] stack concats — those were a
+        # layout-copy source); scratch is the [B, f, f] Gram.
+        return _qr_r_gram(panel, gram_chunk=row_chunk)
     carry = None
     for i0 in range(0, r, row_chunk):
         blk = panel[:, i0 : i0 + row_chunk]
@@ -362,19 +367,91 @@ def _qr_r_rowchunked(panel, qr_impl: str, row_chunk: int):
     return carry
 
 
+def _qr_r_gram(
+    panel,
+    passes: int = 3,
+    shift_passes: int = 2,
+    chol_panel: int = 256,
+    gram_chunk: int = 0,
+):
+    """R of a batched tall panel [B, r, f] by staged-shift CholeskyQR in
+    PURE batched-GEMM form — the round-4 engine that lifts the mfqr
+    level QR off XLA's 0.38 TF/s batched-QR floor (VERDICT r3 next #2).
+
+    Why not vmap(_shifted_cholqr): the round-3 `cholqr` arm compile-OOMed
+    on a 20.6 GB batch-minor layout copy (f32[3,8763,4586]{0,2,1} — the
+    vmapped pass loop lane-pads the small batch dim 3 -> 128, 42x). This
+    implementation uses only ops whose TPU layouts are standard:
+    batched-GEMM einsums for Gram/apply/products and `blocked_cholesky`
+    (panel POTRF + GEMM trailing, ops/blocked_factor.py) for the [B,f,f]
+    factor, so ~95% of flops ride the MXU.
+
+    Math (same staged-shift scheme as srif._shifted_cholqr, R-only):
+    per pass G = P^T P (+ shift), R_k = chol(G)^T, P <- P R_k^{-1};
+    R = R_n ... R_1. Reconstruction exactness gives R^T R = P0^T P0 to
+    the f32 floor after one floor-shift pass; the initial full-shift
+    passes keep the f32 Cholesky valid at panel cond up to ~1e5 (the
+    equilibrated production range). NaN at the last floor-pass diagonal
+    triggers the per-batch full-shift fallback (the bcgs4 elliptic
+    lesson). Flops ~ passes * (2 r f^2 + f^3) per front vs QR's
+    ~2 f^2 (r - f/3): ~4-6x more, at a ~30-40x better rate.
+
+    gram_chunk: accumulate the first pass's Gram over row blocks of this
+    size (bounds GEMM scratch at the top-level giant fronts — replaces
+    the sequential TSQR carry chain, whose concats were another
+    layout-copy source)."""
+    from .blocked_factor import blocked_cholesky, blocked_tsolve_right_T
+
+    B, r, f = panel.shape
+    dtype = panel.dtype
+    eps = jnp.finfo(dtype).eps
+    eye = jnp.eye(f, dtype=dtype)
+
+    def gram(P):
+        if gram_chunk and r > gram_chunk:
+            G = jnp.zeros((B, f, f), dtype)
+            for i0 in range(0, r, gram_chunk):
+                blk = P[:, i0 : i0 + gram_chunk]
+                G = G + jnp.einsum("brf,brg->bfg", blk, blk)
+            return G
+        return jnp.einsum("brf,brg->bfg", P, P)
+
+    P = panel
+    R_acc = None
+    for k in range(passes):
+        G = gram(P)
+        gmax = jnp.max(
+            jnp.diagonal(G, axis1=-2, axis2=-1), axis=-1
+        )[:, None, None]
+        s_full = 8.0 * r * eps * gmax + 1e-30
+        if k < shift_passes:
+            L = blocked_cholesky(G + s_full * eye, panel=chol_panel)
+        else:
+            s_floor = 8.0 * eps * gmax + 1e-30
+            L = blocked_cholesky(G + s_floor * eye, panel=chol_panel)
+            # per-batch fallback: floor-shift Cholesky went indefinite
+            # (NaN propagates to the last diagonal) -> full shift for
+            # that front only
+            bad = jnp.isnan(L[:, f - 1, f - 1])
+            if f > 1:
+                Lf = blocked_cholesky(G + s_full * eye, panel=chol_panel)
+                L = jnp.where(bad[:, None, None], Lf, L)
+        Rk = jnp.swapaxes(L, -1, -2)
+        R_acc = Rk if R_acc is None else Rk @ R_acc
+        if k + 1 < passes:
+            P = blocked_tsolve_right_T(L, P, panel=chol_panel)
+    return R_acc
+
+
 def _qr_r(panel, qr_impl: str):
     """R factor of batched tall panel [B, r, f] -> [B, min(r, f), f]."""
     B, r, f = panel.shape
-    if qr_impl == "cholqr" and r >= f:
-        # staged shifted CholeskyQR (bcgs4-class): all-GEMM, Householder-
-        # grade factor via reconstruction-exactness (Q R == P per pass).
+    if qr_impl in ("cholqr", "gram") and r >= f:
+        # all-GEMM staged CholeskyQR (R-only; see _qr_r_gram).
         # Rank-deficient panels are unsafe here -> caller guards r >= f.
-        from .srif import _shifted_cholqr
-
-        _, R = jax.vmap(lambda Pb: _shifted_cholqr(Pb, passes=4, shift_passes=2))(
-            panel
-        )
-        return R
+        # "cholqr" is kept as an alias: the old vmapped engine is
+        # superseded (it compile-OOMed on batch-minor layout copies).
+        return _qr_r_gram(panel)
     return jnp.linalg.qr(panel, mode="r")
 
 

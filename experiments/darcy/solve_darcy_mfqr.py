@@ -56,7 +56,12 @@ def parse_cmd():
                    help="observation precision (reference 1e8)")
     p.add_argument("--leaf_target", type=int, default=512)
     p.add_argument("--qr_impl", type=str, default="xla",
-                   choices=("xla", "cholqr"))
+                   choices=("xla", "cholqr", "gram"),
+                   help="level-QR engine: xla = batched jnp.linalg.qr "
+                        "(0.38 TF/s measured composite at N300); gram = "
+                        "all-GEMM staged CholeskyQR (round-4 engine); "
+                        "cholqr is an alias of gram (the old vmapped "
+                        "engine compile-OOMed on layout copies)")
     p.add_argument("--n_std", type=int, default=50,
                    help="MC samples for marginal std (reference RBMC 50)")
     p.add_argument("--refine_iters", type=int, default=2,

@@ -213,3 +213,52 @@ def test_mfqr_cholqr_engine():
     x_ref = np.linalg.solve(H, b)
     rel = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
     assert rel < 1e-4, rel
+
+
+def test_mfqr_gram_engine_chunked_large_tau():
+    """Round-4 all-GEMM Gram engine (`_qr_r_gram`) through the CHUNKED
+    path (tiny panel budget forces front chunking + Gram row-chunk
+    accumulation) on the equilibrated tau=1e8 stack — the f32-validity
+    configuration the production Darcy conditioning runs at."""
+    from diffeqgmrfs_tpu.ops.mf_qr import mfqr_chunk_plans, mfqr_factorize_chunked
+
+    ops_cols, ops_vals, coords, n, S = _grid_problem(g=10, tau=1e8, seed=3)
+    H = S.T @ S
+    qt = symbolic_mf_qr(ops_cols, n, coords, cut_width=2.2, leaf_target=12)
+    cs = 1.0 / np.sqrt(np.diag(H))
+    cols_global = np.concatenate(
+        [np.where((c < 0) | (c >= n), n, c) for c in ops_cols]
+    )
+    plans = mfqr_chunk_plans(qt, max_panel_bytes=4 << 10)
+    F = mfqr_factorize_chunked(
+        qt,
+        ops_vals.astype(np.float32),
+        chunk_plans=plans,
+        cols_global=jnp.asarray(cols_global),
+        col_scale=jnp.asarray(cs, jnp.float32),
+        dtype=jnp.float32,
+        qr_impl="gram",
+    )
+    b = np.sin(np.arange(n) * 0.7)
+    x = np.asarray(F.solve(jnp.asarray(b, dtype=jnp.float32)))
+    x_ref = np.linalg.solve(H, b)
+    rel = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+    assert rel < 5e-3, rel
+    ld = float(F.log_det())
+    assert abs(ld - np.linalg.slogdet(H)[1]) < 1e-2 * abs(ld)
+
+
+def test_mfqr_gram_engine_f64_floor():
+    """f64 gram engine reaches the refinement-free accuracy of the xla
+    QR engine on a well-conditioned stack (factor-quality parity)."""
+    ops_cols, ops_vals, coords, n, S = _grid_problem(g=9, seed=13)
+    H = S.T @ S
+    qt = symbolic_mf_qr(ops_cols, n, coords, cut_width=2.2, leaf_target=10)
+    F = MFQRFactor.factorize(
+        qt, ops_vals, dtype=jnp.float64, qr_impl="gram"
+    )
+    b = np.cos(np.arange(n) * 0.9)
+    x = np.asarray(F.solve(jnp.asarray(b)))
+    assert np.allclose(x, np.linalg.solve(H, b), atol=1e-8)
+    ld = float(F.log_det())
+    assert abs(ld - np.linalg.slogdet(H)[1]) < 1e-10 * abs(ld)
