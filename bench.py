@@ -103,6 +103,86 @@ def bench_tpu(N=64, bs=2048, n_it=5):
     return (mono, mono_spread) if mono >= best else (best, best_spread)
 
 
+def _slope_timer(g, K=4, n_it=3):
+    """(min K-rep - min 1-rep)/(K-1) slope over jitted loop g(reps)."""
+    t0 = time.perf_counter()
+    float(g(1))
+    log(f"  compile+first: {time.perf_counter() - t0:.1f}s")
+    float(g(K))
+    t1, tK = [], []
+    for _ in range(n_it):
+        t0 = time.perf_counter()
+        float(g(1))
+        t1.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(g(K))
+        tK.append(time.perf_counter() - t0)
+    return (min(tK) - min(t1)) / (K - 1)
+
+
+def bench_srif_window_qr(rows=22272, cols=7424):
+    """SRIF window QR at the Darcy N300 production split-window shape —
+    the banded path's live bottleneck (172.5 ms/window in-scan, round 3;
+    VERDICT r3 weak #7 asks for it as an official metric)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    T = jax.random.normal(
+        jax.random.PRNGKey(1), (rows, cols), dtype=jnp.float32
+    )
+
+    def loop(reps):
+        def body(i, acc):
+            R = jnp.linalg.qr(
+                T + i.astype(jnp.float32) * 1e-7, mode="r"
+            )
+            return acc + jnp.sum(jnp.abs(jnp.diagonal(R)))
+
+        return lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    dt = _slope_timer(jax.jit(loop, static_argnums=0))
+    log(f"srif window qr [{rows}x{cols}]: {dt * 1e3:.1f} ms/window")
+    return dt * 1e3
+
+
+def bench_mfqr_level_qr(B=32, r=2048, f=1024):
+    """mfqr level QR at a mid-tree front shape, round-4 gram engine
+    (all-GEMM staged CholeskyQR) vs the XLA batched-QR floor. Reported
+    rate credits QR-USEFUL flops (2 f^2 (r - f/3) per front) so engines
+    with different raw flop counts are comparable — the VERDICT r3
+    'effective 0.38 TF/s' accounting."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    sys.path.insert(0, ".")
+    from diffeqgmrfs_tpu.ops.mf_qr import _qr_r
+
+    P = jax.random.normal(
+        jax.random.PRNGKey(2), (B, r, f), dtype=jnp.float32
+    ) + 2.0 * jnp.broadcast_to(jnp.eye(r, f, dtype=jnp.float32), (B, r, f))
+    useful = B * 2.0 * f * f * (r - f / 3.0)
+
+    out = {}
+    for impl in ("gram", "xla"):
+        def loop(reps, impl=impl):
+            def body(i, acc):
+                R = _qr_r(P + i.astype(jnp.float32) * 1e-7, impl)
+                return acc + jnp.sum(jnp.abs(jnp.diagonal(
+                    R, axis1=-2, axis2=-1
+                )))
+
+            return lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+        dt = _slope_timer(jax.jit(loop, static_argnums=0))
+        rate = useful / dt / 1e12 if dt > 0 else float("nan")
+        log(f"mfqr level qr [{impl}] B={B} r={r} f={f}: "
+            f"{dt * 1e3:.1f} ms -> {rate:.2f} TF/s (QR-useful)")
+        out[impl] = rate
+    return out
+
+
 def bench_cpu(N=8, bs=1024):
     """Same blocked sweep via LAPACK (scipy) on the host — the reference's
     kernel class (dense-blocked POTRF/TRSM/SYRK, `tridiagonal_cholesky.jl`)."""
@@ -213,6 +293,24 @@ def main():
             "vs_baseline": round(tpu_flops / cpu_flops, 2),
             "slope_spread_pct": round(spread, 1),
         }
+        # live-bottleneck metrics (VERDICT r3 next #8): the BTD headline
+        # is saturated; round 4's battles are the SRIF window QR and the
+        # mfqr level QR. Failures here must not cost the primary artifact.
+        try:
+            qr_ms = bench_srif_window_qr()
+            mf = bench_mfqr_level_qr()
+            out["secondary"] = [
+                {"metric": "srif_window_qr_ms", "value": round(qr_ms, 1),
+                 "unit": "ms/window", "shape": "22272x7424 f32"},
+                {"metric": "mfqr_level_qr_gram_tflops",
+                 "value": round(mf.get("gram", float("nan")), 2),
+                 "unit": "TFLOP/s (QR-useful)",
+                 "xla_engine_tflops": round(
+                     mf.get("xla", float("nan")), 2),
+                 "shape": "B32 r2048 f1024 f32"},
+            ]
+        except Exception as e:  # noqa: BLE001
+            log(f"secondary metrics failed: {e!r}")
         # persist for stale-fallback reporting during relay outages
         try:
             os.makedirs(os.path.dirname(LAST_TPU_PATH), exist_ok=True)

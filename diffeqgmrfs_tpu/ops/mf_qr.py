@@ -513,13 +513,18 @@ class MFQRFactor:
         required when col_scale is given).
         """
         vals = jnp.asarray(vals, dtype=dtype)
+        if vals.ndim == 1:  # flat stacks (the chunked-path layout)
+            vals = vals.reshape(-1, qt.K)
         if col_scale is not None:
             if cols_global is None:
                 raise ValueError("col_scale requires cols_global")
+            cg = jnp.asarray(cols_global)
+            if cg.ndim == 1:
+                cg = cg.reshape(-1, qt.K)
             cs = jnp.concatenate(
                 [jnp.asarray(col_scale, dtype=dtype), jnp.ones((1,), dtype)]
             )
-            vals = vals * cs[cols_global]
+            vals = vals * cs[cg]
         # pad row (gathered by rows_src sentinel n_rows) is all zeros
         vpad = jnp.concatenate(
             [vals, jnp.zeros((1, vals.shape[1]), dtype)], axis=0
@@ -720,7 +725,14 @@ def mfqr_chunk_plans(
             pad[:nb] = plan.own[b0:b1] < 0
             la = dict(
                 rows_src=rs.astype(np.int32),
-                rows_pos=rp.astype(np.int32),
+                # K-MAJOR layout [cB, K, Rm]: K rides the 8-sublane dim
+                # (pad 34 -> 40, 1.2x) instead of the 128-lane dim
+                # (pad 34 -> 128, 3.8x) — the leaf-level plan arrays
+                # alone were ~1.8 GB at N500 in the lane-major layout
+                # (mfqr_mem.py ledger, round-4 OOM root cause #1)
+                rows_posT=np.ascontiguousarray(
+                    rp.transpose(0, 2, 1)
+                ).astype(np.int32),
                 pad=pad,
             )
             if u_prev:
@@ -760,14 +772,22 @@ def _mfqr_chunk_kernel(
     cB, s, f, Rm, u_prev, row_chunk = shapes
     segs = []
     if Rm:
-        v = vpad[la["rows_src"]]  # [cB, Rm, K] gather (sentinel -> zeros)
-        lcols = la["rows_pos"]
+        # vpad is FLAT [n_rows*K + K] (the [rows, K] device form pays a
+        # 128-lane pad on K: 3.8x HBM at K=34 — round-4 OOM root cause);
+        # per-slot values gather with computed flat indices, per-slot
+        # local columns come from the K-major plan array
+        rs = la["rows_src"]  # [cB, Rm], sentinel n_rows
+        rpT = la["rows_posT"]  # [cB, K, Rm]
+        K = rpT.shape[1]
+        base = rs * K
         c_iota = lax.broadcasted_iota(jnp.int32, (1, 1, f + 1), 2)
         M = jnp.zeros((cB, Rm, f + 1), dtype)
-        for k in range(v.shape[-1]):
+        for k in range(K):
+            vk = vpad[base + k]  # [cB, Rm] (sentinel row -> zeros)
+            lk = rpT[:, k, :]  # [cB, Rm]
             M = M + jnp.where(
-                c_iota == lcols[..., k : k + 1],
-                v[..., k : k + 1],
+                c_iota == lk[:, :, None],
+                vk[:, :, None],
                 jnp.zeros((), dtype),
             )
         segs.append(M)
@@ -882,15 +902,24 @@ def mfqr_factorize_chunked(
     factor + transients exceed HBM."""
     if chunk_plans is None:
         chunk_plans = mfqr_chunk_plans(qt, max_panel_bytes, dtype=dtype)
+    # FLAT operand stack [n_rows*K] (+ K sentinel zeros): the [rows, K]
+    # device layout lane-pads K -> 128 (3.8x HBM at K=34; ~4 GB of dead
+    # padding across vals/vpad at N500 — mfqr_mem.py ledger). Accepts
+    # either form; drivers should pass flat to avoid even the transient.
     vals = jnp.asarray(vals, dtype=dtype)
+    if vals.ndim == 2:
+        vals = vals.reshape(-1)
     if col_scale is not None:
         if cols_global is None:
             raise ValueError("col_scale requires cols_global")
+        cg = jnp.asarray(cols_global)
+        if cg.ndim == 2:
+            cg = cg.reshape(-1)
         cs = jnp.concatenate(
             [jnp.asarray(col_scale, dtype=dtype), jnp.ones((1,), dtype)]
         )
-        vals = vals * cs[cols_global]
-    vpad = jnp.concatenate([vals, jnp.zeros((1, vals.shape[1]), dtype)], 0)
+        vals = vals * cs[cg]
+    vpad = jnp.concatenate([vals, jnp.zeros((qt.K,), dtype)], 0)
     kern = _get_chunk_kernel()
     upad = None  # [nc*cB + 1, u, u+1]: chunk trapezoids + zero sentinel
     rfronts = []

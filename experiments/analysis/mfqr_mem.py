@@ -128,10 +128,16 @@ def main():
           f"K={lam_cols.shape[1]}, A {a_cols.shape[0]} "
           f"K={a_cols.shape[1]}) Kmax={K}")
     static = {}
-    # operand stack: vals (driver output, freed only at Mean) + vpad copy
-    static["vals [rows,K]"] = tpu_padded_bytes((n_rows_tot, K))
-    static["vpad [rows+1,K]"] = tpu_padded_bytes((n_rows_tot + 1, K))
-    static["cols_global [rowsK]"] = tpu_padded_bytes((n_rows_tot * K,))
+    # operand stack (round-4 FLAT layout: no K->128 lane pad): driver's
+    # vals copy (freed only at Mean) + vpad copy + cols_global
+    static["vals flat"] = tpu_padded_bytes((1, n_rows_tot * K))
+    static["vpad flat"] = tpu_padded_bytes((1, n_rows_tot * K + K))
+    static["cols_global flat"] = tpu_padded_bytes((1, n_rows_tot * K))
+    # driver residents during factorization: Acv + yc + cs (Q64 is
+    # host-side until the Mean phase in the round-4 driver)
+    static["Acv [n_obs_rows,19]"] = tpu_padded_bytes(
+        (a_cols.shape[0], a_cols.shape[1])
+    )
     # chunk-plan arrays: ALL levels pre-uploaded (mfqr_chunk_plans_device)
     plan_by_level = []
     for p, (cB, nc, chunks, rc) in enumerate(plans):

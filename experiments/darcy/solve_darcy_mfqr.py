@@ -78,8 +78,9 @@ def parse_cmd():
     p.add_argument("--offload_levels", type=int, default=-1,
                    help="stream the first k levels' fronts to host RAM "
                         "during factorization (solves re-upload per "
-                        "level); -1 = auto (3 above 5e5 free dofs) — the "
-                        "1e6-dof factor + transients exceed HBM otherwise")
+                        "level); -1 = auto (6 above 5e5 free dofs) — the "
+                        "1e6-dof factor + transients exceed HBM otherwise "
+                        "(mfqr_mem.py ledger)")
     p.add_argument("--fused", action="store_true",
                    help="single-program factorization (small N only; the "
                         "chunked per-level dispatch is the default — the "
@@ -193,8 +194,10 @@ def main():
             mfqr_chunk_plans(qt, args.max_panel_mb << 20)
         )
         arrs = mfqr_device_arrays(qt, solve_only=not args.fused)
+        # FLAT [rows*K] stack: the [rows, K] device layout lane-pads
+        # K -> 128 (3.8x HBM; mfqr_mem.py round-4 ledger)
         cols_global = jnp.asarray(
-            stack_operand_cols(ops_cols, n_free).astype(np.int32)
+            stack_operand_cols(ops_cols, n_free).astype(np.int32).reshape(-1)
         )
     geom = jax.device_put(obs.geom_arrays())
     with jax.default_device(cpu0):
@@ -218,9 +221,15 @@ def main():
     from diffeqgmrfs_tpu.models.matern import matern_precision_host
     from diffeqgmrfs_tpu.ops.mf_qr import rmatvec_gather, transpose_ell
 
-    Q64 = RowOp.from_csr(
-        matern_precision_host(spde, disc, affine), dtype=jnp.float64
-    )
+    # Q64 stays on the HOST CPU until first use: as a device resident it
+    # costs ~1.5 GB (f64 + K->128 lane pad) during factorization, where
+    # every HBM GB counts at 1e6 dofs; device_put happens once, after
+    # the first factor exists (update panels freed by then).
+    with jax.default_device(cpu0):
+        Q64_cpu = RowOp.from_csr(
+            matern_precision_host(spde, disc, affine), dtype=jnp.float64
+        )
+    Q64 = None  # TPU-resident copy, created lazily in the Mean phase
     aT = tuple(
         jnp.asarray(x) if False else x  # host np: jit args upload per call
         # SANITIZED cols: the raw condensed cols alias dead slots to free
@@ -250,7 +259,7 @@ def main():
         yc = jnp.asarray(ys) - affine.offset_shift(A)
         vals = stack_operand_vals(
             [lam_vals, sqrt_tau * Acv], qt.K, dtype=jnp.float32
-        )
+        ).reshape(-1)  # flat: kills the K->128 lane pad on the output
         # drop-column leak check: the structural zero-slot mask must hold
         # for EVERY instance (a nonzero value in a masked slot would be
         # silently dropped from H)
@@ -370,7 +379,7 @@ def main():
                 off = (
                     args.offload_levels
                     if args.offload_levels >= 0
-                    else (3 if n_free > 500_000 else 0)
+                    else (6 if n_free > 500_000 else 0)
                 )
                 F = mfqr_factorize_chunked(
                     qt, vals, chunk_plans=chunk_plans,
@@ -385,6 +394,8 @@ def main():
         _hbm("post-factor")
         with to("Mean"), cur("Mean"):
             del vals  # operand stack is dead once the factor exists
+            if Q64 is None:
+                Q64 = jax.device_put(Q64_cpu)
             A64 = RowOp(A0c.cols, Acv.astype(jnp.float64), n_free)
             x = post_mean(F, aT, Q64, A64, yc)
             x.block_until_ready()
