@@ -1074,3 +1074,102 @@ def _host_qr_level(qt: MFQRTree, p: int):
             plan.cols[:, plan.s :] < 0, qt.n, plan.cols[:, plan.s :]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# selected inversion on the multifrontal tree ("Takahashi on the tree"):
+# EXACT marginal variances from the R factor, replacing the 50-sample MC
+# estimate (10% relative noise) — VERDICT r3 next #6. Top-down supernodal
+# recursion: for each front with own/boundary split [o; b],
+#   x_o = R11^{-1} (z_o - R12 x_b),  z_o independent of x_b
+#   => Sigma_oo = A A^T + X Sigma_bb X^T,  Sigma_ob = -X Sigma_bb,
+#      A = R11^{-1}, X = R11^{-1} R12,
+# where Sigma_bb gathers from the parent front's full Sigma via the
+# symbolic child_pos map (the extend-add map, reused in reverse). All
+# dense work is batched GEMM + blocked TRSM (MXU path); per-level
+# dispatch like the hosted solves. Flops ~ sum_B f^3 per level — a small
+# multiple of the factorization's front work.
+# ---------------------------------------------------------------------------
+
+
+def _selinv_level(R11, R12, Sbb):
+    """One level's Sigma blocks. R11 [B,s,s] upper, R12 [B,s,u],
+    Sbb [B,u,u] (parent-gathered; u may be 0). Returns (Sf [B,f,f],
+    diag_own [B,s])."""
+    from .blocked_factor import blocked_tsolve_left
+
+    B, s, _ = R11.shape
+    u = R12.shape[2]
+    f = s + u
+    L = jnp.swapaxes(R11, -1, -2)  # lower
+    eye = jnp.broadcast_to(jnp.eye(s, dtype=R11.dtype), (B, s, s))
+    A = blocked_tsolve_left(L, eye, transpose=True)  # R11^{-1}
+    Soo = A @ jnp.swapaxes(A, -1, -2)
+    Sf = jnp.zeros((B, f, f), R11.dtype)
+    if u:
+        X = blocked_tsolve_left(L, R12, transpose=True)
+        XS = X @ Sbb  # [B,s,u]
+        Soo = Soo + XS @ jnp.swapaxes(X, -1, -2)
+        Sf = Sf.at[:, :s, s:].set(-XS)
+        Sf = Sf.at[:, s:, :s].set(-jnp.swapaxes(XS, -1, -2))
+        Sf = Sf.at[:, s:, s:].set(Sbb)
+    Sf = Sf.at[:, :s, :s].set(Soo)
+    return Sf, jnp.diagonal(Soo, axis1=-2, axis2=-1)
+
+
+def _selinv_gather(Sf_par, parent_of, pos):
+    """Child boundary Sigma_bb [Bc,u,u] from the parent level's full
+    fronts [Bp,fp,fp]; pos == fp marks padded slots (zeroed via the pad
+    row/col)."""
+    fp = Sf_par.shape[-1]
+    Sp = jnp.pad(Sf_par, ((0, 0), (0, 1), (0, 1)))
+    return Sp[
+        parent_of[:, None, None], pos[:, :, None], pos[:, None, :]
+    ]
+
+
+def _selinv_scatter(out, own_idx, diag):
+    return out.at[own_idx].set(diag, mode="drop")
+
+
+_selinv_level_jit = jax.jit(_selinv_level)
+_selinv_gather_jit = jax.jit(_selinv_gather)
+_selinv_scatter_jit = jax.jit(_selinv_scatter)
+
+
+def mfqr_variance_selected(F: MFQRFactor):
+    """diag(H^{-1}) exactly, by selected inversion over the front tree
+    (per-level dispatch; one jit per level shape). With col_scale cs the
+    factored system is diag(cs) H diag(cs), so variances rescale by
+    cs^2."""
+    qt = F.qt
+    P = len(F.rfronts)
+    out = jnp.zeros((qt.n + 1,), F.dtype)
+    Sf_par = None
+    for p in range(P - 1, -1, -1):
+        R11 = jnp.asarray(F.rfronts[p][0])
+        R12 = jnp.asarray(F.rfronts[p][1])
+        B, s, u = R11.shape[0], R11.shape[1], F.rfronts[p][1].shape[2]
+        if u and p < P - 1:
+            pplan = qt.tree.levels[p + 1]
+            parent_of = np.zeros((B,), np.int64)
+            pos = np.full((B, u), qt.tree.levels[p + 1].f, np.int64)
+            cs_idx = np.asarray(pplan.child_src)
+            parent_of[cs_idx] = np.asarray(pplan.child_parent)
+            cp = np.asarray(pplan.child_pos)[:, :u]
+            pos[cs_idx] = np.minimum(cp, pplan.f)
+            Sbb = _selinv_gather_jit(
+                Sf_par,
+                jnp.asarray(parent_of, jnp.int32),
+                jnp.asarray(pos, jnp.int32),
+            )
+        else:
+            Sbb = jnp.zeros((B, u, u), F.dtype)
+        Sf_par, diag = _selinv_level_jit(R11, R12, Sbb)
+        la = F._level(p)
+        out = _selinv_scatter_jit(out, jnp.asarray(la["own_idx"]), diag)
+    var = out[: qt.n]
+    if F.col_scale is not None:
+        cs = jnp.asarray(F.col_scale, F.dtype)
+        var = var * cs * cs
+    return var

@@ -64,6 +64,14 @@ def parse_cmd():
                         "engine compile-OOMed on layout copies)")
     p.add_argument("--n_std", type=int, default=50,
                    help="MC samples for marginal std (reference RBMC 50)")
+    p.add_argument("--std_impl", type=str, default="selinv",
+                   choices=("mc", "selinv", "both"),
+                   help="marginal std: selinv = EXACT selected inversion "
+                        "over the front tree (mfqr_variance_selected, "
+                        "round 4 — no sampling noise); mc = 50-sample "
+                        "batched backsolve (reference RBMCStrategy(50) "
+                        "analog); both = selinv std + recorded median "
+                        "relative deviation from the MC estimate")
     p.add_argument("--refine_iters", type=int, default=2,
                    help="f64 iterative-refinement steps for the mean")
     p.add_argument("--max_panel_mb", type=int, default=1024,
@@ -324,11 +332,26 @@ def main():
             ).astype(jnp.float64)
         return x
 
-    def post_std(F, key):
+    from diffeqgmrfs_tpu.ops.mf_qr import mfqr_variance_selected
+
+    def post_std_mc(F, key):
         if not use_hosted:
             return post_std_fused(F, key)
         z = mfqr_sample_hosted(F, key, args.n_std)
         return var_of(z)
+
+    def post_std(F, key):
+        """(std, selinv_vs_mc median relative deviation or None)."""
+        if args.std_impl == "mc":
+            return post_std_mc(F, key), None
+        v = mfqr_variance_selected(F)
+        std = jnp.sqrt(v)
+        dev = None
+        if args.std_impl == "both":
+            std_mc = post_std_mc(F, key)
+            dev = float(jnp.median(jnp.abs(std_mc - std)
+                                   / jnp.maximum(std, 1e-30)))
+        return std, dev
 
     # (Q64 built above is the f64 refinement operator)
     fused_factor = jax.jit(
@@ -401,8 +424,17 @@ def main():
             x.block_until_ready()
         _hbm("post-mean")
         with to("Std dev"), cur("Std dev"):
-            std = post_std(F, jax.random.PRNGKey(100 + i))
+            std, std_dev_mc = post_std(F, jax.random.PRNGKey(100 + i))
             std.block_until_ready()
+            if std_dev_mc is not None:
+                results.setdefault("std_selinv_vs_mc_median_rel", []).append(
+                    std_dev_mc
+                )
+                log.info(
+                    "selinv vs MC std: median rel deviation %.3g "
+                    "(expect ~sqrt(2/%d) ~ %.2g from sampling noise)",
+                    std_dev_mc, args.n_std, np.sqrt(2.0 / args.n_std) / 2,
+                )
         with to("Evaluation"), cur("Evaluation"):
             full = affine.free_to_full(x)
             pred = E.matvec(full).reshape(args.grid, args.grid)
@@ -454,6 +486,7 @@ def main():
         N_xy=args.N_xy, grid=args.grid, N_instances=n_inst, tau=args.tau,
         leaf_target=args.leaf_target, qr_impl=args.qr_impl,
         n_std=args.n_std, truth_N_xy=args.truth_N_xy, solver="mfqr",
+        std_impl=args.std_impl,
     )
     out = dict(
         params=params, **results, timers=to.as_dict(),

@@ -262,3 +262,42 @@ def test_mfqr_gram_engine_f64_floor():
     assert np.allclose(x, np.linalg.solve(H, b), atol=1e-8)
     ld = float(F.log_det())
     assert abs(ld - np.linalg.slogdet(H)[1]) < 1e-10 * abs(ld)
+
+
+def test_mfqr_variance_selected_vs_dense():
+    """Selected inversion over the front tree ('Takahashi on the tree')
+    == dense diag(H^{-1}) in f64; f32-equilibrated within solver-grade
+    tolerance; and consistent with the MC estimator to sampling error."""
+    from diffeqgmrfs_tpu.ops.mf_qr import mfqr_variance_selected
+
+    ops_cols, ops_vals, coords, n, S = _grid_problem(g=11, seed=21)
+    H = S.T @ S
+    d_ref = np.diag(np.linalg.inv(H))
+    qt = symbolic_mf_qr(ops_cols, n, coords, cut_width=2.2, leaf_target=10)
+    F = MFQRFactor.factorize(qt, ops_vals, dtype=jnp.float64)
+    v = np.asarray(mfqr_variance_selected(F))
+    assert np.max(np.abs(v - d_ref) / d_ref) < 1e-8
+
+    # f32 + equilibration at large tau (production configuration)
+    ops_cols, ops_vals, coords, n, S = _grid_problem(g=10, tau=1e8, seed=2)
+    H = S.T @ S
+    cs = 1.0 / np.sqrt(np.diag(H))
+    cols_global = np.concatenate(
+        [np.where((c < 0) | (c >= n), n, c) for c in ops_cols]
+    )
+    F32 = MFQRFactor.factorize(
+        qt if False else symbolic_mf_qr(
+            ops_cols, n, coords, cut_width=2.2, leaf_target=12
+        ),
+        ops_vals.astype(np.float32),
+        cols_global=jnp.asarray(cols_global),
+        col_scale=jnp.asarray(cs, jnp.float32),
+        dtype=jnp.float32,
+    )
+    v32 = np.asarray(mfqr_variance_selected(F32))
+    d_ref = np.diag(np.linalg.inv(H))
+    assert np.isfinite(v32).all()
+    assert np.max(np.abs(v32 - d_ref) / d_ref) < 5e-2
+    # MC consistency: the 4000-sample estimate agrees to sampling error
+    vmc = np.asarray(F32.variance_mc(jax.random.PRNGKey(3), 4000))
+    assert np.median(np.abs(vmc - v32) / v32) < 0.1
