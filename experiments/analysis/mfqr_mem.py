@@ -33,12 +33,14 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 def tpu_padded_bytes(shape, itemsize=4):
     """v5e tiling: [-1] lanes -> 128, [-2] sublanes -> 8 (f32/int32).
-    1-D arrays ride as (1, n). f64 is emulated (2x f32 words)."""
+    1-D arrays tile linearly (layout {0:T(1024)}): pad to 1024 only — NO
+    8x sublane inflation (this is exactly why the round-4 flat operand
+    layout wins). f64 is emulated (2x f32 words)."""
     if len(shape) == 0:
         return 128 * 8 * itemsize  # scalar tile
     s = list(shape)
     if len(s) == 1:
-        s = [1] + s
+        return -(-s[0] // 1024) * 1024 * itemsize
     s[-1] = -(-s[-1] // 128) * 128
     s[-2] = -(-s[-2] // 8) * 8
     n = 1
