@@ -152,6 +152,12 @@ def main():
         dry_run=args.dry_run,
         beta=beta,
     )
+    if args.nll:
+        # keyed ONLY when set: the r4a N300 NLL arm shared the plain
+        # sweep's savename, silently reusing (and at finalize DELETING)
+        # the 1024-sweep's IncrementalSaver partial. The sweep's own
+        # savename must stay unchanged (its partial is resume state).
+        params["nll"] = True
     log.info("params: %s", params)
     to = PhaseTimers()
 
