@@ -314,11 +314,18 @@ def main():
             pat_E = make_ata_window_plan(
                 E_c.cols, inner_prior.precision.n, inner_prior.precision.bs,
                 zero_slots=zs_E, split=plan_split,
-            ).to_device()
+            )
         else:
             pat_E = ata_pattern_cached(
                 E_c, inner_prior.precision.n, inner_prior.precision.bs
-            ).to_device()
+            )
+        # phase-split NLL runs at the HBM margin (r4a OOM at ps_eval with
+        # the factor + prior f64 operands resident): keep the E-plan
+        # host-side and upload per instance AFTER the posterior factor is
+        # freed (sequential residency; ~seconds of relay upload). The
+        # fused/batched paths keep the resident device copy.
+        if not args.phase_split:
+            pat_E = pat_E.to_device()
 
     def solve_instance(prior_arg, pattern, pattern_E, geom, structure, coeff, key, soln_flat):
         A, ys = obs(coeff, geom=geom, structure=structure)
@@ -547,7 +554,10 @@ def main():
             std_full, smp_full = ps_full(prior_dev, std_free, smp_free)
             if args.nll:
                 del factor  # free the posterior factor before the E factor
-                muE_free = ps_cond_E(prior_dev, E_dev, pat_E, soln_flat)
+                pat_E_dev = pat_E.to_device()
+                muE_free = ps_cond_E(prior_dev, E_dev, pat_E_dev, soln_flat)
+                jax.block_until_ready(muE_free)
+                del pat_E_dev  # freed before the next instance's factor
                 sqm = ps_sqm(prior_dev, pat, A_, muE_free, mu_free)
                 nll = 0.5 * (
                     n_free_stat * jnp.log(2 * jnp.pi) + sqm - ld
