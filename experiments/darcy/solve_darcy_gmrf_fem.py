@@ -158,6 +158,12 @@ def main():
         # the 1024-sweep's IncrementalSaver partial. The sweep's own
         # savename must stay unchanged (its partial is resume state).
         params["nll"] = True
+    if args.datasetname == "synthetic":
+        # truth fidelity changes the dataset (and so the quoted errors):
+        # runs against different truth caches must not share result
+        # files / saver partials (r4a collision postmortem). The r4a
+        # sweep partial was migrated to the keyed name in-flight.
+        params["truth_N_xy"] = args.truth_N_xy
     log.info("params: %s", params)
     to = PhaseTimers()
 
