@@ -486,6 +486,10 @@ def main():
             i, re, rm, mx, nf,
             {k: round(v, 2) for k, v in per_instance_timers[-1].items()},
         )
+        # incremental save after EVERY instance: at 1e6-dof scale a
+        # timeout mid-run must not lose the finished instances (the
+        # round-4 N300 gram arm spent ~50 min in contended setup alone)
+        _save(args, n_inst, results, to, per_instance_timers)
         if args.check_banded and n_free <= 20000:
             import scipy.sparse as sp
 
@@ -510,6 +514,11 @@ def main():
             results.setdefault("dense_check", []).append(float(dd))
 
     log.info("timers:\n%s", to)
+    path = _save(args, n_inst, results, to, per_instance_timers)
+    log.info("saved %s", path)
+
+
+def _save(args, n_inst, results, to, per_instance_timers):
     params = dict(
         N_xy=args.N_xy, grid=args.grid, N_instances=n_inst, tau=args.tau,
         leaf_target=args.leaf_target, qr_impl=args.qr_impl,
@@ -520,10 +529,7 @@ def main():
         params=params, **results, timers=to.as_dict(),
         per_instance_timers=per_instance_timers,
     )
-    path = tagsave(
-        datadir("sims", "darcy_mfqr", savename(params)), out
-    )
-    log.info("saved %s", path)
+    return tagsave(datadir("sims", "darcy_mfqr", savename(params)), out)
 
 
 if __name__ == "__main__":
