@@ -892,6 +892,7 @@ def mfqr_factorize_chunked(
     arrs=None,
     offload_levels: int = 0,
     progress_cb=None,
+    auto_top: int = 3,
 ) -> MFQRFactor:
     """HBM-bounded factorization: per-level python loop, per-chunk jitted
     QR kernels (one compile per level shape). Semantically identical to
@@ -923,8 +924,20 @@ def mfqr_factorize_chunked(
     kern = _get_chunk_kernel()
     upad = None  # [nc*cB + 1, u, u+1]: chunk trapezoids + zero sentinel
     rfronts = []
+    P_levels = len(qt.tree.levels)
     for p, plan in enumerate(qt.tree.levels):
         cB, nc, chunks, row_chunk = chunk_plans[p]
+        if qr_impl == "auto":
+            # Per-level hybrid (round-4 N300 lesson): the all-GEMM gram
+            # engine factorized N300 9x faster but the TOP fronts carry
+            # the tree-concentrated global conditioning — squaring it in
+            # the Gram loses the factor entirely (rel_err 7+ vs 2e-3).
+            # gram runs the batched lower/mid levels (the XLA batched-QR
+            # rate floor lives there); Householder QR keeps the top
+            # `auto_top` levels exact.
+            level_impl = "gram" if p < P_levels - auto_top else "xla"
+        else:
+            level_impl = qr_impl
         B, s, f = plan.own.shape[0], plan.s, plan.f
         Rm = qt.rlevels[p].rows_src.shape[1]
         u_prev = 0 if upad is None else upad.shape[1]
@@ -955,7 +968,7 @@ def mfqr_factorize_chunked(
             )
             R11c, R12c, Uc = kern(
                 vpad, la_dev, upad_in, (cB, s, f, Rm, u_prev, row_chunk),
-                dtype, qr_impl,
+                dtype, level_impl,
             )
             upad_next = _dus(upad_next, Uc, ci * cB)
             if stream:

@@ -56,12 +56,17 @@ def parse_cmd():
                    help="observation precision (reference 1e8)")
     p.add_argument("--leaf_target", type=int, default=512)
     p.add_argument("--qr_impl", type=str, default="xla",
-                   choices=("xla", "cholqr", "gram"),
+                   choices=("xla", "cholqr", "gram", "auto"),
                    help="level-QR engine: xla = batched jnp.linalg.qr "
                         "(0.38 TF/s measured composite at N300); gram = "
-                        "all-GEMM staged CholeskyQR (round-4 engine); "
-                        "cholqr is an alias of gram (the old vmapped "
-                        "engine compile-OOMed on layout copies)")
+                        "all-GEMM staged CholeskyQR (round-4 engine, 9x "
+                        "at N300 but INVALID at the top fronts' "
+                        "condition); auto = gram below the top "
+                        "--auto_top levels, xla at the top (production "
+                        "hybrid); cholqr is an alias of gram")
+    p.add_argument("--auto_top", type=int, default=3,
+                   help="number of TOP tree levels kept on Householder "
+                        "QR under --qr_impl auto")
     p.add_argument("--n_std", type=int, default=50,
                    help="MC samples for marginal std (reference RBMC 50)")
     p.add_argument("--std_impl", type=str, default="selinv",
@@ -358,6 +363,15 @@ def main():
             x = x + mfqr_solve_hosted(
                 F, r.astype(jnp.float32)
             ).astype(jnp.float64)
+        # factor-quality diagnostic: ||b - H x|| / ||b|| in f64 after
+        # refinement. Near machine-level = factor is solver-grade;
+        # O(1) = the FACTOR is wrong (disambiguates from truth-yardstick
+        # mismatch — the round-4 gram-at-top-fronts failure read as
+        # rel_err 7-25 with no way to tell which stage broke)
+        r = b64 - h64_jit(aT, q64, A64, x)
+        res = float(jnp.linalg.norm(r) / jnp.linalg.norm(b64))
+        log.info("mean residual |b-Hx|/|b| (f64, post-refinement): %.3e", res)
+        results.setdefault("mean_residuals", []).append(res)
         return x
 
     from diffeqgmrfs_tpu.ops.mf_qr import mfqr_variance_selected
@@ -436,7 +450,7 @@ def main():
                     qt, vals, chunk_plans=chunk_plans,
                     cols_global=cols_global, col_scale=cs,
                     dtype=jnp.float32, qr_impl=args.qr_impl, arrs=arrs,
-                    offload_levels=off,
+                    offload_levels=off, auto_top=args.auto_top,
                     progress_cb=(
                         (lambda p: _hbm(f"level {p}")) if i == 0 else None
                     ),
