@@ -3,4 +3,4 @@
 # keeps the top fronts on Householder QR.
 run_job mfqr_N500_auto 9000 python experiments/darcy/solve_darcy_mfqr.py \
   --N_xy 500 --N_instances 1 --leaf_target 512 --truth_N_xy 64 \
-  --qr_impl auto --std_impl mc
+  --qr_impl xla --std_impl mc
