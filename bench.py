@@ -236,11 +236,31 @@ def wait_for_tpu_queue(max_wait=1800, poll=30):
 
     # any experiment/probe driver counts as holding the chip — except
     # known CPU-only jobs (dataset generation, or anything launched with
-    # an explicit JAX_PLATFORMS=cpu on its command line)
-    # interpreter-agnostic (ADVICE r3): matches `python3 ...`, absolute
-    # interpreter paths, or bare script invocations; the cpu_only and
-    # "ps -eo" guards below keep it from over-matching
-    pat = re.compile(r"(\S*/)?experiments/\S+\.py")
+    # an explicit JAX_PLATFORMS=cpu on its command line).
+    # Anchored on an EXECUTING interpreter (ADVICE r4): an editor/grep/
+    # tail whose argv merely contains an experiments/*.py path must not
+    # hold the bench for max_wait. A line counts iff a python token is
+    # followed later by the script path, or the script path is the
+    # leading token (shebang invocation, possibly after env prefixes).
+    interp = re.compile(r"(^|\s)(\S*/)?python[\d.]*(\s|$)")
+    script = re.compile(r"(\S*/)?experiments/\S+\.py")
+    env_tok = re.compile(r"^(\S+=\S*|env|timeout|\d+|nice|-n|nohup)$")
+
+    def is_chip_job(line):
+        m = script.search(line)
+        if m is None:
+            return False
+        mi = interp.search(line)
+        if mi is not None and mi.start() < m.start():
+            return True
+        # bare ./experiments/foo.py invocation: script is the first
+        # token after env/timeout/nice prefixes
+        for tok in line.split():
+            if env_tok.match(tok):
+                continue
+            return bool(script.fullmatch(tok))
+        return False
+
     cpu_only = re.compile(
         r"JAX_PLATFORMS=cpu|--backend cpu|gen_darcy_1024|gen_darcy_mat"
     )
@@ -254,7 +274,7 @@ def wait_for_tpu_queue(max_wait=1800, poll=30):
         except Exception:
             return
         if not any(
-            pat.search(line)
+            is_chip_job(line)
             and not cpu_only.search(line)
             and "ps -eo" not in line
             for line in out.splitlines()

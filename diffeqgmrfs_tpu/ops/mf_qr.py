@@ -512,6 +512,15 @@ class MFQRFactor:
         slot via `cols_global`, the stacked [n_rows, K] global col map —
         required when col_scale is given).
         """
+        if qr_impl == "auto":
+            # the per-level gram/Householder hybrid lives in
+            # mfqr_factorize_chunked; silently falling back to all-XLA
+            # here would run a different engine than requested
+            raise ValueError(
+                "qr_impl='auto' requires the chunked path "
+                "(mfqr_factorize_chunked); the fused factorize supports "
+                "'xla'/'cholqr'/'gram' only"
+            )
         vals = jnp.asarray(vals, dtype=dtype)
         if vals.ndim == 1:  # flat stacks (the chunked-path layout)
             vals = vals.reshape(-1, qt.K)
@@ -1130,6 +1139,26 @@ def _selinv_level(R11, R12, Sbb):
     return Sf, jnp.diagonal(Soo, axis1=-2, axis2=-1)
 
 
+def _selinv_level_diag(R11, R12, Sbb):
+    """Leaf-level variant: only diag(Sigma_oo) is consumed (no child
+    gathers from leaves), so skip the [B,f,f] Sf allocation —
+    diag(Soo) = rowsum(A∘A) + rowsum((X Sbb)∘X). At the 1e6-dof target
+    the leaf level is the largest batch; materializing leaf Sf there is
+    multi-GB of HBM for values nothing reads (ADVICE r4)."""
+    from .blocked_factor import blocked_tsolve_left
+
+    B, s, _ = R11.shape
+    u = R12.shape[2]
+    L = jnp.swapaxes(R11, -1, -2)  # lower
+    eye = jnp.broadcast_to(jnp.eye(s, dtype=R11.dtype), (B, s, s))
+    A = blocked_tsolve_left(L, eye, transpose=True)  # R11^{-1}
+    diag = jnp.sum(A * A, axis=-1)
+    if u:
+        X = blocked_tsolve_left(L, R12, transpose=True)
+        diag = diag + jnp.sum((X @ Sbb) * X, axis=-1)
+    return diag
+
+
 def _selinv_gather(Sf_par, parent_of, pos):
     """Child boundary Sigma_bb [Bc,u,u] from the parent level's full
     fronts [Bp,fp,fp]; pos == fp marks padded slots (zeroed via the pad
@@ -1146,6 +1175,7 @@ def _selinv_scatter(out, own_idx, diag):
 
 
 _selinv_level_jit = jax.jit(_selinv_level)
+_selinv_level_diag_jit = jax.jit(_selinv_level_diag)
 _selinv_gather_jit = jax.jit(_selinv_gather)
 _selinv_scatter_jit = jax.jit(_selinv_scatter)
 
@@ -1178,7 +1208,10 @@ def mfqr_variance_selected(F: MFQRFactor):
             )
         else:
             Sbb = jnp.zeros((B, u, u), F.dtype)
-        Sf_par, diag = _selinv_level_jit(R11, R12, Sbb)
+        if p == 0:
+            diag = _selinv_level_diag_jit(R11, R12, Sbb)
+        else:
+            Sf_par, diag = _selinv_level_jit(R11, R12, Sbb)
         la = F._level(p)
         out = _selinv_scatter_jit(out, jnp.asarray(la["own_idx"]), diag)
     var = out[: qt.n]

@@ -132,9 +132,11 @@ def main():
     static = {}
     # operand stack (round-4 FLAT layout: no K->128 lane pad): driver's
     # vals copy (freed only at Mean) + vpad copy + cols_global
-    static["vals flat"] = tpu_padded_bytes((1, n_rows_tot * K))
-    static["vpad flat"] = tpu_padded_bytes((1, n_rows_tot * K + K))
-    static["cols_global flat"] = tpu_padded_bytes((1, n_rows_tot * K))
+    # NB: genuinely 1-D shapes — (1, n) would trigger the 8x sublane pad
+    # this very ledger exists to avoid (ADVICE r4)
+    static["vals flat"] = tpu_padded_bytes((n_rows_tot * K,))
+    static["vpad flat"] = tpu_padded_bytes((n_rows_tot * K + K,))
+    static["cols_global flat"] = tpu_padded_bytes((n_rows_tot * K,))
     # driver residents during factorization: Acv + yc + cs (Q64 is
     # host-side until the Mean phase in the round-4 driver)
     static["Acv [n_obs_rows,19]"] = tpu_padded_bytes(
@@ -219,7 +221,8 @@ def main():
                 prev = qt.tree.levels[p - 1]
                 u_prev = prev.f - prev.s
             la = {k: jnp.asarray(v) for k, v in chunks[0].items()}
-            vpad = jnp.zeros((n_rows_tot + 1, K), jnp.float32)
+            # FLAT vpad (base = rows_src*K) matching the round-4 kernel
+            vpad = jnp.zeros((n_rows_tot * K + K,), jnp.float32)
             up_in = (jnp.zeros(
                 (plans[p - 1][0] * plans[p - 1][1] + 1, u_prev,
                  u_prev + 1), jnp.float32)

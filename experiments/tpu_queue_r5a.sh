@@ -71,6 +71,11 @@ echo "=== [$(date +%H:%M:%S)] queue r5a start" >> "$RLOG"
 chip_idle_wait || echo "=== chip_idle_wait timed out; proceeding" >> "$RLOG"
 commit_results "r5a_start" 0
 
+# 0. cheap on-chip Pallas smoke (VERDICT r4 #8): catches Mosaic/relay
+#    regressions in ~2 min before the long arms commit to the chip
+run_job pallas_smoke 1200 python experiments/probe_sweep_perf.py \
+  --N 8 --bs 2048 --pallas_ops --sweeps pallas --quality
+
 # 1. mfqr N300 auto: the engine-accuracy validation the r4 deadline cut
 #    (expect rel_err ~2e-3, factorization << 25 s, mean_residual ~1e-6,
 #    selinv==MC; symbolic cache present -> ~45 min total)
