@@ -67,6 +67,23 @@ def parse_cmd():
                    help="SRIF direction solve: Richardson refinement or "
                         "preconditioned CG (factors beyond f32 validity)")
     p.add_argument("--srif_pcg_iters", type=int, default=32)
+    p.add_argument("--stall_rtol", type=float, default=0.9,
+                   help="stepwise decrement-stall detection: a step whose "
+                        "decrement fails to drop below stall_rtol * (best "
+                        "so far) counts as stalled; after --stall_patience "
+                        "consecutive stalled steps the march stops (the "
+                        "f32 direction floor: queue r2-r4 logs show the "
+                        "decrement pinned at 1.5e-5-class from step ~10 "
+                        "with the iterate — and final err to 5 digits — "
+                        "frozen, so the remaining 20 capped steps buy "
+                        "nothing; VERDICT r4 weak #3)")
+    p.add_argument("--stall_patience", type=int, default=3,
+                   help="consecutive stalled steps before stopping "
+                        "(0 disables stall detection)")
+    p.add_argument("--probe_phases", action="store_true",
+                   help="instead of the solve: slope-time the stepwise GN "
+                        "phases (assembly, window QR, direction solve, "
+                        "full step) at this config and exit")
     p.add_argument("--stepwise", action="store_true",
                    help="per-step dispatch: each Newton step is its own "
                         "jitted XLA program (compiled once, invoked in a "
@@ -74,6 +91,108 @@ def parse_cmd():
                         "workaround probe for the relay kernel fault at "
                         "flagship sizes (requires --sqrt)")
     return finalize_args(p.parse_args())
+
+
+def _make_phase_probe(jax, jnp, log, res, affine, aux_dev, mu_dev,
+                      q_shape, bp_gn, args, step_f):
+    """Per-phase slope probe of the stepwise GN step (VERDICT r4 weak #3:
+    the 3.4 s/step cost at N_x=1000 was never decomposed). Times, each as
+    its own jitted program on the live backend: CN assembly+condense, the
+    SRIF window QR (factor construction), QR+direction solve, and the
+    full production step. Logs a breakdown and exits."""
+    import time as _time
+
+    from diffeqgmrfs_tpu.ops.refine import SRIFNewtonFactor
+
+    n, N, bs = q_shape.n, q_shape.N, q_shape.bs
+    tau = jnp.asarray(args.noise_fem, jnp.float32)
+
+    def asm(x, aux):
+        f, J = res.f_and_J(affine.free_to_full(x))
+        return f, affine.condense_rowop(J)
+
+    def mk_factor(Jc, aux):
+        return SRIFNewtonFactor(
+            aux["q_ell"], aux["q_diag"], aux["sqrt_ops"],
+            aux["ata_window_plan"], Jc, tau, n, N, bs,
+            qr_impl=bp_gn.srif_qr_impl,
+            prior_R=aux.get("srif_prior_R"),
+            prior_cs0=aux.get("srif_prior_cs0"),
+            solve_method=bp_gn.srif_solve,
+            pcg_iters=bp_gn.srif_pcg_iters,
+        )
+
+    asm_full = jax.jit(asm)
+    f0, Jc0 = asm_full(mu_dev, aux_dev)
+    rhs0 = jax.jit(lambda aux, m: aux["q_ell"].matvec(m))(aux_dev, mu_dev)
+
+    def asm_out(x, aux):
+        f, Jc = asm(x, aux)
+        return jnp.sum(f) + jnp.sum(Jc.vals)
+
+    def qr_out(Jc, aux):
+        F = mk_factor(Jc, aux)
+        return sum(
+            jnp.sum(jnp.abs(leaf))
+            for leaf in jax.tree_util.tree_leaves(F.F32)
+            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)
+        )
+
+    def solve_out(Jc, aux, rhs):
+        F = mk_factor(Jc, aux)
+        return jnp.sum(F.solve(rhs))
+
+    def mvh_out(Jc, aux, v):
+        F = mk_factor(Jc, aux)
+        return jnp.sum(F.matvec_H(v))
+
+    probes = [
+        ("assembly+condense", jax.jit(asm_out), (mu_dev, aux_dev)),
+        ("window QR (factor)", jax.jit(qr_out), (Jc0, aux_dev)),
+        ("QR + solve", jax.jit(solve_out), (Jc0, aux_dev, rhs0)),
+        ("QR + matvec_H", jax.jit(mvh_out), (Jc0, aux_dev, rhs0)),
+        ("full step", None, None),
+    ]
+
+    def run_probe():
+        times = {}
+        for name, fn, fa in probes:
+            if fn is None:
+                t0 = _time.perf_counter()
+                x1, dec = step_f(mu_dev, mu_dev, aux_dev)
+                float(dec)
+                log.info("  [%s] compile+first: %.2fs",
+                         name, _time.perf_counter() - t0)
+                reps = []
+                for _ in range(3):
+                    t0 = _time.perf_counter()
+                    x1, dec = step_f(mu_dev, mu_dev, aux_dev)
+                    float(dec)
+                    reps.append(_time.perf_counter() - t0)
+            else:
+                t0 = _time.perf_counter()
+                float(fn(*fa))
+                log.info("  [%s] compile+first: %.2fs",
+                         name, _time.perf_counter() - t0)
+                reps = []
+                for _ in range(3):
+                    t0 = _time.perf_counter()
+                    float(fn(*fa))
+                    reps.append(_time.perf_counter() - t0)
+            times[name] = min(reps)
+            log.info("  [%s] %.3f s (min of 3)", name, times[name])
+        qr = times["window QR (factor)"]
+        log.info("phase breakdown: assembly %.3f | QR %.3f | solve-only "
+                 "%.3f | matvec_H-only %.3f | full step %.3f (sum of "
+                 "parts %.3f)",
+                 times["assembly+condense"], qr,
+                 times["QR + solve"] - qr, times["QR + matvec_H"] - qr,
+                 times["full step"],
+                 times["assembly+condense"] + times["QR + solve"] - qr
+                 + times["QR + matvec_H"] - qr + qr)
+        raise SystemExit(0)
+
+    return run_probe
 
 
 def main():
@@ -300,6 +419,8 @@ def main():
                 def run_stepwise():
                     x = mu_dev
                     n_steps = 0
+                    best = float("inf")
+                    flat = 0
                     for it in range(30):
                         x, dec = step_f(mu_dev, x, aux_dev)
                         n_steps += 1
@@ -307,7 +428,25 @@ def main():
                         log.info("  stepwise GN %d: decrement %.3e", it, d)
                         if d < 1e-5:
                             break
+                        if args.stall_patience > 0 and d >= args.stall_rtol * best:
+                            flat += 1
+                            if flat >= args.stall_patience:
+                                log.info(
+                                    "  decrement stalled at %.3e (f32 "
+                                    "direction floor; best %.3e); stopping",
+                                    d, best,
+                                )
+                                break
+                        else:
+                            flat = 0
+                        best = min(best, d)
                     return eval_f(x), jnp.asarray(n_steps)
+
+                if args.probe_phases:
+                    return _make_phase_probe(
+                        jax, jnp, log, res, affine, aux_dev, mu_dev,
+                        q_shape, bp_gn, args, step_f,
+                    )
 
                 return run_stepwise
 
