@@ -48,6 +48,17 @@ def parse_cmd():
                    help="per-instance calibration: sqmahal + NLL of the "
                         "posterior at the dof-interpolated true solution "
                         "(analog of solve_burgers_gmrf-collocation.jl:200-215)")
+    p.add_argument("--nll_fused", action="store_true",
+                   help="force BOTH conditionings (posterior + 1e12 "
+                        "solution-interpolation) into one program. Default "
+                        "for --nll is the 2-program residency split: "
+                        "program A = fused posterior (mean/std/sample/"
+                        "log-det; the darcy_N300_full_nopf rc=0 class), "
+                        "program B = E-conditioning + operator-form "
+                        "sqmahal AFTER the posterior factor frees — the "
+                        "all-fused program's 17.1 MB MLIR crashes the "
+                        "relay compile helper at N300 and full phase-split "
+                        "breaks cross-jit residency (RESULTS.md r4)")
     p.add_argument("--compact", action="store_true",
                    help="production-memory prior: f32 BTD factor + f64 ELL "
                         "operator (CompactGMRF / MatFreeConditionFactor)")
@@ -325,13 +336,18 @@ def main():
             pat_E = ata_pattern_cached(
                 E_c, inner_prior.precision.n, inner_prior.precision.bs
             )
-        # phase-split NLL runs at the HBM margin (r4a OOM at ps_eval with
-        # the factor + prior f64 operands resident): keep the E-plan
-        # host-side and upload per instance AFTER the posterior factor is
-        # freed (sequential residency; ~seconds of relay upload). The
-        # fused/batched paths keep the resident device copy.
-        if not args.phase_split:
+        # phase-split/2-program NLL runs at the HBM margin (r4a OOM at
+        # ps_eval with the factor + prior f64 operands resident): keep
+        # the E-plan host-side and upload per instance AFTER the
+        # posterior factor is freed (sequential residency; ~seconds of
+        # relay upload). The fused/batched paths keep the resident copy.
+        if not args.phase_split and args.nll_fused:
             pat_E = pat_E.to_device()
+
+    nll_split = args.nll and not args.phase_split and not args.nll_fused
+    if nll_split and args.batch > 1:
+        raise SystemExit("--nll 2-program split requires batch=1 "
+                         "(use --nll_fused for the batched path)")
 
     def solve_instance(prior_arg, pattern, pattern_E, geom, structure, coeff, key, soln_flat):
         A, ys = obs(coeff, geom=geom, structure=structure)
@@ -345,7 +361,7 @@ def main():
         else:
             std = post.std()
             smp = post.sample(key, 1)
-        if args.nll:
+        if args.nll and not nll_split:
             # same blueprint as the posterior: the sqrt path both accepts
             # the (possibly split) window plan and survives the 1e12
             # interpolation precision where plain f32 Cholesky breaks
@@ -359,6 +375,14 @@ def main():
             nll = 0.5 * (
                 inner.n * jnp.log(2 * jnp.pi) + sqm - post.log_det_precision()
             )
+        elif args.nll:
+            # 2-program split, program A: emit the free-space posterior
+            # mean and the log-det; sqmahal runs in program B once this
+            # program's factor buffers are dead (they never escape the
+            # jit). sqm slot carries mu_free, nll slot the log-det.
+            inner = post.inner_gmrf if hasattr(post, "inner_gmrf") else post
+            sqm = inner.mean()
+            nll = post.log_det_precision()
         else:
             sqm = nll = jnp.zeros(())
         return pred, std, smp, sqm, nll
@@ -366,7 +390,46 @@ def main():
     _solve = jax.jit(solve_instance)
 
     def solve_jit(coeff, key, soln_flat):
-        return _solve(prior_dev, pat, pat_E, geom_dev, obs_st, coeff, key, soln_flat)
+        return _solve(
+            prior_dev, pat, None if nll_split else pat_E, geom_dev, obs_st,
+            coeff, key, soln_flat,
+        )
+
+    if nll_split:
+        # Program B of the 2-program NLL split: the 1e12-precision
+        # E-conditioning builds ITS factor only after program A's
+        # posterior factor is dead (the two 5.3 GiB factor classes cannot
+        # be co-resident at N300 — r4a phase-split OOM). sqmahal needs no
+        # posterior factor at all: it is d^T H d with H applied in
+        # operator form (prior ELL + tau A^T A via the window plan).
+        from diffeqgmrfs_tpu.ops.refine import SymSumOp
+
+        def solve_nll_b(prior_arg, pattern, pattern_E, geom, structure,
+                        coeff, soln_flat, mu_free):
+            A, _ys = obs(coeff, geom=geom, structure=structure)
+            x_soln = condition_on_observations(
+                prior_arg, E, 1e12, soln_flat, solver_blueprint=bp,
+                pattern=pattern_E,
+            )
+            soln_full = x_soln.mean()
+            affine = prior_arg.affine
+            inner_p = prior_arg.inner_gmrf
+            A_free = affine.condense_rowop(A)
+            tau64 = jnp.asarray(Q_eps, dtype=inner_p.precision64.vals.dtype)
+            H_op = SymSumOp(
+                inner_p.precision64, A_free, tau64, diag_Q=inner_p.diag64,
+                a_plan=pattern if hasattr(pattern, "t_rows") else None,
+            )
+            d = affine.restrict(soln_full) - mu_free
+            return jnp.dot(d, H_op.matvec(d))
+
+        _solve_b = jax.jit(solve_nll_b)
+
+        def solve_b_jit(coeff, soln_flat, mu_free):
+            return _solve_b(prior_dev, pat, pat_E, geom_dev, obs_st,
+                            coeff, soln_flat, mu_free)
+
+        n_free_nll = int(inner_prior.precision.n)
 
     use_chunked = args.sqrt and args.sqrt_prefactor == "chunked"
     if use_chunked:
@@ -655,6 +718,12 @@ def main():
     with to("Conditioning + Node reordering"):
         out = solve_jit(coeff0, key, soln0.reshape(-1))
         to.sync(out[0])
+    if nll_split:
+        # compile program B on the warmup instance too (A's factor is
+        # dead after the sync above)
+        with to("NLL compile"):
+            sqm0 = solve_b_jit(coeff0, soln0.reshape(-1), out[3])
+            to.sync(sqm0)
     mat_nnz = prior.precision_map().nnz() if hasattr(prior, "precision_map") else 0
 
     N = min(3, len(ds)) if args.dry_run else len(ds)
@@ -732,6 +801,22 @@ def main():
                         jnp.asarray(np.asarray(soln).reshape(-1)),
                     )
                     cur.sync(pred, std, smp)
+                if nll_split:
+                    # program A is complete (sync above) -> its factor
+                    # buffers are dead; program B may now build the
+                    # 1e12-precision E factor
+                    mu_free, logdet = sqm, nll
+                    with cur("NLL"):
+                        sqm = solve_b_jit(
+                            jnp.asarray(coeff),
+                            jnp.asarray(np.asarray(soln).reshape(-1)),
+                            mu_free,
+                        )
+                        cur.sync(sqm)
+                    nll = 0.5 * (
+                        n_free_nll * np.log(2 * np.pi)
+                        + float(sqm) - float(logdet)
+                    )
                 row = saver.record(
                     i,
                     rel_err=float(rel_err(pred, jnp.asarray(soln))),
