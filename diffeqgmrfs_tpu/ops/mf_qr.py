@@ -343,6 +343,26 @@ def mfqr_device_arrays(qt: MFQRTree, device=None, solve_only: bool = False):
 # ---------------------------------------------------------------------------
 
 
+def _f32mm(fn):
+    """Trace-time matmul-precision pin. TPU's DEFAULT f32 matmul runs
+    bf16 passes; every GEMM in this module — the one-hot extend-add
+    selection matmuls, the gram engine's Gram/CholQR/trailing GEMMs,
+    the triangular-solve chains, selected inversion — needs true f32.
+    Round-5 chip finding: the unpinned chunked factorization produced
+    mean residual |b-Hx|/|b| = 5.1e+03 at N300 (qr_impl=auto) while the
+    identical CPU path — where f32 matmuls are exact — passed at
+    1.7e-12; srif.py:534 / cholesky.py:92 already pin their sweeps."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("float32"):
+            return fn(*a, **k)
+
+    return wrapped
+
+
+@_f32mm
 def _qr_r_rowchunked(panel, qr_impl: str, row_chunk: int):
     """Sequential TSQR over row blocks: triangularize [B, r, f] through
     QRs of at most [B, f + row_chunk, f] — identical R (unique up to row
@@ -367,6 +387,7 @@ def _qr_r_rowchunked(panel, qr_impl: str, row_chunk: int):
     return carry
 
 
+@_f32mm
 def _qr_r_gram(
     panel,
     passes: int = 3,
@@ -443,6 +464,7 @@ def _qr_r_gram(
     return R_acc
 
 
+@_f32mm
 def _qr_r(panel, qr_impl: str):
     """R factor of batched tall panel [B, r, f] -> [B, min(r, f), f]."""
     B, r, f = panel.shape
@@ -883,7 +905,7 @@ def _get_chunk_kernel():
     global _chunk_kernel_jit
     if _chunk_kernel_jit is None:
         _chunk_kernel_jit = jax.jit(
-            _mfqr_chunk_kernel,
+            _f32mm(_mfqr_chunk_kernel),
             static_argnames=("shapes", "qr_impl", "dtype"),
         )
     return _chunk_kernel_jit
@@ -1032,8 +1054,8 @@ def _bwd_level(R11, R12, own, bnd, x):
     return x.at[x.shape[0] - 1].set(0.0)
 
 
-_fwd_level_jit = jax.jit(_fwd_level)
-_bwd_level_jit = jax.jit(_bwd_level)
+_fwd_level_jit = jax.jit(_f32mm(_fwd_level))
+_bwd_level_jit = jax.jit(_f32mm(_bwd_level))
 
 
 def mfqr_solve_hosted(F: MFQRFactor, b):
@@ -1174,9 +1196,9 @@ def _selinv_scatter(out, own_idx, diag):
     return out.at[own_idx].set(diag, mode="drop")
 
 
-_selinv_level_jit = jax.jit(_selinv_level)
-_selinv_level_diag_jit = jax.jit(_selinv_level_diag)
-_selinv_gather_jit = jax.jit(_selinv_gather)
+_selinv_level_jit = jax.jit(_f32mm(_selinv_level))
+_selinv_level_diag_jit = jax.jit(_f32mm(_selinv_level_diag))
+_selinv_gather_jit = jax.jit(_f32mm(_selinv_gather))
 _selinv_scatter_jit = jax.jit(_selinv_scatter)
 
 
