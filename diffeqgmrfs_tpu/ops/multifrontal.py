@@ -215,6 +215,20 @@ def _build_tree(coords, cut_width, leaf_target, indptr, indices):
     return nodes
 
 
+def _f32mm(fn):
+    """Pin true-f32 matmuls (TPU default f32 matmul = bf16 passes; see
+    ops/mf_qr.py round-5 chip finding — unpinned GEMM kernels produced
+    5.1e+03-class residuals on chip while exact-f32 CPU tests passed)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("float32"):
+            return fn(*a, **k)
+
+    return wrapped
+
+
 def symbolic_multifrontal(
     H, coords, cut_width, leaf_target: int = 128, with_h_pos: bool = True
 ) -> FrontTree:
@@ -490,6 +504,7 @@ class MultifrontalFactor:
     # -- factor ------------------------------------------------------------
 
     @staticmethod
+    @_f32mm
     def factorize(tree: FrontTree, h_data, dtype=None, arrs=None):
         """Numeric factorization from H's CSR value array (any instance
         with the symbolic structure).
@@ -556,6 +571,7 @@ class MultifrontalFactor:
             tot = tot + 2.0 * jnp.sum(jnp.log(d))
         return tot
 
+    @_f32mm
     def solve(self, b):
         """H^{-1} b for b [n] or [n, k] via the front tree."""
         squeeze = b.ndim == 1
@@ -594,6 +610,7 @@ class MultifrontalFactor:
         x = x[: self.tree.n]
         return x[:, 0] if squeeze else x
 
+    @_f32mm
     def sample_zero_mean(self, key, k: int = 1):
         """Draw z with cov H^{-1}: solve L^T x = w, w ~ N(0, I) (padding
         pivots are identity and their slots are dropped)."""

@@ -91,6 +91,21 @@ def _local_gcols(dev, n_loc: int, panel: int, P_: int):
     ).reshape(-1)
 
 
+def _f32mm(fn):
+    """Pin true-f32 matmuls (TPU default f32 matmul = bf16 passes; the
+    psum'd Gram/panel GEMMs here must be exact f32 on real meshes — see
+    ops/mf_qr.py round-5 chip finding)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("float32"):
+            return fn(*a, **k)
+
+    return wrapped
+
+
+@_f32mm
 def _tp_potrf(A_loc, axis: str, bs: int, panel: int, P_: int):
     """Panel-cyclic column-sharded right-looking Cholesky of one block.
 
@@ -143,6 +158,7 @@ def _tp_potrf(A_loc, axis: str, bs: int, panel: int, P_: int):
     return L_rep, L_loc
 
 
+@_f32mm
 def _tp_tsolve_right_T(L_rep, B_loc, axis: str, bs: int, panel: int, P_: int):
     """Solve X L^T = B (the sweep's C_i = B_i L_{i-1}^{-T}); B column-
     sharded panel-cyclically, L_rep replicated in global order.
@@ -242,6 +258,7 @@ class TPBTDCholesky:
         return self.to_btd_cholesky().solve(b)
 
 
+@_f32mm
 def tp_bcgs_qr_r(
     T_loc,
     axis: str,
