@@ -358,11 +358,25 @@ def main():
             return post_mean_fused(F, aT, q64, A64, yc)
         b64 = rmv64(aT, A64, yc)
         x = mfqr_solve_hosted(F, b64.astype(jnp.float32)).astype(jnp.float64)
+        # adaptive refinement (host loop -> residual readbacks are ~free
+        # relative to a hosted 10-level solve sweep): stop once the
+        # residual is solver-grade or has stopped contracting — with a
+        # healthy factor one refinement reaches ~1e-6-class and the
+        # remaining sweeps were pure Mean-phase waste (orphan r5a arm:
+        # Mean 27.5 s vs factorization 5.7 s at N300)
+        b_norm = float(jnp.linalg.norm(b64))
+        prev_rn = None
         for _ in range(args.refine_iters):
             r = b64 - h64_jit(aT, q64, A64, x)
+            rn = float(jnp.linalg.norm(r))
+            if rn <= 1e-7 * b_norm:
+                break
+            if prev_rn is not None and rn > 0.7 * prev_rn:
+                break  # stalled: more sweeps through this factor won't help
             x = x + mfqr_solve_hosted(
                 F, r.astype(jnp.float32)
             ).astype(jnp.float64)
+            prev_rn = rn
         # factor-quality diagnostic: ||b - H x|| / ||b|| in f64 after
         # refinement. Near machine-level = factor is solver-grade;
         # O(1) = the FACTOR is wrong (disambiguates from truth-yardstick
