@@ -70,13 +70,15 @@ def parse_cmd():
     p.add_argument("--n_std", type=int, default=50,
                    help="MC samples for marginal std (reference RBMC 50)")
     p.add_argument("--std_impl", type=str, default="selinv",
-                   choices=("mc", "selinv", "both"),
+                   choices=("mc", "selinv", "both", "none"),
                    help="marginal std: selinv = EXACT selected inversion "
                         "over the front tree (mfqr_variance_selected, "
                         "round 4 — no sampling noise); mc = 50-sample "
                         "batched backsolve (reference RBMCStrategy(50) "
                         "analog); both = selinv std + recorded median "
-                        "relative deviation from the MC estimate")
+                        "relative deviation from the MC estimate; none = "
+                        "skip the std phase entirely (mean-only sweep "
+                        "throughput mode)")
     p.add_argument("--refine_iters", type=int, default=2,
                    help="f64 iterative-refinement steps for the mean")
     p.add_argument("--max_panel_mb", type=int, default=1024,
@@ -398,6 +400,10 @@ def main():
 
     def post_std(F, key):
         """(std, selinv_vs_mc median relative deviation or None)."""
+        if args.std_impl == "none":
+            # sweep mode: mean-only throughput (the banded sweep driver's
+            # --mean_only analog); std stats recorded as zeros
+            return jnp.zeros((1,), jnp.float32), None
         if args.std_impl == "mc":
             return post_std_mc(F, key), None
         v = mfqr_variance_selected(F)
