@@ -81,6 +81,18 @@ def parse_cmd():
                         "throughput mode)")
     p.add_argument("--refine_iters", type=int, default=2,
                    help="f64 iterative-refinement steps for the mean")
+    p.add_argument("--refine_host", type=str, default="auto",
+                   choices=("auto", "on", "off"),
+                   help="compute the f64 refinement residuals on the "
+                        "HOST (numpy) instead of a device h64 program: "
+                        "removes the Q64/A64/transpose-ELL HBM "
+                        "residency in the Mean phase — the site of the "
+                        "N500 1e6-dof RESOURCE_EXHAUSTED (queue r5c: "
+                        "factorization completed, post_mean OOMed at "
+                        "the first h64 apply). The refinement operator "
+                        "is memory-bound; host f64 costs ~1-2 s/apply "
+                        "at 1e6 dofs vs ~GBs of HBM. auto = on above "
+                        "5e5 free dofs")
     p.add_argument("--max_panel_mb", type=int, default=1024,
                    help="per-chunk panel budget for the chunked "
                         "factorization dispatch")
@@ -353,6 +365,68 @@ def main():
         * rmatvec_gather(aT, A64.vals, yv.astype(jnp.float64))
     )
     h64_jit = jax.jit(_h64)
+
+    # ---- host-side f64 refinement (the N500 OOM fix) ----
+    refine_host = args.refine_host == "on" or (
+        args.refine_host == "auto" and n_free > 500_000
+    )
+    _q_cols_np = np.asarray(Q64_cpu.cols)
+    _q_vals_np = np.asarray(Q64_cpu.vals, np.float64)
+    _a_cols_np = np.asarray(A0c.cols)
+    _qm_np = (_q_cols_np >= 0) & (_q_cols_np < n_free)
+    _am_np = (_a_cols_np >= 0) & (_a_cols_np < n_free)
+
+    def _at_host(a_vals64, z):
+        """tau-free A^T z on the host (scatter-add over the ELL)."""
+        atz = np.zeros(n_free)
+        keep = _am_np.reshape(-1)
+        np.add.at(
+            atz,
+            _a_cols_np.reshape(-1)[keep],
+            (a_vals64 * z[:, None]).reshape(-1)[keep],
+        )
+        return atz
+
+    def _h64_host(a_vals64, x):
+        """H x = Q x + tau A^T A x, pure numpy f64 (memory-bound —
+        host cost ~1-2 s at 1e6 dofs, no HBM residency)."""
+        xq = x[np.clip(_q_cols_np, 0, n_free - 1)]
+        hx = (_q_vals_np * np.where(_qm_np, xq, 0.0)).sum(1)
+        xa = x[np.clip(_a_cols_np, 0, n_free - 1)]
+        az = (a_vals64 * np.where(_am_np, xa, 0.0)).sum(1)
+        return hx + args.tau * _at_host(a_vals64, az)
+
+    def post_mean_hostrefine(F, a_vals64, yc):
+        """Hosted solve sweeps on chip; b64 + refinement residuals on
+        the host. Q64/A64/aT never touch the device."""
+        yc64 = np.asarray(yc, np.float64)
+        b64 = args.tau * _at_host(a_vals64, yc64)
+        x = np.asarray(
+            mfqr_solve_hosted(F, jnp.asarray(b64, jnp.float32)),
+            np.float64,
+        )
+        b_norm = float(np.linalg.norm(b64))
+        prev_rn = None
+        for _ in range(args.refine_iters):
+            r = b64 - _h64_host(a_vals64, x)
+            rn = float(np.linalg.norm(r))
+            if rn <= 1e-7 * b_norm:
+                break
+            if prev_rn is not None and rn > 0.7 * prev_rn:
+                break  # stalled (same rule as the device path)
+            x = x + np.asarray(
+                mfqr_solve_hosted(F, jnp.asarray(r, jnp.float32)),
+                np.float64,
+            )
+            prev_rn = rn
+        r = b64 - _h64_host(a_vals64, x)
+        res = float(np.linalg.norm(r) / np.linalg.norm(b64))
+        log.info(
+            "mean residual |b-Hx|/|b| (f64 HOST, post-refinement): %.3e",
+            res,
+        )
+        results.setdefault("mean_residuals", []).append(res)
+        return jnp.asarray(x)
     var_of = jax.jit(lambda z: jnp.sqrt(jnp.mean(z * z, axis=1)))
 
     def post_mean(F, aT, q64, A64, yc):
@@ -479,10 +553,16 @@ def main():
         _hbm("post-factor")
         with to("Mean"), cur("Mean"):
             del vals  # operand stack is dead once the factor exists
-            if Q64 is None:
-                Q64 = jax.device_put(Q64_cpu)
-            A64 = RowOp(A0c.cols, Acv.astype(jnp.float64), n_free)
-            x = post_mean(F, aT, Q64, A64, yc)
+            if refine_host and use_hosted:
+                # Q64/A64 never uploaded: residuals run host-side
+                x = post_mean_hostrefine(
+                    F, np.asarray(Acv, np.float64), yc
+                )
+            else:
+                if Q64 is None:
+                    Q64 = jax.device_put(Q64_cpu)
+                A64 = RowOp(A0c.cols, Acv.astype(jnp.float64), n_free)
+                x = post_mean(F, aT, Q64, A64, yc)
             x.block_until_ready()
         _hbm("post-mean")
         with to("Std dev"), cur("Std dev"):
