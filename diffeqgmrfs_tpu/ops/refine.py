@@ -806,7 +806,15 @@ class SRIFNewtonFactor:
         substitution through the SAME factor is finite where the
         recursion is not — and is exactly the quantity the recursion
         would have produced. `max_rescue` keeps shapes static under jit;
-        entries beyond it (never observed) stay non-finite and counted."""
+        entries beyond it (never observed) stay non-finite and counted.
+
+        "Bad" includes NON-POSITIVE entries, not just non-finite ones:
+        the f64 recursion on a clamped factor can cancel to a finite
+        NEGATIVE variance, which passes `isfinite` but NaNs at the
+        `sqrt` in `GMRF.std` — the flagship N800x100 rescue no-op
+        (queue r5c: n_std_nonfinite still 418-651 with the rescue
+        live; the non-finite STDS were sqrt(negative finite VARIANCE),
+        so the old `isfinite(v)` predicate never fired)."""
         from jax import lax
 
         v = self.variance_diag()
@@ -814,9 +822,12 @@ class SRIFNewtonFactor:
 
         k = min(max_rescue, n)
 
+        def _is_bad(v):
+            return ~jnp.isfinite(v) | (v <= 0)
+
         def rescue(v):
-            bad = ~jnp.isfinite(v)
-            # non-finite indices first (argsort of the finite mask)
+            bad = _is_bad(v)
+            # bad indices first (argsort of the good mask)
             idx = jnp.argsort(jnp.where(bad, 0, 1))[:k]
             E = (
                 jnp.zeros((k, n), jnp.float64)
@@ -829,7 +840,7 @@ class SRIFNewtonFactor:
             )
             return v.at[idx].set(jnp.where(bad[idx], vr, v[idx]))
 
-        return lax.cond(jnp.all(jnp.isfinite(v)), lambda v: v, rescue, v)
+        return lax.cond(~jnp.any(_is_bad(v)), lambda v: v, rescue, v)
 
     def sample_zero_mean(self, key, n_samples: int = 1):
         """Posterior samples R^{-1} z with the same overflow policy: the

@@ -326,6 +326,21 @@ def test_srif_newton_variance_rescue_unit_solves():
     v2 = np.asarray(fac2.variance_diag_rescued(max_rescue=8))
     assert np.allclose(v2, ref, rtol=5e-4)
 
+    # NEGATIVE-but-finite variances must be rescued too: the f64
+    # Takahashi recursion on a clamped factor can cancel to a finite
+    # negative entry, which passes isfinite but NaNs at sqrt — the
+    # flagship N800x100 n_std_nonfinite=418-651 with the rescue "live"
+    # (queue r5c flagship_rescue; fixed by the v<=0 bad-predicate)
+    class PoisonedNeg(Poisoned):
+        def variance_diag(self):
+            v = SRIFNewtonFactor.variance_diag(self)
+            return jnp.where(jnp.asarray(poison), -1.7e-3, v)
+
+    fac3 = PoisonedNeg()
+    v3 = np.asarray(fac3.variance_diag_rescued(max_rescue=8))
+    assert np.isfinite(np.sqrt(v3)).all()
+    assert np.allclose(v3, ref, rtol=5e-4), np.max(np.abs(v3 - ref) / ref)
+
 
 def test_takahashi_compute_dtype_noop_on_healthy_factor():
     """compute_dtype=f64 equals the f32 recursion (at f32 accuracy) on a
